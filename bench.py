@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Metric: Mrays/sec/chip (primary + shadow scene traces) on the standard
+benchmark scene at 1080p, per BASELINE.md. The reference publishes no
+throughput numbers (BASELINE.json.published = {}); the driver-set target is
+200 Mrays/s/chip, used as the vs_baseline denominator.
+
+Scene: the RTOW procedural sphere field (the reference's built-in default
+scene, src/MetalRenderer.mm:1997-2126) until the Stanford Dragon asset is
+wired in; swaps to the dragon automatically when assets/dragon.obj exists.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from metal_pathtracer_tpu.ops.camera import build_camera
+    from metal_pathtracer_tpu.renderer import frame
+    from metal_pathtracer_tpu.renderer.accumulation import RenderState
+    from metal_pathtracer_tpu.scene.manager import SceneManager, build_procedural_scene
+    from metal_pathtracer_tpu.scene.resources import SceneResources
+    from metal_pathtracer_tpu.schema import settings_to_static, settings_to_uniforms
+    from metal_pathtracer_tpu.settings import RenderSettings
+
+    width, height = 1920, 1080
+    warmup_spp, bench_spp = 1, 8
+
+    settings = RenderSettings()
+    resources = SceneResources()
+    dragon = os.path.join("assets", "models", "dragon.obj")
+    if os.path.exists(dragon):
+        from metal_pathtracer_tpu.scene import dsl
+        text = (
+            "camera target=0,0.5,0 distance=2.5 yaw=0.4 pitch=0.2 vfov=35\n"
+            "material type=lambert albedo=0.7,0.7,0.7\n"
+            f"mesh path={dragon} material=0\n")
+        dsl.parse_scene(text, settings, resources,
+                        mesh_loader=__import__(
+                            "metal_pathtracer_tpu.scene.meshload",
+                            fromlist=["mesh_loader"]).mesh_loader)
+        scene_name = "dragon"
+    else:
+        build_procedural_scene(settings, resources)
+        scene_name = "rtow-procedural"
+
+    settings.maxDepth = 8
+    settings.fixedRngSeed = 1234
+
+    scene = resources.build_arrays()
+    static = settings_to_static(settings, width, height,
+                                resources.material_types_present())
+    camera = build_camera(settings, width, height)
+    uniforms = settings_to_uniforms(settings, camera, 0, 0)
+
+    state = RenderState.create(width, height)
+    # Warmup/compile
+    state = frame.render_samples(scene, uniforms, state, static, warmup_spp)
+    state.radiance_sum.block_until_ready()
+
+    rays_before = float(np.asarray(state.ray_count)) + \
+        float(np.asarray(state.shadow_ray_count))
+    t0 = time.time()
+    state = frame.render_samples(scene, uniforms, state, static, bench_spp)
+    state.radiance_sum.block_until_ready()
+    elapsed = time.time() - t0
+    rays_after = float(np.asarray(state.ray_count)) + \
+        float(np.asarray(state.shadow_ray_count))
+
+    mrays = (rays_after - rays_before) / elapsed / 1e6
+    target = 200.0  # BASELINE.md driver-set target, Mrays/s/chip
+    result = {
+        "metric": f"mrays_per_sec_per_chip_{scene_name}_{width}x{height}",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / target, 4),
+    }
+    print(json.dumps(result))
+    print(f"# device={jax.devices()[0].device_kind} spp={bench_spp} "
+          f"elapsed={elapsed:.2f}s spp_per_min={60.0 * bench_spp / elapsed:.1f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,535 @@
+"""Wavefront path integrator.
+
+The TPU-native re-design of the reference's GPU megakernel
+(reference: shaders/pathtrace.metal trace_path_software:5717-7284 and the
+kernel entry pathtraceIntegrateKernel:9698-9815).
+
+Architecture notes (SURVEY.md §7):
+- One SoA wavefront of rays over flat pixel lanes instead of one thread per
+  pixel; every stage is a masked vector op on the VPU.
+- The bounce loop is a `lax.fori_loop` with a static `max_depth` bound and a
+  per-lane `alive` mask — no data-dependent control flow in the jit trace.
+- RNG is the reference's per-lane uint32 PCG stream; every draw is masked so
+  a lane's stream advances exactly as the reference's per-thread stream.
+- Static specialization (schema.StaticConfig) replaces the reference's
+  runtime MSL compilation with preprocessor flags.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from metal_pathtracer_tpu import constants as C
+from metal_pathtracer_tpu.ops import bsdf as bsdf_ops
+from metal_pathtracer_tpu.ops import camera as camera_ops
+from metal_pathtracer_tpu.ops import intersect
+from metal_pathtracer_tpu.ops import rng as rng_ops
+from metal_pathtracer_tpu.ops.vecmath import (
+    dot,
+    linear_srgb_to_acescg,
+    normalize,
+    safe_normalize,
+    where3,
+)
+from metal_pathtracer_tpu.schema import SceneArrays, StaticConfig, Uniforms
+
+
+def sky_color(direction):
+    """Gradient background (reference: pathtrace.metal sky_color:1320-1325)."""
+    unit = normalize(direction)
+    t = 0.5 * (unit[..., 1:2] + 1.0)
+    white = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
+    blue = jnp.asarray([0.5, 0.7, 1.0], jnp.float32)
+    return white + (blue - white) * t
+
+
+def to_working_space(color, static: StaticConfig):
+    """(reference: pathtrace.metal to_working_space:100-107)"""
+    if static.working_color_space == 1:
+        return linear_srgb_to_acescg(color)
+    return color
+
+
+class PathCarry(NamedTuple):
+    state: jax.Array        # (N,)  uint32 RNG
+    ray_o: jax.Array        # (N,3)
+    ray_d: jax.Array        # (N,3)
+    throughput: jax.Array   # (N,3)
+    radiance: jax.Array     # (N,3)
+    alive: jax.Array        # (N,)  bool
+    last_pdf: jax.Array     # (N,)
+    last_delta: jax.Array   # (N,)  bool
+    prev_valid: jax.Array   # (N,)  bool
+    prev_mesh: jax.Array    # (N,)  i32 — triangle self-hit exclusion
+    prev_prim: jax.Array    # (N,)  i32
+    medium_stack: jax.Array  # (N,MAX_MEDIUM_STACK,3)
+    medium_depth: jax.Array  # (N,) i32
+    is_first_hit: jax.Array  # (N,) bool
+    aov_albedo: jax.Array   # (N,3)
+    aov_normal: jax.Array   # (N,3)
+    specular_depth: jax.Array  # (N,) i32
+    env_lod: jax.Array      # (N,)
+    env_lod_active: jax.Array  # (N,) bool
+    n_rays: jax.Array       # ()  f32 — scene traces issued (perf counter)
+    n_shadow_rays: jax.Array  # () f32 — shadow traces issued
+
+
+def _rect_light_pdf_for_hit(scene: SceneArrays, rec, origin):
+    """Solid-angle pdf of sampling the hit rectangle via NEE, for MIS on
+    emissive hits (reference: pathtrace.metal rect_light_pdf_for_hit)."""
+    n_lights = scene.light_rect_indices.shape[0]
+    rects = scene.rects
+    idx = jnp.clip(rec.prim_index, 0, rects.count - 1)
+    mat_idx = jnp.clip(rects.material[idx], 0, scene.materials.count - 1)
+    is_light = (scene.materials.mat_type[mat_idx] == C.MATERIAL_DIFFUSE_LIGHT) & \
+        jnp.any(scene.materials.emission[mat_idx] != 0.0, -1)
+
+    edge_u = rects.edge_u[idx]
+    edge_v = rects.edge_v[idx]
+    area = jnp.sqrt(jnp.maximum(dot(jnp.cross(edge_u, edge_v),
+                                    jnp.cross(edge_u, edge_v)), 0.0))
+    to_light = rec.point - origin
+    dist_sq = dot(to_light, to_light)
+    distance = jnp.sqrt(jnp.maximum(dist_sq, 1e-30))
+    direction = to_light / distance[..., None]
+    normal = rects.normal[idx]
+    cos_light = dot(-direction, normal)
+    two_sided = rects.two_sided[idx] > 0.5
+    cos_light = jnp.where(two_sided, jnp.abs(cos_light), cos_light)
+
+    pdf = (1.0 / jnp.maximum(area, 1e-20)) * dist_sq / jnp.maximum(cos_light, 1e-6)
+    pdf = pdf / float(n_lights)
+    valid = ((rec.prim_type == C.PRIMITIVE_RECTANGLE) & is_light
+             & (area > 0.0) & (dist_sq > 0.0) & (cos_light > 0.0))
+    return jnp.where(valid, pdf, 0.0)
+
+
+def _sample_rect_light(scene: SceneArrays, rec, state, static: StaticConfig,
+                       uniforms: Uniforms):
+    """NEE light sample over the scene's emissive rectangles
+    (reference: pathtrace.metal sample_rect_light). Draws 3 uniforms.
+
+    Returns (state, direction, distance, pdf, emission, valid).
+    """
+    n_lights = scene.light_rect_indices.shape[0]
+    rects = scene.rects
+    mats = scene.materials
+
+    state, sel_u = rng_ops.rand_uniform(state)
+    selected = jnp.minimum((sel_u * float(n_lights)).astype(jnp.uint32),
+                           jnp.uint32(n_lights - 1)).astype(jnp.int32)
+    rect_idx = scene.light_rect_indices[selected]
+
+    state, u = rng_ops.rand_uniform(state)
+    state, v = rng_ops.rand_uniform(state)
+
+    edge_u = rects.edge_u[rect_idx]
+    edge_v = rects.edge_v[rect_idx]
+    sample_point = rects.corner[rect_idx] + u[..., None] * edge_u + v[..., None] * edge_v
+    to_light = sample_point - rec.point
+    dist_sq = dot(to_light, to_light)
+    distance = jnp.sqrt(jnp.maximum(dist_sq, 1e-30))
+    direction = to_light / distance[..., None]
+
+    cr = jnp.cross(edge_u, edge_v)
+    area = jnp.sqrt(jnp.maximum(dot(cr, cr), 0.0))
+    normal = rects.normal[rect_idx]
+    cos_light = dot(-direction, normal)
+    two_sided = rects.two_sided[rect_idx] > 0.5
+    cos_ok = jnp.where(two_sided, True, cos_light > 0.0)
+    cos_light = jnp.where(two_sided, jnp.abs(cos_light), cos_light)
+
+    pdf = (1.0 / jnp.maximum(area, 1e-20)) * dist_sq / jnp.maximum(cos_light, 1e-6)
+    pdf = pdf / float(n_lights)
+
+    mat_idx = jnp.clip(rects.material[rect_idx], 0, mats.count - 1)
+    emission = mats.emission[mat_idx]
+    if static.background_mode == 2 and scene.environment is not None:
+        from metal_pathtracer_tpu.ops import env as env_ops
+        env_mod = env_ops.environment_color(
+            scene.environment, -normal, uniforms.environment_rotation,
+            uniforms.environment_intensity, static)
+        emission = jnp.where((mats.emission_env[mat_idx] > 0.0)[..., None],
+                             emission * env_mod, emission)
+
+    valid = ((dist_sq > 0.0) & (area > 0.0) & cos_ok & (cos_light > 0.0)
+             & (pdf > 0.0) & jnp.isfinite(pdf)
+             & jnp.any(emission != 0.0, -1))
+    return state, direction, distance, jnp.where(valid, pdf, 0.0), emission, valid
+
+
+def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
+                state, ray_o, ray_d):
+    """Trace a wavefront of primary rays to completion.
+
+    Returns (state, radiance, aov_albedo, aov_normal).
+    """
+    shape = ray_o.shape[:-1]
+    clamp_p = bsdf_ops.make_clamp_params(uniforms)
+    n_rect_lights = (scene.light_rect_indices.shape[0]
+                     if scene.light_rect_indices is not None else 0)
+    env_sampling = (static.background_mode == 2 and scene.environment is not None)
+    types = set(static.material_types)
+
+    z3 = jnp.zeros(shape + (3,), jnp.float32)
+    carry = PathCarry(
+        state=state,
+        ray_o=ray_o,
+        ray_d=ray_d,
+        throughput=jnp.ones(shape + (3,), jnp.float32),
+        radiance=z3,
+        alive=jnp.ones(shape, bool),
+        last_pdf=jnp.ones(shape, jnp.float32),
+        last_delta=jnp.ones(shape, bool),
+        prev_valid=jnp.zeros(shape, bool),
+        prev_mesh=jnp.full(shape, -1, jnp.int32),
+        prev_prim=jnp.full(shape, -1, jnp.int32),
+        medium_stack=jnp.zeros(shape + (C.MAX_MEDIUM_STACK, 3), jnp.float32),
+        medium_depth=jnp.zeros(shape, jnp.int32),
+        is_first_hit=jnp.ones(shape, bool),
+        aov_albedo=z3,
+        aov_normal=z3,
+        specular_depth=jnp.zeros(shape, jnp.int32),
+        env_lod=jnp.zeros(shape, jnp.float32),
+        env_lod_active=jnp.zeros(shape, bool),
+        n_rays=jnp.float32(0.0),
+        n_shadow_rays=jnp.float32(0.0),
+    )
+
+    def body(depth, carry: PathCarry):
+        cr = carry
+        alive0 = cr.alive
+        state0 = cr.state
+        n_rays = cr.n_rays + jnp.sum(alive0.astype(jnp.float32))
+        n_shadow_rays = cr.n_shadow_rays
+
+        # ---- trace (with triangle self-hit exclusion) ------------------
+        ex_mesh = jnp.where(cr.prev_valid, cr.prev_mesh, -1)
+        ex_prim = jnp.where(cr.prev_valid, cr.prev_prim, -1)
+        rec = intersect.trace_scene(cr.ray_o, cr.ray_d, scene,
+                                    C.EPSILON_T, C.INFINITY_T,
+                                    exclude_mesh=ex_mesh, exclude_prim=ex_prim)
+
+        radiance = cr.radiance
+
+        # ---- miss: background (reference: pathtrace.metal:5800-5861) ---
+        miss = jnp.logical_and(alive0, jnp.logical_not(rec.hit))
+        if static.background_mode == 1:
+            background = jnp.broadcast_to(uniforms.background_color, shape + (3,))
+            background = to_working_space(background, static)
+        elif static.background_mode == 2 and scene.environment is not None:
+            from metal_pathtracer_tpu.ops import env as env_ops
+            background = env_ops.environment_background(
+                scene.environment, cr.ray_d, uniforms, static,
+                cr.env_lod, cr.env_lod_active)
+        else:
+            background = to_working_space(sky_color(cr.ray_d), static)
+
+        mis_weight = jnp.ones(shape, jnp.float32)
+        use_specular_mis = jnp.logical_or(
+            jnp.logical_not(cr.last_delta),
+            static.enable_specular_nee or static.enable_mnee)
+        if env_sampling:
+            from metal_pathtracer_tpu.ops import env as env_ops
+            light_pdf = env_ops.environment_pdf(
+                scene.environment, cr.ray_d, uniforms.environment_rotation)
+            denom = cr.last_pdf + light_pdf
+            w = jnp.clip(cr.last_pdf / jnp.maximum(denom, 1e-30),
+                         C.MIS_WEIGHT_CLAMP_MIN, C.MIS_WEIGHT_CLAMP_MAX)
+            mis_weight = jnp.where(jnp.logical_and(use_specular_mis, denom > 0.0),
+                                   w, mis_weight)
+        bg_contrib = bsdf_ops.clamp_firefly_contribution(
+            cr.throughput, background * mis_weight[..., None], clamp_p)
+        radiance = radiance + jnp.where(miss[..., None], bg_contrib, 0.0)
+
+        active = jnp.logical_and(alive0, rec.hit)
+
+        # ---- medium absorption (Beer–Lambert, 8-deep stack)
+        #      (reference: pathtrace.metal:5869-5876) --------------------
+        in_medium = jnp.logical_and(active, cr.medium_depth > 0)
+        top = jnp.clip(cr.medium_depth - 1, 0, C.MAX_MEDIUM_STACK - 1)
+        top_onehot = (jnp.arange(C.MAX_MEDIUM_STACK) == top[..., None])
+        sigma = jnp.sum(cr.medium_stack * top_onehot[..., None], axis=-2)
+        segment = jnp.maximum(rec.t, 0.0)
+        attenuation = jnp.exp(-sigma * segment[..., None])
+        has_sigma = jnp.any(sigma > 0.0, -1)
+        apply_att = jnp.logical_and(in_medium, has_sigma)
+        throughput = jnp.where(apply_att[..., None],
+                               cr.throughput * attenuation, cr.throughput)
+
+        # ---- material fetch & shading normal ---------------------------
+        mat_idx = jnp.clip(rec.material, 0, scene.materials.count - 1)
+        m = bsdf_ops.gather_material(scene.materials, mat_idx)
+        incident = normalize(cr.ray_d)
+        wo = -incident
+
+        shading_normal = rec.shading_normal
+        bad_sn = jnp.logical_or(
+            jnp.logical_not(jnp.all(jnp.isfinite(shading_normal), -1)),
+            dot(shading_normal, shading_normal) <= 0.0)
+        shading_normal = where3(bad_sn, rec.normal, shading_normal)
+        # Dielectric: force geometric normal (reference: pathtrace.metal:5910-5917)
+        if C.MATERIAL_DIELECTRIC in types:
+            is_dielectric = m.mat_type == C.MATERIAL_DIELECTRIC
+            shading_normal = where3(is_dielectric, rec.normal, shading_normal)
+        rec = rec.replace(shading_normal=shading_normal)
+
+        surface_is_delta = bsdf_ops.material_is_delta(m)
+
+        # ---- first-hit AOVs (reference: pathtrace.metal:6425-6435) -----
+        record_aov = jnp.logical_and(active, cr.is_first_hit)
+        aov_albedo = where3(record_aov, bsdf_ops.material_base_color(m), cr.aov_albedo)
+        aov_normal = where3(record_aov, shading_normal, cr.aov_normal)
+        is_first_hit = jnp.where(active, False, cr.is_first_hit)
+
+        # ---- PBR emissive additive (reference: pathtrace.metal:6437-6442)
+        if C.MATERIAL_PBR in types and not static.debug_specular_only:
+            pbr_emissive = jnp.logical_and(
+                active,
+                (m.mat_type == C.MATERIAL_PBR)
+                & jnp.any(m.emission != 0.0, -1)
+                & (rec.front_face | rec.two_sided))
+            contrib = bsdf_ops.clamp_firefly_contribution(
+                throughput, m.emission, clamp_p)
+            radiance = radiance + jnp.where(pbr_emissive[..., None], contrib, 0.0)
+
+        # ---- DiffuseLight hit -> emit with MIS, terminate
+        #      (reference: pathtrace.metal:6444-6485) --------------------
+        light_hit = jnp.logical_and(active, m.mat_type == C.MATERIAL_DIFFUSE_LIGHT)
+        if C.MATERIAL_DIFFUSE_LIGHT in types:
+            emission = m.emission
+            if env_sampling:
+                from metal_pathtracer_tpu.ops import env as env_ops
+                env_mod = env_ops.environment_color(
+                    scene.environment, -shading_normal,
+                    uniforms.environment_rotation,
+                    uniforms.environment_intensity, static)
+                use_env = jnp.logical_and(m.emission_env > 0.0, rec.front_face)
+                emission = jnp.where(use_env[..., None], emission * env_mod, emission)
+            emit_ok = jnp.logical_and(
+                jnp.any(emission != 0.0, -1), rec.front_face | rec.two_sided)
+            l_mis = jnp.ones(shape, jnp.float32)
+            if n_rect_lights > 0:
+                light_pdf = _rect_light_pdf_for_hit(scene, rec, cr.ray_o)
+                denom = cr.last_pdf + light_pdf
+                w = jnp.clip(cr.last_pdf / jnp.maximum(denom, 1e-30),
+                             C.MIS_WEIGHT_CLAMP_MIN, C.MIS_WEIGHT_CLAMP_MAX)
+                l_mis = jnp.where(jnp.logical_and(use_specular_mis, denom > 0.0),
+                                  w, l_mis)
+            add = jnp.logical_and(light_hit, emit_ok)
+            if static.debug_specular_only:
+                add = jnp.zeros_like(add)
+            contrib = bsdf_ops.clamp_firefly_contribution(
+                throughput, emission * l_mis[..., None], clamp_p)
+            radiance = radiance + jnp.where(add[..., None], contrib, 0.0)
+        active = jnp.logical_and(active, jnp.logical_not(light_hit))
+
+        state = state0
+
+        # ---- NEE: rect lights (reference: pathtrace.metal:6487-6556) ---
+        if n_rect_lights > 0:
+            nee_lanes = jnp.logical_and(active, jnp.logical_not(surface_is_delta))
+            nstate, l_dir, l_dist, l_pdf, l_emission, l_valid = \
+                _sample_rect_light(scene, rec, state, static, uniforms)
+            n_dot_l = jnp.maximum(dot(shading_normal, l_dir), 0.0)
+            do_shadow = nee_lanes & l_valid & (l_pdf > 0.0) & (n_dot_l > 0.0)
+            shadow_o = intersect.offset_ray_origin(rec, l_dir)
+            shadow_max = jnp.maximum(l_dist - C.EPSILON_T, C.EPSILON_T)
+            occluded = intersect.trace_occluded(shadow_o, l_dir, scene,
+                                                C.EPSILON_T, shadow_max)
+            n_shadow_rays = n_shadow_rays + jnp.sum(do_shadow.astype(jnp.float32))
+            ev = bsdf_ops.evaluate_bsdf(
+                m, rec.point, shading_normal, wo, l_dir, clamp_p,
+                static.sss_mode, jnp.ones(shape, jnp.float32),
+                static.debug_specular_only, static.material_types)
+            max_comp = jnp.max(ev.value, -1)
+            w = jnp.ones(shape, jnp.float32)
+            denom = l_pdf + ev.pdf
+            w = jnp.where(ev.pdf > 0.0,
+                          jnp.clip(l_pdf / jnp.maximum(denom, 1e-30),
+                                   C.MIS_WEIGHT_CLAMP_MIN, C.MIS_WEIGHT_CLAMP_MAX),
+                          w)
+            contribution = (l_emission * ev.value * n_dot_l[..., None]
+                            * (w / jnp.maximum(l_pdf, 1e-30))[..., None])
+            add = (do_shadow & jnp.logical_not(occluded)
+                   & jnp.logical_not(ev.is_delta) & jnp.logical_not(ev.is_bssrdf)
+                   & (max_comp > 0.0) & jnp.all(jnp.isfinite(contribution), -1))
+            clamped = bsdf_ops.clamp_firefly_contribution(
+                throughput, contribution, clamp_p)
+            radiance = radiance + jnp.where(add[..., None], clamped, 0.0)
+            state = jnp.where(nee_lanes, nstate, state)
+
+        # ---- NEE: environment (reference: pathtrace.metal:6558-6648) ---
+        if env_sampling:
+            from metal_pathtracer_tpu.ops import env as env_ops
+            nee_lanes = jnp.logical_and(active, jnp.logical_not(surface_is_delta))
+            nstate, e_dir, e_radiance, e_pdf, e_valid = env_ops.sample_environment(
+                scene.environment, state, uniforms, static,
+                bsdf_ops.environment_lighting_roughness(m))
+            n_dot_l = jnp.maximum(dot(shading_normal, e_dir), 0.0)
+            do_shadow = nee_lanes & e_valid & (e_pdf > 0.0) & (n_dot_l > 0.0)
+            shadow_o = intersect.offset_ray_origin(rec, e_dir)
+            occluded = intersect.trace_occluded(shadow_o, e_dir, scene,
+                                                C.EPSILON_T, C.INFINITY_T)
+            n_shadow_rays = n_shadow_rays + jnp.sum(do_shadow.astype(jnp.float32))
+            ev = bsdf_ops.evaluate_bsdf(
+                m, rec.point, shading_normal, wo, e_dir, clamp_p,
+                static.sss_mode, jnp.ones(shape, jnp.float32),
+                static.debug_specular_only, static.material_types)
+            max_comp = jnp.max(ev.value, -1)
+            w = jnp.ones(shape, jnp.float32)
+            denom = e_pdf + ev.pdf
+            w = jnp.where(ev.pdf > 0.0,
+                          jnp.clip(e_pdf / jnp.maximum(denom, 1e-30),
+                                   C.MIS_WEIGHT_CLAMP_MIN, C.MIS_WEIGHT_CLAMP_MAX),
+                          w)
+            contribution = (e_radiance * ev.value * n_dot_l[..., None]
+                            * (w / jnp.maximum(e_pdf, 1e-30))[..., None])
+            add = (do_shadow & jnp.logical_not(occluded)
+                   & jnp.logical_not(ev.is_delta) & jnp.logical_not(ev.is_bssrdf)
+                   & (max_comp > 0.0) & jnp.all(jnp.isfinite(contribution), -1))
+            clamped = bsdf_ops.clamp_firefly_contribution(
+                throughput, contribution, clamp_p)
+            radiance = radiance + jnp.where(add[..., None], clamped, 0.0)
+            state = jnp.where(nee_lanes, nstate, state)
+
+        # ---- BSDF sampling (reference: pathtrace.metal:6650-6692) ------
+        nstate, smp = bsdf_ops.sample_bsdf(
+            m, rec.point, shading_normal, wo, incident, rec.front_face,
+            state, clamp_p, static.sss_mode, jnp.ones(shape, jnp.float32),
+            static.debug_specular_only, static.material_types)
+        state = jnp.where(active, nstate, state)
+
+        active = jnp.logical_and(active, smp.pdf > 0.0)
+
+        # ---- medium stack push/pop (reference: pathtrace.metal:6694-6708)
+        push = jnp.logical_and(active, smp.medium_event == 1)
+        pop = jnp.logical_and(active, smp.medium_event == -1)
+        sigma_in = jnp.maximum(m.dielectric_sigma_a, 0.0)
+        slot = jnp.clip(cr.medium_depth, 0, C.MAX_MEDIUM_STACK - 1)
+        onehot = (jnp.arange(C.MAX_MEDIUM_STACK) == slot[..., None])
+        write = jnp.logical_and(push[..., None], onehot)
+        medium_stack = jnp.where(write[..., None], sigma_in[..., None, :],
+                                 cr.medium_stack)
+        medium_depth = cr.medium_depth
+        medium_depth = jnp.where(
+            push, jnp.minimum(medium_depth + 1, C.MAX_MEDIUM_STACK), medium_depth)
+        medium_depth = jnp.where(
+            pop, jnp.maximum(medium_depth - 1, 0), medium_depth)
+
+        # ---- next ray origin (reference: pathtrace.metal:6740-6768) ----
+        next_origin = intersect.offset_ray_origin(rec, smp.direction)
+        if C.MATERIAL_SUBSURFACE in types:
+            # BSSRDF exit point (reference: pathtrace.metal:6741-6766)
+            exit_normal = smp.exit_normal
+            bad = jnp.logical_not(jnp.all(jnp.isfinite(exit_normal), -1)) | \
+                (dot(exit_normal, exit_normal) <= 0.0)
+            exit_normal = where3(bad, rec.normal, exit_normal)
+            exit_normal = safe_normalize(exit_normal)
+            sign = jnp.where(dot(smp.direction, exit_normal) >= 0.0, 1.0, -1.0)
+            exit_o = smp.exit_point + exit_normal * (
+                sign * C.RAY_ORIGIN_EPSILON)[..., None]
+            exit_o = exit_o + exit_normal * (C.RAY_ORIGIN_EPSILON * 32.0)
+            dir_n = safe_normalize(smp.direction)
+            exit_o = exit_o + dir_n * (C.RAY_ORIGIN_EPSILON * 32.0)
+            next_origin = where3(smp.has_exit_point, exit_o, next_origin)
+
+        # ---- throughput update (reference: pathtrace.metal:7237-7248) --
+        throughput_next = throughput * smp.weight
+        throughput_next = bsdf_ops.clamp_path_throughput(throughput_next, clamp_p)
+        finite_tp = jnp.all(jnp.isfinite(throughput_next), -1)
+        max_tp = jnp.max(throughput_next, -1)
+        active = active & finite_tp & (max_tp > 0.0)
+
+        # ---- env LOD carry (reference: pathtrace.metal:7249-7261) ------
+        env_lod = cr.env_lod
+        env_lod_active = cr.env_lod_active
+        if env_sampling and scene.environment is not None \
+                and len(scene.environment.mips) > 0:
+            from metal_pathtracer_tpu.ops import env as env_ops
+            next_active = jnp.logical_and(smp.lobe_type == 1,
+                                          jnp.logical_not(smp.is_delta))
+            next_lod = env_ops.environment_lod_from_roughness(
+                smp.lobe_roughness, scene.environment)
+            env_lod = jnp.where(active & next_active, next_lod, 0.0)
+            env_lod_active = active & next_active
+        else:
+            env_lod = jnp.zeros(shape, jnp.float32)
+            env_lod_active = jnp.zeros(shape, bool)
+
+        # ---- bookkeeping + Russian roulette
+        #      (reference: pathtrace.metal:7270-7280) --------------------
+        last_pdf = jnp.where(smp.directional_pdf > 0.0, smp.directional_pdf, smp.pdf)
+        specular_depth = jnp.where(smp.is_delta, cr.specular_depth + 1, 0)
+
+        state_rr = state
+        if static.use_russian_roulette:
+            do_rr = jnp.logical_and(active, depth >= 5)
+            nstate, xi = rng_ops.rand_uniform(state)
+            cont_p = jnp.clip(max_tp, 0.05, 0.95)
+            survive = xi <= cont_p
+            throughput_next = jnp.where(
+                (do_rr & survive)[..., None], throughput_next / cont_p[..., None],
+                throughput_next)
+            active = jnp.where(do_rr, active & survive, active)
+            state_rr = jnp.where(do_rr, nstate, state)
+
+        # ---- commit (dead lanes keep their entry values) ---------------
+        keep = alive0
+
+        def sel(new, old):
+            mask = keep.reshape(keep.shape + (1,) * (new.ndim - keep.ndim))
+            return jnp.where(mask, new, old)
+
+        return PathCarry(
+            state=sel(state_rr, cr.state),
+            ray_o=sel(next_origin, cr.ray_o),
+            ray_d=sel(smp.direction, cr.ray_d),
+            throughput=sel(throughput_next, cr.throughput),
+            radiance=sel(radiance, cr.radiance),
+            alive=jnp.logical_and(alive0, active),
+            last_pdf=sel(last_pdf, cr.last_pdf),
+            last_delta=sel(smp.is_delta, cr.last_delta),
+            prev_valid=sel(rec.hit, cr.prev_valid),
+            prev_mesh=sel(jnp.where(rec.prim_type == C.PRIMITIVE_TRIANGLE,
+                                    rec.mesh_index, -1), cr.prev_mesh),
+            prev_prim=sel(jnp.where(rec.prim_type == C.PRIMITIVE_TRIANGLE,
+                                    rec.prim_index, -1), cr.prev_prim),
+            medium_stack=sel(medium_stack, cr.medium_stack),
+            medium_depth=sel(medium_depth, cr.medium_depth),
+            is_first_hit=sel(is_first_hit, cr.is_first_hit),
+            aov_albedo=sel(aov_albedo, cr.aov_albedo),
+            aov_normal=sel(aov_normal, cr.aov_normal),
+            specular_depth=sel(specular_depth, cr.specular_depth),
+            env_lod=sel(env_lod, cr.env_lod),
+            env_lod_active=sel(env_lod_active, cr.env_lod_active),
+            n_rays=n_rays,
+            n_shadow_rays=n_shadow_rays,
+        )
+
+    carry = jax.lax.fori_loop(0, static.max_depth, body, carry)
+    stats = {"rays": carry.n_rays, "shadow_rays": carry.n_shadow_rays}
+    return carry.state, carry.radiance, carry.aov_albedo, carry.aov_normal, stats
+
+
+def integrate_pixels(scene: SceneArrays, uniforms: Uniforms,
+                     static: StaticConfig, x, y, prev_count):
+    """One sample for a batch of pixels (the kernel entry,
+    reference: pathtrace.metal:9698-9815).
+
+    Returns (sample_rgb, aov_albedo, aov_normal) for the lanes.
+    """
+    seed = rng_ops.make_seed(uniforms.fixed_rng_seed, uniforms.frame_index,
+                             x, y, uniforms.sample_count, prev_count)
+    state = seed
+    state, origin, direction = camera_ops.generate_primary_rays(
+        uniforms.camera, x, y, static.width, static.height, state)
+    state, radiance, aov_albedo, aov_normal, stats = trace_paths(
+        scene, uniforms, static, state, origin, direction)
+
+    finite = jnp.all(jnp.isfinite(radiance), -1)
+    sample = jnp.where(finite[..., None], jnp.maximum(radiance, 0.0), 0.0)
+    return sample, aov_albedo, aov_normal, stats

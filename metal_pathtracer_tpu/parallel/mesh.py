@@ -1,0 +1,104 @@
+"""Multi-chip scaling: `shard_map` the pixel wavefront over a device mesh.
+
+The reference is single-node, single-GPU (SURVEY.md §2.4); this module is
+the new first-class distributed layer: data parallelism over pixels on a
+1-D mesh riding ICI, replicated scene buffers, `psum` only for stats.
+Determinism across shardings comes from the reference's absolute
+pixel/sample RNG seeding (pathtrace.metal:9735-9740) — a 1-chip and an
+N-chip render of the same frame are bit-identical.
+
+Multi-host extension: call `jax.distributed.initialize()` before building
+the mesh and this module works unchanged over DCN process groups.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from metal_pathtracer_tpu.renderer.accumulation import RenderState
+from metal_pathtracer_tpu.renderer.frame import DEFAULT_CHUNK, render_rows
+from metal_pathtracer_tpu.schema import SceneArrays, StaticConfig, Uniforms
+
+AXIS = "pixels"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over all local devices (ICI on a TPU slice)."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _state_specs(replicated_scalars=True):
+    """PartitionSpec pytree for RenderState: images row-sharded, counters
+    replicated (they are psum'd inside the shard body)."""
+    img = P(AXIS)
+    scalar = P()
+    return RenderState(
+        radiance_sum=img, sample_count=img, albedo=img, normal=img,
+        frame_index=scalar, denoised=img,
+        ray_count=scalar, shadow_ray_count=scalar)
+
+
+def shard_state(state: RenderState, mesh: Mesh) -> RenderState:
+    """Place a host RenderState onto the mesh with row sharding."""
+    specs = _state_specs()
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+
+
+def replicate(tree, mesh: Mesh):
+    """Broadcast scene/uniforms pytrees to every device."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("static", "n_samples", "mesh", "chunk"))
+def render_samples_sharded(scene: SceneArrays, uniforms: Uniforms,
+                           state: RenderState, static: StaticConfig,
+                           n_samples: int, mesh: Mesh,
+                           chunk: int = DEFAULT_CHUNK) -> RenderState:
+    """N-device progressive render step.
+
+    Image rows are split evenly across the mesh (static.height must divide
+    by the mesh size); each device renders its slab with global pixel
+    coordinates; ray counters are `psum`'d so every device carries the
+    global totals.
+    """
+    n_dev = mesh.devices.size
+    if static.height % n_dev != 0:
+        raise ValueError(
+            f"height {static.height} must be divisible by mesh size {n_dev}")
+    rows_per_dev = static.height // n_dev
+
+    def shard_fn(scene, uniforms, st: RenderState) -> RenderState:
+        row0 = jax.lax.axis_index(AXIS).astype(jnp.uint32) * rows_per_dev
+        out = render_rows(scene, uniforms, st, static, n_samples, row0, chunk)
+        return out.replace(
+            ray_count=jax.lax.psum(out.ray_count - st.ray_count, AXIS)
+            + st.ray_count,
+            shadow_ray_count=jax.lax.psum(
+                out.shadow_ray_count - st.shadow_ray_count, AXIS)
+            + st.shadow_ray_count,
+        )
+
+    specs = _state_specs()
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), specs),
+        out_specs=specs,
+        check_vma=False,
+    )(scene, uniforms, state)
+
+
+def gather_state(state: RenderState) -> RenderState:
+    """Pull a sharded RenderState back to host memory (save/present time —
+    the only cross-device gather in the pipeline, SURVEY.md §2.4)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_get(x) if x is not None else None, state)

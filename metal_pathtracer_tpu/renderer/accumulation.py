@@ -1,0 +1,87 @@
+"""Progressive accumulation state.
+
+The reference keeps six GPU textures + frame/sample counters
+(reference: src/renderer/Accumulation.mm:20-157). Here the whole render
+state is one pytree so `render_samples` is a pure jitted
+`state -> state` step, and checkpoint/resume (which the reference lacks,
+SURVEY.md §5.4) is a free `orbax`/npz save of this pytree.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class RenderState:
+    radiance_sum: jnp.ndarray   # (H,W,3) f32 — running radiance sum
+    sample_count: jnp.ndarray   # (H,W)   u32 — per-pixel sample counts
+    albedo: jnp.ndarray         # (H,W,3) f32 — first-hit albedo AOV
+    normal: jnp.ndarray         # (H,W,3) f32 — first-hit shading normal AOV
+    frame_index: jnp.ndarray    # ()      u32 — dispatch counter
+    denoised: jnp.ndarray = None  # (H,W,3) f32 or None
+    # Perf counters (the analogue of the reference's PathtraceStats buffer,
+    # reference: include/MetalShaderTypes.h PathtraceStats / RenderLoop.mm:511-513)
+    ray_count: jnp.ndarray = None        # () f32 — scene traces issued
+    shadow_ray_count: jnp.ndarray = None  # () f32 — shadow traces issued
+
+    @classmethod
+    def create(cls, width: int, height: int) -> "RenderState":
+        return cls(
+            radiance_sum=jnp.zeros((height, width, 3), jnp.float32),
+            sample_count=jnp.zeros((height, width), jnp.uint32),
+            albedo=jnp.zeros((height, width, 3), jnp.float32),
+            normal=jnp.zeros((height, width, 3), jnp.float32),
+            frame_index=jnp.uint32(0),
+            denoised=jnp.zeros((height, width, 3), jnp.float32),
+            ray_count=jnp.float32(0.0),
+            shadow_ray_count=jnp.float32(0.0),
+        )
+
+    @property
+    def height(self) -> int:
+        return self.radiance_sum.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.radiance_sum.shape[1]
+
+    def present(self) -> jnp.ndarray:
+        """Average image (reference: pathtracePresentKernel,
+        pathtrace.metal:9947-9961): sum / count, count==0 -> black."""
+        count = jnp.maximum(self.sample_count.astype(jnp.float32), 1.0)
+        avg = self.radiance_sum / count[..., None]
+        return jnp.where((self.sample_count > 0)[..., None], avg, 0.0)
+
+    def save(self, path: str) -> None:
+        """Checkpoint to .npz — resume is `RenderState.load(path)`."""
+        np.savez(
+            path,
+            radiance_sum=np.asarray(self.radiance_sum),
+            sample_count=np.asarray(self.sample_count),
+            albedo=np.asarray(self.albedo),
+            normal=np.asarray(self.normal),
+            frame_index=np.asarray(self.frame_index),
+            denoised=np.asarray(self.denoised),
+            ray_count=np.asarray(self.ray_count if self.ray_count is not None else 0.0),
+            shadow_ray_count=np.asarray(
+                self.shadow_ray_count if self.shadow_ray_count is not None else 0.0),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "RenderState":
+        data = np.load(path)
+        return cls(
+            radiance_sum=jnp.asarray(data["radiance_sum"]),
+            sample_count=jnp.asarray(data["sample_count"]),
+            albedo=jnp.asarray(data["albedo"]),
+            normal=jnp.asarray(data["normal"]),
+            frame_index=jnp.asarray(data["frame_index"]),
+            denoised=jnp.asarray(data["denoised"]) if "denoised" in data else None,
+            ray_count=jnp.asarray(data["ray_count"]) if "ray_count" in data
+            else jnp.float32(0.0),
+            shadow_ray_count=jnp.asarray(data["shadow_ray_count"])
+            if "shadow_ray_count" in data else jnp.float32(0.0),
+        )
