@@ -401,6 +401,18 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             m, rec.point, shading_normal, wo, incident, rec.front_face,
             state, clamp_p, static.sss_mode, jnp.ones(shape, jnp.float32),
             static.debug_specular_only, static.material_types)
+        if C.MATERIAL_SUBSURFACE in types and static.sss_mode == 2:
+            # Random-walk SSS takes over on front-face random-walk materials
+            # (reference: pathtrace.metal:6652-6678)
+            from metal_pathtracer_tpu.ops import sss as sss_ops
+            rw_lanes = ((m.mat_type == C.MATERIAL_SUBSURFACE)
+                        & (m.sss_method >= 0.5) & rec.front_face)
+            rw_state, rw_smp = sss_ops.sample_sss_random_walk(
+                scene, m, rec, wo, incident, state, clamp_p,
+                static.sss_max_steps)
+            used_rw = jnp.logical_and(rw_lanes, rw_smp.pdf > 0.0)
+            smp = bsdf_ops._select_sample(used_rw, rw_smp, smp)
+            nstate = jnp.where(used_rw, rw_state, nstate)
         state = jnp.where(active, nstate, state)
 
         active = jnp.logical_and(active, smp.pdf > 0.0)
