@@ -449,6 +449,19 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             exit_o = exit_o + dir_n * (C.RAY_ORIGIN_EPSILON * 32.0)
             next_origin = where3(smp.has_exit_point, exit_o, next_origin)
 
+        # ---- specular NEE / MNEE delta chains
+        #      (reference: pathtrace.metal:6770-7235) --------------------
+        next_specular_depth = jnp.where(smp.is_delta, cr.specular_depth + 1, 0)
+        if (static.enable_specular_nee or static.enable_mnee) and \
+                (env_sampling or n_rect_lights > 0):
+            from metal_pathtracer_tpu.ops import specnee
+            is_dielectric_lane = m.mat_type == C.MATERIAL_DIELECTRIC
+            chain_add = specnee.delta_chain_estimators(
+                scene, uniforms, static, clamp_p, throughput, smp,
+                next_origin, rec, shading_normal, next_specular_depth,
+                state, active, is_dielectric_lane)
+            radiance = radiance + chain_add
+
         # ---- throughput update (reference: pathtrace.metal:7237-7248) --
         throughput_next = throughput * smp.weight
         throughput_next = bsdf_ops.clamp_path_throughput(throughput_next, clamp_p)
@@ -476,6 +489,7 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
         #      (reference: pathtrace.metal:7270-7280) --------------------
         last_pdf = jnp.where(smp.directional_pdf > 0.0, smp.directional_pdf, smp.pdf)
         specular_depth = jnp.where(smp.is_delta, cr.specular_depth + 1, 0)
+        del next_specular_depth  # alias of specular_depth used by the chains
 
         state_rr = state
         if static.use_russian_roulette:

@@ -28,6 +28,18 @@ from metal_pathtracer_tpu.ops.vecmath import dot, dot3, where3
 
 Array = jax.Array
 
+import os
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels on TPU; the jnp path remains the CPU/debug reference."""
+    if os.environ.get("MPT_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
 
 @struct.dataclass
 class HitRecord:
@@ -99,6 +111,9 @@ def hit_spheres(origin, direction, spheres, t_min, t_max) -> HitRecord:
     if spheres is None or spheres.count == 0:
         return HitRecord.miss(shape)
 
+    if _use_pallas() and len(shape) == 1:
+        return _hit_spheres_pallas(origin, direction, spheres, t_min, t_max)
+
     center = spheres.center           # (S,3)
     radius = spheres.radius           # (S,)
     oc = origin[..., None, :] - center  # (N,S,3)
@@ -145,11 +160,73 @@ def hit_spheres(origin, direction, spheres, t_min, t_max) -> HitRecord:
     )
 
 
+def _hit_spheres_pallas(origin, direction, spheres, t_min, t_max) -> HitRecord:
+    """Pallas fast path: nearest (t, index) from the VMEM-resident kernel,
+    hit-record reconstruction as cheap jnp gathers."""
+    from metal_pathtracer_tpu.ops.pallas import primitives as pk
+
+    shape = origin.shape[:-1]
+    t_min_s = float(t_min) if not hasattr(t_min, "shape") else t_min
+    best_t, best_i = pk.sphere_nearest(origin, direction, t_min_s, t_max,
+                                       spheres.center, spheres.radius)
+    hit = best_i >= 0
+    idx = jnp.maximum(best_i, 0)
+    point = origin + best_t[..., None] * direction
+    outward = (point - spheres.center[idx]) / spheres.radius[idx][..., None]
+    front = dot(direction, outward) < 0.0
+    normal = where3(front, outward, -outward)
+    return HitRecord(
+        hit=hit,
+        t=jnp.where(hit, best_t, INFINITY_T),
+        point=point,
+        normal=normal,
+        shading_normal=normal,
+        front_face=front,
+        two_sided=jnp.ones(shape, bool),
+        material=spheres.material[idx],
+        prim_type=jnp.full(shape, PRIMITIVE_SPHERE, jnp.int32),
+        prim_index=idx.astype(jnp.int32),
+        mesh_index=jnp.zeros(shape, jnp.int32),
+        barycentric=jnp.zeros(shape + (2,), jnp.float32),
+    )
+
+
+def _hit_rects_pallas(origin, direction, rects, t_min, t_max) -> HitRecord:
+    from metal_pathtracer_tpu.ops.pallas import primitives as pk
+
+    shape = origin.shape[:-1]
+    t_min_s = float(t_min) if not hasattr(t_min, "shape") else t_min
+    best_t, best_i = pk.rect_nearest(origin, direction, t_min_s, t_max, rects)
+    hit = best_i >= 0
+    idx = jnp.maximum(best_i, 0)
+    point = origin + best_t[..., None] * direction
+    n_best = rects.normal[idx]
+    front = dot(direction, n_best) < 0.0
+    n_faced = where3(front, n_best, -n_best)
+    return HitRecord(
+        hit=hit,
+        t=jnp.where(hit, best_t, INFINITY_T),
+        point=point,
+        normal=n_faced,
+        shading_normal=n_faced,
+        front_face=front,
+        two_sided=rects.two_sided[idx] > 0.5,
+        material=rects.material[idx],
+        prim_type=jnp.full(shape, PRIMITIVE_RECTANGLE, jnp.int32),
+        prim_index=idx.astype(jnp.int32),
+        mesh_index=jnp.zeros(shape, jnp.int32),
+        barycentric=jnp.zeros(shape + (2,), jnp.float32),
+    )
+
+
 def hit_rects(origin, direction, rects, t_min, t_max) -> HitRecord:
     """Oriented-rectangle plane test (reference: pathtrace.metal:1280-1319)."""
     shape = origin.shape[:-1]
     if rects is None or rects.count == 0:
         return HitRecord.miss(shape)
+
+    if _use_pallas() and len(shape) == 1:
+        return _hit_rects_pallas(origin, direction, rects, t_min, t_max)
 
     normal = rects.normal                                # (R,3)
     denom = jnp.sum(direction[..., None, :] * normal, -1)  # (N,R)
