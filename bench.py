@@ -48,8 +48,18 @@ def main():
                             fromlist=["mesh_loader"]).mesh_loader)
         scene_name = "dragon"
     else:
-        build_procedural_scene(settings, resources)
-        scene_name = "rtow-procedural"
+        # Stanford-Dragon-class stand-in: displaced icosphere, ~328k tris
+        # (no asset downloads in this environment; see utils/procgen.py)
+        from metal_pathtracer_tpu.scene.resources import Material
+        from metal_pathtracer_tpu.utils.procgen import dragon_class_scene_mesh
+        settings.cameraTarget = (0.0, 0.0, 0.0)
+        settings.cameraDistance = 3.2
+        settings.cameraYaw = 0.4
+        settings.cameraPitch = 0.25
+        settings.cameraVerticalFov = 40.0
+        resources.add_material(Material(base_color=(0.7, 0.7, 0.7)))
+        resources.add_mesh(dragon_class_scene_mesh(7, material=0))
+        scene_name = "dragon-class-procedural"
 
     settings.maxDepth = 8
     settings.fixedRngSeed = 1234

@@ -66,10 +66,26 @@ def _intersect_tris(origin, direction, tri_ids, tris, t_min, t_max,
 def trace_triangles(origin, direction, scene, t_min, t_max,
                     exclude_mesh=None, exclude_prim=None,
                     max_steps: int = 0) -> HitRecord:
-    """Nearest-hit trace of the wavefront against the triangle BVH."""
+    """Nearest-hit trace of the wavefront against the triangle BVH.
+
+    Dispatches to the Pallas packet-traversal kernel on TPU
+    (ops/pallas/traverse.py); the stackless jnp loop below is the CPU /
+    debug reference implementation.
+    """
+    from metal_pathtracer_tpu.ops.intersect import _use_pallas
+
+    shape = origin.shape[:-1]
+    if scene.tri_packet is not None and _use_pallas() and len(shape) == 1:
+        from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
+        excl = exclude_prim if exclude_prim is not None else None
+        best_t, best_tri, best_u, best_v = packet_trace(
+            origin, direction, t_min, t_max, scene.tri_packet,
+            exclude_prim=excl)
+        return _hit_record_from_best(origin, direction, scene.triangles,
+                                     best_t, best_tri, best_u, best_v)
+
     tris = scene.triangles
     bvh = scene.tri_bvh
-    shape = origin.shape[:-1]
     n_nodes = bvh.node_count
 
     if exclude_mesh is None:
@@ -145,7 +161,14 @@ def trace_triangles(origin, direction, scene, t_min, t_max,
              jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
     node, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
         cond, body, state)
+    return _hit_record_from_best(origin, direction, tris,
+                                 best_t, best_tri, best_u, best_v)
 
+
+def _hit_record_from_best(origin, direction, tris, best_t, best_tri,
+                          best_u, best_v) -> HitRecord:
+    """Reconstruct the full hit record from (t, tri, u, v) via gathers."""
+    shape = origin.shape[:-1]
     hit = best_tri >= 0
     tri = jnp.maximum(best_tri, 0)
     point = origin + best_t[..., None] * direction

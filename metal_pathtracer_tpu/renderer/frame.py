@@ -18,6 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from metal_pathtracer_tpu.ops import integrator
 from metal_pathtracer_tpu.renderer.accumulation import RenderState
@@ -26,6 +27,38 @@ from metal_pathtracer_tpu.schema import SceneArrays, StaticConfig, Uniforms
 # Lanes per chunk; chosen so brute-force (lanes x prims) buffers stay well
 # under HBM while keeping the VPU saturated.
 DEFAULT_CHUNK = 1 << 16
+
+# Pixel tile matched to the packet kernel's ray blocks: 8 rows x 128 cols
+# = 1024 pixels = one traversal packet (ops/pallas/traverse.py). Tile
+# order gives packets 2D image coherence, which is what bounds the
+# shared-stack traversal's node/chunk visit count.
+TILE_H, TILE_W = 8, 128
+
+
+def _pixel_order(slab_h: int, width: int):
+    """Flat lane -> pixel mapping in tile order (scan order fallback).
+
+    Returns (x_lanes, y_lanes, inverse_perm) as numpy arrays; inverse_perm
+    scatters lane results back to scan-order pixels:
+    img_flat = lanes[inverse_perm].
+    """
+    total = slab_h * width
+    if slab_h % TILE_H == 0 and width % TILE_W == 0:
+        ty, tx = np.meshgrid(np.arange(slab_h // TILE_H),
+                             np.arange(width // TILE_W), indexing="ij")
+        py, px = np.meshgrid(np.arange(TILE_H), np.arange(TILE_W),
+                             indexing="ij")
+        # lanes ordered tile-by-tile, row-major within the tile
+        y = (ty.reshape(-1, 1) * TILE_H + py.reshape(1, -1)).reshape(-1)
+        x = (tx.reshape(-1, 1) * TILE_W + px.reshape(1, -1)).reshape(-1)
+    else:
+        flat = np.arange(total)
+        x = flat % width
+        y = flat // width
+    perm = y * width + x                      # lane -> pixel
+    inverse = np.empty(total, np.int64)
+    inverse[perm] = np.arange(total)          # pixel -> lane
+    return x.astype(np.uint32), y.astype(np.uint32), inverse
 
 
 def render_rows(scene: SceneArrays, uniforms: Uniforms, state: RenderState,
@@ -38,9 +71,14 @@ def render_rows(scene: SceneArrays, uniforms: Uniforms, state: RenderState,
     total = slab_h * width
     chunk = min(chunk, total)
     padded = ((total + chunk - 1) // chunk) * chunk
-    flat = jnp.minimum(jnp.arange(padded, dtype=jnp.uint32), total - 1)
-    xs = (flat % width).reshape(-1, chunk)
-    ys_local = (flat // width).reshape(-1, chunk)
+    x_np, y_np, inverse_np = _pixel_order(slab_h, width)
+    if padded > total:
+        # padding lanes redo the last pixel; sliced off before scatter
+        x_np = np.concatenate([x_np, np.full(padded - total, x_np[-1])])
+        y_np = np.concatenate([y_np, np.full(padded - total, y_np[-1])])
+    xs = jnp.asarray(x_np.astype(np.uint32)).reshape(-1, chunk)
+    ys_local = jnp.asarray(y_np.astype(np.uint32)).reshape(-1, chunk)
+    inverse_perm = jnp.asarray(inverse_np)
     n_chunks = xs.shape[0]
 
     def one_sample(_, st: RenderState) -> RenderState:
@@ -64,12 +102,15 @@ def render_rows(scene: SceneArrays, uniforms: Uniforms, state: RenderState,
             sample, albedo, normal, stats = jax.lax.map(
                 do_chunk, (xs, ys_local))
 
-        # The first `total` lanes are exactly pixels 0..total-1 in scan order
-        # (padding duplicates the last pixel and is sliced off), so the
-        # scatter is a plain reshape-add.
-        sample = sample.reshape(-1, 3)[:total].reshape(slab_h, width, 3)
-        albedo = albedo.reshape(-1, 3)[:total].reshape(slab_h, width, 3)
-        normal = normal.reshape(-1, 3)[:total].reshape(slab_h, width, 3)
+        # Lanes are in tile order; the static inverse permutation restores
+        # scan-order pixels (a pure gather — no duplicate writes).
+        def unperm(v):
+            return v.reshape(-1, 3)[:total][inverse_perm].reshape(
+                slab_h, width, 3)
+
+        sample = unperm(sample)
+        albedo = unperm(albedo)
+        normal = unperm(normal)
 
         return st.replace(
             radiance_sum=st.radiance_sum + sample,

@@ -1,0 +1,177 @@
+"""Packet-BVH: the TPU-native acceleration structure layout.
+
+The reference traverses a per-thread stack over a binary BVH
+(reference: pathtrace.metal:1733-2384). On TPU, per-lane stacks and
+per-lane node gathers are hostile to the VPU; instead rays are traced in
+*packets* (one 1024-ray block per grid step) that share a scalar traversal
+stack (ops/pallas/traverse.py):
+
+- the full binary SAH tree over triangle *chunks* lives in SMEM (scalar
+  reads, zero DMA on the traversal path),
+- each leaf references a 256-slot aligned chunk of triangles stored as
+  dense planes in HBM, DMA'd to SMEM and tested against the whole packet
+  with full-width VPU ops (no gathers anywhere).
+
+Built on top of the binary SAH builder (scene/meshbuild.py / native C++).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+from flax import struct
+
+from metal_pathtracer_tpu.scene import meshbuild
+
+CHUNK = 256          # triangle slots per leaf chunk (DMA granularity)
+SUBCHUNKS = 8        # sub-AABB groups per chunk (in-chunk packet culling)
+NODE_BUDGET = 15000  # SMEM node cap (~8 * 4B * budget < 512 KB)
+PLANES = 16          # v0(3) e1(3) e2(3) + subAABBs(row 9) + tri-id(10) + valid(11)
+
+Array = Any
+
+
+@struct.dataclass
+class PacketBvh:
+    node_bounds: Array   # (6, N) f32 — minx,miny,minz,maxx,maxy,maxz
+    node_meta: Array     # (2, N) i32 — [right_child | chunk_id], is_leaf
+    chunk_tris: Array    # (n_chunks, PLANES, CHUNK) f32 — see _pack_chunks
+    n_nodes: int = struct.field(pytree_node=False, default=0)
+    n_chunks: int = struct.field(pytree_node=False, default=0)
+
+
+def build_packet_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                     chunk: int = CHUNK) -> PacketBvh:
+    """Binary SAH tree with <=chunk-triangle leaves, leaves packed into
+    aligned dense chunks."""
+    import jax.numpy as jnp
+
+    n = v0.shape[0]
+    max_leaf = chunk // 2  # builder emits leaves in (max_leaf/2, max_leaf]
+    nodes = _build_nodes(v0, v1, v2, max_leaf)
+    while len(nodes["prim_offset"]) > NODE_BUDGET:
+        max_leaf *= 2
+        nodes = _build_nodes(v0, v1, v2, max_leaf)
+    if max_leaf > chunk:
+        chunk = max_leaf
+
+    n_nodes = len(nodes["prim_offset"])
+    prim_count = nodes["prim_count"]
+    prim_offset = nodes["prim_offset"]
+    exit_index = nodes["exit_index"]
+    prim_indices = nodes["prim_indices"]
+
+    is_leaf = prim_count > 0
+    # children from the DFS + exit-link layout: left = i+1,
+    # right = exit(left) (meshbuild._flatten_with_exit_links invariant)
+    right_child = np.zeros(n_nodes, np.int32)
+    internal = np.nonzero(~is_leaf)[0]
+    right_child[internal] = exit_index[internal + 1]
+
+    # pack leaves into aligned chunks
+    leaf_ids = np.nonzero(is_leaf)[0]
+    n_chunks = len(leaf_ids)
+    chunk_tris = np.zeros((n_chunks, PLANES, chunk), np.float32)
+    chunk_of_leaf = np.zeros(n_nodes, np.int32)
+    for ci, leaf in enumerate(leaf_ids):
+        off = prim_offset[leaf]
+        cnt = prim_count[leaf]
+        ids = prim_indices[off:off + cnt]
+        tv0 = v0[ids]
+        e1 = v1[ids] - tv0
+        e2 = v2[ids] - tv0
+        chunk_tris[ci, 0:3, :cnt] = tv0.T
+        chunk_tris[ci, 3:6, :cnt] = e1.T
+        chunk_tris[ci, 6:9, :cnt] = e2.T
+        chunk_tris[ci, 10, :cnt] = ids.astype(np.float32)
+        chunk_tris[ci, 11, :cnt] = 1.0
+        chunk_of_leaf[leaf] = ci
+        # Sub-chunk AABBs for in-chunk packet culling: row 9 lanes
+        # [k*6, k*6+6) = (minx,miny,minz,maxx,maxy,maxz) of slot group k.
+        group = chunk // SUBCHUNKS
+        tv1 = v1[ids]
+        tv2 = v2[ids]
+        for k in range(SUBCHUNKS):
+            lo = k * group
+            hi = min(lo + group, cnt)
+            if lo >= cnt:
+                # empty group: inverted box that never passes the slab test
+                chunk_tris[ci, 9, k * 6:k * 6 + 3] = 3.0e37
+                chunk_tris[ci, 9, k * 6 + 3:k * 6 + 6] = -3.0e37
+                continue
+            pts = np.concatenate([tv0[lo:hi], tv1[lo:hi], tv2[lo:hi]], 0)
+            chunk_tris[ci, 9, k * 6:k * 6 + 3] = pts.min(0)
+            chunk_tris[ci, 9, k * 6 + 3:k * 6 + 6] = pts.max(0)
+
+    meta = np.zeros((2, n_nodes), np.int32)
+    meta[0] = np.where(is_leaf, chunk_of_leaf, right_child)
+    meta[1] = is_leaf.astype(np.int32)
+
+    bounds = np.stack([
+        nodes["bounds_min"][:, 0], nodes["bounds_min"][:, 1],
+        nodes["bounds_min"][:, 2],
+        nodes["bounds_max"][:, 0], nodes["bounds_max"][:, 1],
+        nodes["bounds_max"][:, 2]], 0).astype(np.float32)
+
+    return PacketBvh(
+        node_bounds=jnp.asarray(bounds),
+        node_meta=jnp.asarray(meta),
+        chunk_tris=jnp.asarray(chunk_tris),
+        n_nodes=int(n_nodes),
+        n_chunks=int(n_chunks),
+    )
+
+
+def _build_nodes(v0, v1, v2, max_leaf):
+    lib = meshbuild._native_lib()
+    if lib is not None:
+        try:
+            return _native_nodes(lib, v0, v1, v2, max_leaf)
+        except Exception:
+            pass
+    old = meshbuild.MAX_LEAF
+    try:
+        meshbuild.MAX_LEAF = max_leaf
+        return meshbuild._build_bvh_numpy(v0, v1, v2)
+    finally:
+        meshbuild.MAX_LEAF = old
+
+
+def _native_nodes(lib, v0, v1, v2, max_leaf):
+    import ctypes
+
+    n = v0.shape[0]
+    verts = np.ascontiguousarray(np.concatenate(
+        [v0.astype(np.float32), v1.astype(np.float32), v2.astype(np.float32)],
+        axis=1))
+    max_nodes = max(2 * n, 2)
+    bounds_min = np.zeros((max_nodes, 3), np.float32)
+    bounds_max = np.zeros((max_nodes, 3), np.float32)
+    prim_offset = np.zeros(max_nodes, np.int32)
+    prim_count = np.zeros(max_nodes, np.int32)
+    exit_index = np.zeros(max_nodes, np.int32)
+    prim_indices = np.zeros(n, np.int32)
+    lib.build_bvh_sah.restype = ctypes.c_int
+    n_nodes = lib.build_bvh_sah(
+        ctypes.c_int(n),
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bounds_min.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bounds_max.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        prim_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        prim_count.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        exit_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        prim_indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.c_int(max_leaf),
+        ctypes.c_int(meshbuild.SAH_BINS),
+    )
+    if n_nodes <= 0:
+        raise RuntimeError("native BVH build failed")
+    return {
+        "bounds_min": bounds_min[:n_nodes],
+        "bounds_max": bounds_max[:n_nodes],
+        "prim_offset": prim_offset[:n_nodes],
+        "prim_count": prim_count[:n_nodes],
+        "exit_index": exit_index[:n_nodes],
+        "prim_indices": prim_indices,
+    }

@@ -453,9 +453,17 @@ class SceneResources:
 
         triangles = None
         tri_bvh = None
+        tri_packet = None
         if self.meshes:
             from metal_pathtracer_tpu.scene import meshbuild
             triangles, tri_bvh = meshbuild.build_triangle_arrays(self.meshes)
+            from metal_pathtracer_tpu.ops.intersect import _use_pallas
+            if _use_pallas():
+                from metal_pathtracer_tpu.scene import packetbvh
+                v0 = np.asarray(triangles.v0)
+                v1 = np.asarray(triangles.v1)
+                v2 = np.asarray(triangles.v2)
+                tri_packet = packetbvh.build_packet_bvh(v0, v1, v2)
 
         return SceneArrays(
             spheres=spheres,
@@ -463,6 +471,7 @@ class SceneResources:
             materials=materials,
             triangles=triangles,
             tri_bvh=tri_bvh,
+            tri_packet=tri_packet,
             sphere_bvh=None,
             environment=environment,
             light_rect_indices=light_rect_indices,

@@ -199,6 +199,7 @@ class SceneArrays:
     materials: MaterialsSoA
     triangles: Optional[TrianglesSoA] = None
     tri_bvh: Optional[BvhSoA] = None        # BLAS over all world-space triangles
+    tri_packet: Any = None                  # PacketBvh for the TPU kernel
     sphere_bvh: Optional[BvhSoA] = None     # BVH over spheres
     environment: Optional[EnvironmentSoA] = None
     # Rect lights for NEE: indices of emissive rectangles, static shape.

@@ -1,0 +1,116 @@
+"""TPU-only kernel parity tests (run manually: `python -m pytest
+tests/tpu/ -q` on a TPU host; the CPU CI conftest forces jax-CPU where
+these skip).
+
+Validates the Pallas kernels bit-for-bit against the jnp reference
+implementations on real hardware.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def _tpu():
+    import jax
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("JAX_PLATFORMS", "") == "cpu" or not _tpu(),
+    reason="TPU-only kernel tests")
+
+
+def test_sphere_kernel_matches_jnp():
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.ops import intersect
+    from metal_pathtracer_tpu.schema import SpheresSoA
+
+    rng = np.random.default_rng(0)
+    S = 100
+    spheres = SpheresSoA(
+        center=jnp.asarray(rng.uniform(-5, 5, (S, 3)).astype(np.float32)),
+        radius=jnp.asarray(np.full(S, 0.4, np.float32)),
+        material=jnp.zeros(S, jnp.int32))
+    N = 4096
+    o = rng.uniform(-6, 6, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    os.environ["MPT_DISABLE_PALLAS"] = "1"
+    ref = intersect.hit_spheres(jnp.asarray(o), jnp.asarray(d), spheres,
+                                1e-3, 1e20)
+    del os.environ["MPT_DISABLE_PALLAS"]
+    got = intersect.hit_spheres(jnp.asarray(o), jnp.asarray(d), spheres,
+                                1e-3, 1e20)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(ref.prim_index)[h],
+                                  np.asarray(got.prim_index)[h])
+    np.testing.assert_allclose(np.asarray(ref.t)[h], np.asarray(got.t)[h],
+                               rtol=1e-4)
+
+
+def test_packet_traversal_matches_brute_force():
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.scene.packetbvh import build_packet_bvh
+    from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
+    from metal_pathtracer_tpu.utils.procgen import dragon_class_mesh
+
+    pos, _, faces = dragon_class_mesh(4)
+    v0, v1, v2 = pos[faces[:, 0]], pos[faces[:, 1]], pos[faces[:, 2]]
+    bvh = build_packet_bvh(v0, v1, v2)
+
+    rng = np.random.default_rng(2)
+    N = 2048
+    o = np.tile(np.array([0, 0, 4.0], np.float32), (N, 1))
+    tg = rng.normal(scale=0.5, size=(N, 3)).astype(np.float32)
+    d = tg - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    t, tri, u, v = packet_trace(jnp.asarray(o), jnp.asarray(d), 1e-3, 1e20, bvh)
+
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pv = np.cross(d[:, None, :], e2[None])
+    det = (e1[None] * pv).sum(-1)
+    inv = np.where(np.abs(det) < 1e-8, np.nan, 1.0 / det)
+    tv = o[:, None, :] - v0[None]
+    uu = (tv * pv).sum(-1) * inv
+    qv = np.cross(tv, e1[None])
+    vv = (d[:, None, :] * qv).sum(-1) * inv
+    tt = (e2[None] * qv).sum(-1) * inv
+    ok = (np.abs(det) >= 1e-8) & (uu >= 0) & (uu <= 1) & (vv >= 0) \
+        & (uu + vv <= 1) & (tt >= 1e-3)
+    tt = np.where(ok, tt, np.inf)
+    want_t = tt.min(1)
+    want_tri = np.where(np.isfinite(want_t), tt.argmin(1), -1)
+
+    got_tri = np.asarray(tri)
+    hit = np.isfinite(want_t)
+    np.testing.assert_array_equal(got_tri >= 0, hit)
+    np.testing.assert_allclose(np.asarray(t)[hit], want_t[hit], rtol=1e-3)
+    agree = (got_tri[hit] == want_tri[hit]).mean()
+    assert agree > 0.99  # exact ties may pick either triangle
+
+
+def test_packet_exclusion():
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.scene.packetbvh import build_packet_bvh
+    from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
+
+    v0 = np.array([[0, 0, 1], [0, 0, 2]], np.float32)
+    v1 = np.array([[4, 0, 1], [4, 0, 2]], np.float32)
+    v2 = np.array([[0, 4, 1], [0, 4, 2]], np.float32)
+    bvh = build_packet_bvh(v0, v1, v2)
+    o = jnp.asarray([[1.0, 1.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    _, tri, _, _ = packet_trace(o, d, 1e-3, 1e20, bvh)
+    assert int(np.asarray(tri)[0]) == 0
+    _, tri2, _, _ = packet_trace(o, d, 1e-3, 1e20, bvh,
+                                 exclude_prim=jnp.asarray([0], jnp.int32))
+    assert int(np.asarray(tri2)[0]) == 1
