@@ -207,10 +207,13 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
         n_shadow_rays = cr.n_shadow_rays
 
         # ---- trace (with triangle self-hit exclusion) ------------------
+        # Dead lanes trace with tmax=0: every AABB/primitive test fails
+        # immediately, so they cost nothing inside the packet kernel.
         ex_mesh = jnp.where(cr.prev_valid, cr.prev_mesh, -1)
         ex_prim = jnp.where(cr.prev_valid, cr.prev_prim, -1)
+        lane_tmax = jnp.where(alive0, C.INFINITY_T, 0.0)
         rec = intersect.trace_scene(cr.ray_o, cr.ray_d, scene,
-                                    C.EPSILON_T, C.INFINITY_T,
+                                    C.EPSILON_T, lane_tmax,
                                     exclude_mesh=ex_mesh, exclude_prim=ex_prim)
 
         radiance = cr.radiance
@@ -337,7 +340,9 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             n_dot_l = jnp.maximum(dot(shading_normal, l_dir), 0.0)
             do_shadow = nee_lanes & l_valid & (l_pdf > 0.0) & (n_dot_l > 0.0)
             shadow_o = intersect.offset_ray_origin(rec, l_dir)
-            shadow_max = jnp.maximum(l_dist - C.EPSILON_T, C.EPSILON_T)
+            shadow_max = jnp.where(do_shadow,
+                                   jnp.maximum(l_dist - C.EPSILON_T,
+                                               C.EPSILON_T), 0.0)
             occluded = intersect.trace_occluded(shadow_o, l_dir, scene,
                                                 C.EPSILON_T, shadow_max)
             n_shadow_rays = n_shadow_rays + jnp.sum(do_shadow.astype(jnp.float32))
@@ -372,8 +377,9 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             n_dot_l = jnp.maximum(dot(shading_normal, e_dir), 0.0)
             do_shadow = nee_lanes & e_valid & (e_pdf > 0.0) & (n_dot_l > 0.0)
             shadow_o = intersect.offset_ray_origin(rec, e_dir)
+            shadow_max = jnp.where(do_shadow, C.INFINITY_T, 0.0)
             occluded = intersect.trace_occluded(shadow_o, e_dir, scene,
-                                                C.EPSILON_T, C.INFINITY_T)
+                                                C.EPSILON_T, shadow_max)
             n_shadow_rays = n_shadow_rays + jnp.sum(do_shadow.astype(jnp.float32))
             ev = bsdf_ops.evaluate_bsdf(
                 m, rec.point, shading_normal, wo, e_dir, clamp_p,
@@ -536,7 +542,17 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             n_shadow_rays=n_shadow_rays,
         )
 
-    carry = jax.lax.fori_loop(0, static.max_depth, body, carry)
+    # while-loop over depth: ends as soon as every lane has terminated
+    # (the wavefront analogue of the megakernel's per-thread break)
+    def loop_cond(state):
+        depth, cr = state
+        return jnp.logical_and(depth < static.max_depth, jnp.any(cr.alive))
+
+    def loop_body(state):
+        depth, cr = state
+        return depth + 1, body(depth, cr)
+
+    _, carry = jax.lax.while_loop(loop_cond, loop_body, (jnp.int32(0), carry))
     stats = {"rays": carry.n_rays, "shadow_rays": carry.n_shadow_rays}
     return carry.state, carry.radiance, carry.aov_albedo, carry.aov_normal, stats
 

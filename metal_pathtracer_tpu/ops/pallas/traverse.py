@@ -54,11 +54,19 @@ LEAF_QUEUE = WAVE          # leaf chunks processed per wave
 
 
 def _kernel(n_nodes: int, t_min: float,
+            nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
-            nb, nm, chunks,
+            chunks,
             out_t, out_tri, out_u, out_v,
             stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
             bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem):
+    if _DEBUG_SKIP == "all":
+        out_t[:] = tmax[:]
+        out_tri[:] = jnp.full(tmax.shape, -1, jnp.int32)
+        out_u[:] = tmax[:]
+        out_v[:] = tmax[:]
+        return
+
     inv_dx = 1.0 / jnp.where(jnp.abs(dx[:]) < 1e-20,
                              jnp.where(dx[:] >= 0, 1e-20, -1e-20), dx[:])
     inv_dy = 1.0 / jnp.where(jnp.abs(dy[:]) < 1e-20,
@@ -73,8 +81,10 @@ def _kernel(n_nodes: int, t_min: float,
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-    def slab_margin(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
-        """(1,1) vector: max over rays of (tfar - tnear); >= 0 means hit."""
+    def slab_test(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
+        """-> (margin, entry): (1,1) vectors. margin = max over rays of
+        (tfar - tnear) (>=0 means some ray hits); entry = min over hitting
+        rays of tnear (for near-first child ordering)."""
         t0x = (bminx - ox[:]) * inv_dx
         t1x = (bmaxx - ox[:]) * inv_dx
         t0y = (bminy - oy[:]) * inv_dy
@@ -87,7 +97,14 @@ def _kernel(n_nodes: int, t_min: float,
         tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                        jnp.maximum(t0y, t1y)),
                            jnp.minimum(jnp.maximum(t0z, t1z), bt_ref[:]))
-        return jnp.max(tfar - tnear, keepdims=True).reshape(1, 1)
+        hit = tfar >= tnear
+        margin = jnp.max(tfar - tnear, keepdims=True).reshape(1, 1)
+        entry = jnp.min(jnp.where(hit, tnear, jnp.float32(3.0e38)),
+                        keepdims=True).reshape(1, 1)
+        return margin, entry
+
+    def slab_margin(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
+        return slab_test(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz)[0]
 
     def flush_verdicts():
         """verdict_vmem lanes -> verdict_smem scalars (single DMA)."""
@@ -110,7 +127,7 @@ def _kernel(n_nodes: int, t_min: float,
                                  tri_buf[9, base + 2], tri_buf[9, base + 3],
                                  tri_buf[9, base + 4], tri_buf[9, base + 5])
             acc = jnp.where(lane_iota == k, margin, acc)
-        verdict_vmem[:] = acc
+        verdict_vmem[0:1, :] = acc
         flush_verdicts()
 
         def tri_body(j, _):
@@ -189,30 +206,49 @@ def _kernel(n_nodes: int, t_min: float,
         sp = sp0 - popped
         n_cand = 2 * popped
 
-        # ---- vector phase: batched AABB verdicts for all candidates ----
+        # ---- vector phase: batched AABB verdicts + entry distances ------
         def cand_body(k, acc):
+            margins, entries = acc
             c = cand[k]
             cc = jnp.maximum(c, 0)
-            margin = slab_margin(nb[0, cc], nb[1, cc], nb[2, cc],
-                                 nb[3, cc], nb[4, cc], nb[5, cc])
+            margin, entry = slab_test(nb[0, cc], nb[1, cc], nb[2, cc],
+                                      nb[3, cc], nb[4, cc], nb[5, cc])
             margin = jnp.where(c >= 0, margin, -1.0)
-            return jnp.where(lane_iota == k, margin, acc)
+            margins = jnp.where(lane_iota == k, margin, margins)
+            entries = jnp.where(lane_iota == k, entry, entries)
+            return margins, entries
 
-        acc = jax.lax.fori_loop(0, n_cand, cand_body,
-                                jnp.full((1, LANES), -1.0, jnp.float32))
-        verdict_vmem[:] = acc
+        margins, entries = jax.lax.fori_loop(
+            0, n_cand, cand_body,
+            (jnp.full((1, LANES), -1.0, jnp.float32),
+             jnp.full((1, LANES), 3.0e38, jnp.float32)))
+        verdict_vmem[0:1, :] = margins
+        verdict_vmem[1:2, :] = entries
         flush_verdicts()
 
-        # ---- scalar phase 2: push survivors (write always, advance iff
-        # hit — entries past sp are dead so stale writes are harmless) ---
-        # Reverse order keeps the original left-first pop order.
-        def push_body(i, sp):
-            k = n_cand - 1 - i
-            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = cand[k]
-            ok = (verdict_smem[0, k] >= 0.0) & (cand[k] >= 0)
-            return sp + jnp.where(ok, 1, 0)
+        # ---- scalar phase 2: push survivors, near child last (popped
+        # first). Writes are unconditional; sp advances iff hit — entries
+        # past sp are dead so stale writes are harmless. ------------------
+        def push_body(p, sp):
+            pair = popped - 1 - p
+            k0 = 2 * pair
+            k1 = k0 + 1
+            swap = verdict_smem[1, k1] < verdict_smem[1, k0]
+            far = jnp.where(swap, cand[k0], cand[k1])
+            near = jnp.where(swap, cand[k1], cand[k0])
+            far_ok = jnp.where(swap, verdict_smem[0, k0],
+                               verdict_smem[0, k1]) >= 0.0
+            near_ok = jnp.where(swap, verdict_smem[0, k1],
+                                verdict_smem[0, k0]) >= 0.0
+            far_ok = far_ok & (far >= 0)
+            near_ok = near_ok & (near >= 0)
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = far
+            sp = sp + jnp.where(far_ok, 1, 0)
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = near
+            sp = sp + jnp.where(near_ok, 1, 0)
+            return sp
 
-        sp = jax.lax.fori_loop(0, n_cand, push_body, sp)
+        sp = jax.lax.fori_loop(0, popped, push_body, sp)
 
         # ---- leaf phase ------------------------------------------------
         def leaf_body(i, _):
@@ -239,30 +275,24 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
           n_nodes, n_chunks, t_min):
     rows = rays7[0].shape[0]
     grid = rows // SUBLANES
-    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+    # index maps receive (grid_idx, *scalar_prefetch_refs)
+    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i, nb, nm: (i, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_kernel, n_nodes, t_min),
+    # Node arrays ride as scalar-prefetch: uploaded to SMEM ONCE per kernel
+    # launch. As plain SMEM inputs they were re-copied on EVERY grid step —
+    # a measured ~100us fixed cost per packet on larger trees.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[ray_spec] * 8 + [
-            pl.BlockSpec((6, node_bounds.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, node_meta.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[ray_spec] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        ],
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),      # traversal stack
             pltpu.SMEM((MAX_CAND,), jnp.int32),         # candidate children
             pltpu.SMEM((LEAF_QUEUE,), jnp.int32),       # leaf chunk queue
-            pltpu.SMEM((1, LANES), jnp.float32),        # verdict landing
+            pltpu.SMEM((2, LANES), jnp.float32),        # verdict landing (margin, entry)
             pltpu.SMEM((PLANES, CHUNK), jnp.float32),   # chunk triangle data
             pltpu.SemaphoreType.DMA,                     # chunk DMA
             pltpu.SemaphoreType.DMA,                     # verdict DMA
@@ -270,9 +300,19 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best tri (as f32)
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best u
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best v
-            pltpu.VMEM((1, LANES), jnp.float32),         # verdict vector
+            pltpu.VMEM((2, LANES), jnp.float32),         # verdict vectors (margin, entry)
         ],
-    )(*rays7, excl2, node_bounds, node_meta, chunk_tris)
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, n_nodes, t_min),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        ],
+    )(node_bounds, node_meta, *rays7, excl2, chunk_tris)
 
 
 def packet_trace(origin, direction, t_min, t_max, bvh: PacketBvh,

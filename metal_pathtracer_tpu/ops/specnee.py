@@ -104,8 +104,9 @@ def delta_chain_estimators(scene, uniforms, static, clamp_p, throughput,
 
     def env_estimator(lanes, origin, direction, weight, bsdf_pdf):
         from metal_pathtracer_tpu.ops import env as env_ops
+        lane_tmax = jnp.where(lanes, C.INFINITY_T, 0.0)
         occluded = intersect.trace_occluded(origin, direction, scene,
-                                            C.EPSILON_T, C.INFINITY_T)
+                                            C.EPSILON_T, lane_tmax)
         env_pdf = env_ops.environment_pdf(scene.environment, direction,
                                           uniforms.environment_rotation)
         factor = _mis(env_pdf, bsdf_pdf)
@@ -120,8 +121,9 @@ def delta_chain_estimators(scene, uniforms, static, clamp_p, throughput,
         return jnp.where(ok[..., None], clamped, 0.0)
 
     def rect_estimator(lanes, origin, direction, weight, bsdf_pdf):
+        lane_tmax = jnp.where(lanes, C.INFINITY_T, 0.0)
         hit = intersect.trace_scene(origin, direction, scene,
-                                    C.EPSILON_T, C.INFINITY_T)
+                                    C.EPSILON_T, lane_tmax)
         emission, pdf, valid = _rect_hit_light(scene, uniforms, static, hit,
                                                origin)
         factor = _mis(pdf, bsdf_pdf)
@@ -143,8 +145,9 @@ def delta_chain_estimators(scene, uniforms, static, clamp_p, throughput,
     # ---- secondary chain (reference: pathtrace.metal:7060-7232) --------
     if static.enable_mnee and static.enable_mnee_secondary:
         chain_lanes = active & mnee_eligible
+        chain_tmax = jnp.where(chain_lanes, C.INFINITY_T, 0.0)
         chain_rec = intersect.trace_scene(next_origin, nee_dir, scene,
-                                          C.EPSILON_T, C.INFINITY_T)
+                                          C.EPSILON_T, chain_tmax)
         # skip chain hits that are themselves lights
         if n_rect_lights > 0:
             _, _, hit_is_light = _rect_hit_light(scene, uniforms, static,

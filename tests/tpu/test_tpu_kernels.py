@@ -114,3 +114,14 @@ def test_packet_exclusion():
     _, tri2, _, _ = packet_trace(o, d, 1e-3, 1e20, bvh,
                                  exclude_prim=jnp.asarray([0], jnp.int32))
     assert int(np.asarray(tri2)[0]) == 1
+
+
+if __name__ == "__main__":
+    # Standalone TPU run (pytest discovery inherits the CPU conftest, which
+    # skips these): `python tests/tpu/test_tpu_kernels.py`
+    test_sphere_kernel_matches_jnp()
+    print("sphere kernel: OK")
+    test_packet_traversal_matches_brute_force()
+    print("packet traversal: OK")
+    test_packet_exclusion()
+    print("packet exclusion: OK")
