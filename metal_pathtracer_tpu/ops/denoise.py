@@ -1,0 +1,65 @@
+"""TPU denoise pass: edge-aware à-trous wavelet filtering.
+
+The reference denoises through OIDN on the CPU with albedo+normal
+auxiliary images and a GPU->CPU->GPU round trip every
+`denoiseFrequency` frames (reference: src/renderer/DenoiserContext.mm,
+RenderLoop.mm:393-447). A neural CPU denoiser would stall the TPU the
+same way, so the TPU-native pass is an SVGF-style à-trous filter guided
+by the same AOVs — pure stencil convolutions that XLA fuses well. The
+iteration count maps to the RT filter's strength; OIDN-on-CPU remains
+possible via the same AOV buffers if bit-parity with the reference's
+denoiser is ever needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from metal_pathtracer_tpu.ops.vecmath import dot
+
+# 5-tap B3-spline kernel for the à-trous pyramid
+_KERNEL = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+def atrous_denoise(color, albedo, normal, iterations: int = 4,
+                   sigma_color: float = 0.35, sigma_normal: float = 0.25,
+                   sigma_albedo: float = 0.2):
+    """Edge-aware à-trous filtering of (H,W,3) radiance.
+
+    `albedo` and `normal` are the first-hit AOVs the accumulation already
+    tracks (the same auxiliary inputs the reference feeds OIDN,
+    DenoiserContext.mm:316-481).
+    """
+    out = color
+
+    def tap_weight(dc, dn, da):
+        wc = jnp.exp(-dot(dc, dc) / (2.0 * sigma_color ** 2))
+        wn = jnp.exp(-dn / (2.0 * sigma_normal ** 2))
+        wa = jnp.exp(-dot(da, da) / (2.0 * sigma_albedo ** 2))
+        return wc * wn * wa
+
+    for it in range(iterations):
+        step = 1 << it
+        accum = jnp.zeros_like(out)
+        weight_sum = jnp.zeros(out.shape[:2], out.dtype)
+        for ky, wy in zip((-2, -1, 0, 1, 2), _KERNEL):
+            for kx, wx in zip((-2, -1, 0, 1, 2), _KERNEL):
+                w_k = wy * wx
+                shifted = jnp.roll(out, (ky * step, kx * step), axis=(0, 1))
+                s_albedo = jnp.roll(albedo, (ky * step, kx * step), axis=(0, 1))
+                s_normal = jnp.roll(normal, (ky * step, kx * step), axis=(0, 1))
+                dn = jnp.maximum(1.0 - dot(s_normal, normal), 0.0)
+                w = w_k * tap_weight(shifted - out, dn, s_albedo - albedo)
+                accum = accum + shifted * w[..., None]
+                weight_sum = weight_sum + w
+        out = accum / jnp.maximum(weight_sum, 1e-6)[..., None]
+    return out
+
+
+def denoise_state(state, settings):
+    """Denoise the averaged image using the RenderState AOVs; returns the
+    denoised (H,W,3) image. Normal AOV is stored in [0,1] encoding."""
+    avg = state.present()
+    iterations = 5 if settings.denoiseFilterType == 1 else 4
+    normal = state.normal  # already world-space unit (pre-encode)
+    return atrous_denoise(avg, state.albedo, normal, iterations=iterations)

@@ -75,6 +75,21 @@ class PathCarry(NamedTuple):
     env_lod_active: jax.Array  # (N,) bool
     n_rays: jax.Array       # ()  f32 — scene traces issued (perf counter)
     n_shadow_rays: jax.Array  # () f32 — shadow traces issued
+    cone_width: jax.Array   # (N,) f32 — ray cone (reference: RayCone)
+    cone_spread: jax.Array  # (N,) f32
+
+
+def _primary_cone_spread(uniforms: Uniforms, static: StaticConfig):
+    """(reference: pathtrace.metal make_primary_ray_cone)"""
+    from metal_pathtracer_tpu.ops.vecmath import length as vlen
+
+    pixel_x = vlen(uniforms.camera.horizontal) / max(float(static.width), 1.0)
+    pixel_y = vlen(uniforms.camera.vertical) / max(float(static.height), 1.0)
+    footprint = jnp.maximum(jnp.maximum(pixel_x, pixel_y), 1e-6)
+    center = (uniforms.camera.lower_left + 0.5 * uniforms.camera.horizontal
+              + 0.5 * uniforms.camera.vertical)
+    focus = vlen(center - uniforms.camera.origin)
+    return footprint / jnp.maximum(focus, 1e-6)
 
 
 def _rect_light_pdf_for_hit(scene: SceneArrays, rec, origin):
@@ -197,6 +212,11 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
         env_lod_active=jnp.zeros(shape, bool),
         n_rays=jnp.float32(0.0),
         n_shadow_rays=jnp.float32(0.0),
+        # primary ray cone (reference: make_primary_ray_cone)
+        cone_width=jnp.broadcast_to(
+            jnp.maximum(2.0 * uniforms.camera.lens_radius, 0.0), shape),
+        cone_spread=jnp.broadcast_to(_primary_cone_spread(uniforms, static),
+                                     shape),
     )
 
     def body(depth, carry: PathCarry):
@@ -278,26 +298,50 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
         if C.MATERIAL_DIELECTRIC in types:
             is_dielectric = m.mat_type == C.MATERIAL_DIELECTRIC
             shading_normal = where3(is_dielectric, rec.normal, shading_normal)
-        rec = rec.replace(shading_normal=shading_normal)
+
+        state = state0
+
+        # ---- PBR texture pipeline (reference: pathtrace.metal:5919-6424)
+        hit_world = jnp.maximum(rec.t, 0.0) * jnp.sqrt(
+            jnp.maximum(dot(cr.ray_d, cr.ray_d), 1e-12))
+        cone_at_hit = jnp.maximum(
+            cr.cone_width + cr.cone_spread * hit_world, 1e-7)
+        passthrough = jnp.zeros(shape, bool)
+        diffuse_occlusion = jnp.ones(shape, jnp.float32)
+        pbr_emissive = m.emission
+        if C.MATERIAL_PBR in types and scene.textures is not None:
+            from metal_pathtracer_tpu.ops import pbr_textures
+            texd = pbr_textures.apply_pbr_textures(
+                scene, m, rec, wo, cone_at_hit, depth, state, static, uniforms)
+            m = texd.m
+            shading_normal = texd.shading_normal
+            diffuse_occlusion = texd.diffuse_occlusion
+            pbr_emissive = texd.emissive
+            passthrough = jnp.logical_and(active, texd.passthrough)
+            state = jnp.where(active, texd.state, state)
+        rec = rec.replace(
+            shading_normal=shading_normal,
+            two_sided=rec.two_sided | ((m.mat_type == C.MATERIAL_PBR)
+                                       & (m.pbr_double_sided > 0.5)))
 
         surface_is_delta = bsdf_ops.material_is_delta(m)
 
         # ---- first-hit AOVs (reference: pathtrace.metal:6425-6435) -----
-        record_aov = jnp.logical_and(active, cr.is_first_hit)
+        record_aov = active & cr.is_first_hit & jnp.logical_not(passthrough)
         aov_albedo = where3(record_aov, bsdf_ops.material_base_color(m), cr.aov_albedo)
         aov_normal = where3(record_aov, shading_normal, cr.aov_normal)
-        is_first_hit = jnp.where(active, False, cr.is_first_hit)
+        is_first_hit = jnp.where(active & jnp.logical_not(passthrough),
+                                 False, cr.is_first_hit)
 
         # ---- PBR emissive additive (reference: pathtrace.metal:6437-6442)
         if C.MATERIAL_PBR in types and not static.debug_specular_only:
-            pbr_emissive = jnp.logical_and(
-                active,
-                (m.mat_type == C.MATERIAL_PBR)
-                & jnp.any(m.emission != 0.0, -1)
-                & (rec.front_face | rec.two_sided))
+            pbr_emit_lane = (active & jnp.logical_not(passthrough)
+                             & (m.mat_type == C.MATERIAL_PBR)
+                             & jnp.any(pbr_emissive != 0.0, -1)
+                             & (rec.front_face | rec.two_sided))
             contrib = bsdf_ops.clamp_firefly_contribution(
-                throughput, m.emission, clamp_p)
-            radiance = radiance + jnp.where(pbr_emissive[..., None], contrib, 0.0)
+                throughput, pbr_emissive, clamp_p)
+            radiance = radiance + jnp.where(pbr_emit_lane[..., None], contrib, 0.0)
 
         # ---- DiffuseLight hit -> emit with MIS, terminate
         #      (reference: pathtrace.metal:6444-6485) --------------------
@@ -330,11 +374,10 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             radiance = radiance + jnp.where(add[..., None], contrib, 0.0)
         active = jnp.logical_and(active, jnp.logical_not(light_hit))
 
-        state = state0
-
         # ---- NEE: rect lights (reference: pathtrace.metal:6487-6556) ---
         if n_rect_lights > 0:
-            nee_lanes = jnp.logical_and(active, jnp.logical_not(surface_is_delta))
+            nee_lanes = (active & jnp.logical_not(surface_is_delta)
+                         & jnp.logical_not(passthrough))
             nstate, l_dir, l_dist, l_pdf, l_emission, l_valid = \
                 _sample_rect_light(scene, rec, state, static, uniforms)
             n_dot_l = jnp.maximum(dot(shading_normal, l_dir), 0.0)
@@ -348,7 +391,7 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             n_shadow_rays = n_shadow_rays + jnp.sum(do_shadow.astype(jnp.float32))
             ev = bsdf_ops.evaluate_bsdf(
                 m, rec.point, shading_normal, wo, l_dir, clamp_p,
-                static.sss_mode, jnp.ones(shape, jnp.float32),
+                static.sss_mode, diffuse_occlusion,
                 static.debug_specular_only, static.material_types)
             max_comp = jnp.max(ev.value, -1)
             w = jnp.ones(shape, jnp.float32)
@@ -370,7 +413,8 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
         # ---- NEE: environment (reference: pathtrace.metal:6558-6648) ---
         if env_sampling:
             from metal_pathtracer_tpu.ops import env as env_ops
-            nee_lanes = jnp.logical_and(active, jnp.logical_not(surface_is_delta))
+            nee_lanes = (active & jnp.logical_not(surface_is_delta)
+                         & jnp.logical_not(passthrough))
             nstate, e_dir, e_radiance, e_pdf, e_valid = env_ops.sample_environment(
                 scene.environment, state, uniforms, static,
                 bsdf_ops.environment_lighting_roughness(m))
@@ -383,7 +427,7 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             n_shadow_rays = n_shadow_rays + jnp.sum(do_shadow.astype(jnp.float32))
             ev = bsdf_ops.evaluate_bsdf(
                 m, rec.point, shading_normal, wo, e_dir, clamp_p,
-                static.sss_mode, jnp.ones(shape, jnp.float32),
+                static.sss_mode, diffuse_occlusion,
                 static.debug_specular_only, static.material_types)
             max_comp = jnp.max(ev.value, -1)
             w = jnp.ones(shape, jnp.float32)
@@ -405,7 +449,7 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
         # ---- BSDF sampling (reference: pathtrace.metal:6650-6692) ------
         nstate, smp = bsdf_ops.sample_bsdf(
             m, rec.point, shading_normal, wo, incident, rec.front_face,
-            state, clamp_p, static.sss_mode, jnp.ones(shape, jnp.float32),
+            state, clamp_p, static.sss_mode, diffuse_occlusion,
             static.debug_specular_only, static.material_types)
         if C.MATERIAL_SUBSURFACE in types and static.sss_mode == 2:
             # Random-walk SSS takes over on front-face random-walk materials
@@ -419,7 +463,19 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             used_rw = jnp.logical_and(rw_lanes, rw_smp.pdf > 0.0)
             smp = bsdf_ops._select_sample(used_rw, rw_smp, smp)
             nstate = jnp.where(used_rw, rw_state, nstate)
-        state = jnp.where(active, nstate, state)
+        state = jnp.where(active & jnp.logical_not(passthrough), nstate, state)
+
+        # Alpha pass-through lanes continue as a delta bounce along the
+        # unchanged ray (reference: pathtrace.metal:6218-6227)
+        if C.MATERIAL_PBR in types:
+            pt_smp = bsdf_ops.BsdfSample.invalid(shape)
+            pt_smp = pt_smp.replace(
+                direction=cr.ray_d,
+                weight=jnp.ones(shape + (3,), jnp.float32),
+                pdf=jnp.ones(shape, jnp.float32),
+                directional_pdf=jnp.ones(shape, jnp.float32),
+                is_delta=jnp.ones(shape, bool))
+            smp = bsdf_ops._select_sample(passthrough, pt_smp, smp)
 
         active = jnp.logical_and(active, smp.pdf > 0.0)
 
@@ -465,7 +521,8 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             chain_add = specnee.delta_chain_estimators(
                 scene, uniforms, static, clamp_p, throughput, smp,
                 next_origin, rec, shading_normal, next_specular_depth,
-                state, active, is_dielectric_lane)
+                state, active & jnp.logical_not(passthrough),
+                is_dielectric_lane)
             radiance = radiance + chain_add
 
         # ---- throughput update (reference: pathtrace.metal:7237-7248) --
@@ -497,9 +554,17 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
         specular_depth = jnp.where(smp.is_delta, cr.specular_depth + 1, 0)
         del next_specular_depth  # alias of specular_depth used by the chains
 
+        # ---- ray cone update (reference: pathtrace.metal:7263-7269) ----
+        cone_width = jnp.where(active, cone_at_hit, cr.cone_width)
+        cone_spread = jnp.where(
+            active,
+            jnp.minimum(cr.cone_spread + bsdf_ops.bsdf_cone_spread_increment(
+                smp.lobe_type, smp.lobe_roughness, smp.is_delta), 1.5),
+            cr.cone_spread)
+
         state_rr = state
         if static.use_russian_roulette:
-            do_rr = jnp.logical_and(active, depth >= 5)
+            do_rr = active & (depth >= 5) & jnp.logical_not(passthrough)
             nstate, xi = rng_ops.rand_uniform(state)
             cont_p = jnp.clip(max_tp, 0.05, 0.95)
             survive = xi <= cont_p
@@ -540,6 +605,8 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             env_lod_active=sel(env_lod_active, cr.env_lod_active),
             n_rays=n_rays,
             n_shadow_rays=n_shadow_rays,
+            cone_width=sel(cone_width, cr.cone_width),
+            cone_spread=sel(cone_spread, cr.cone_spread),
         )
 
     # while-loop over depth: ends as soon as every lane has terminated

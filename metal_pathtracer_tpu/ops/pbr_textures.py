@@ -1,0 +1,267 @@
+"""PBR texture pipeline: per-hit sampling of the six material texture
+slots with ray-cone LOD, normal mapping, occlusion, alpha modes.
+
+Vectorized port of the reference integrator's texture block
+(reference: shaders/pathtrace.metal:5919-6424):
+
+- UV0/UV1/tangent interpolation from triangle corners with saturated
+  barycentrics (:597-933),
+- cone-footprint LOD via per-triangle UV density
+  (triangle_surface_partials:750-817 + ray_cone_lod_from_footprint) —
+  Igehy first-hit gradients are a tracked refinement; the reference's
+  cone path is the fallback it uses beyond the first hit anyway,
+- base/ORM/normal/occlusion/emissive/transmission application incl.
+  KHR transforms, dual UV sets, working-space conversion, Toksvig-style
+  roughness widening from normal-map length (:6359-6395),
+- alpha MASK/BLEND pass-through (:6203-6228) — discarded lanes continue
+  as a delta bounce.
+
+Returns overridden material lanes (the analogue of the reference writing
+back into its local MaterialData copy :6397-6401).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from metal_pathtracer_tpu.ops import rng as rng_ops
+from metal_pathtracer_tpu.ops import textures as tex_ops
+from metal_pathtracer_tpu.ops.vecmath import (
+    build_onb,
+    dot,
+    normalize,
+    safe_normalize,
+    where3,
+)
+
+SLOT_BASE, SLOT_MR, SLOT_NORMAL, SLOT_OCCLUSION, SLOT_EMISSIVE, SLOT_TRANSMISSION = range(6)
+
+
+class PbrTextureResult(NamedTuple):
+    m: object              # MatLanes with textured overrides
+    shading_normal: jnp.ndarray
+    diffuse_occlusion: jnp.ndarray
+    emissive: jnp.ndarray  # textured emissive (for the additive term)
+    passthrough: jnp.ndarray  # lanes discarded by alpha -> delta continue
+    state: jnp.ndarray
+
+
+def _bary_weights(bary):
+    w = jnp.stack([1.0 - bary[..., 0] - bary[..., 1],
+                   bary[..., 0], bary[..., 1]], -1)
+    w = jnp.maximum(w, 0.0)
+    s = jnp.sum(w, -1, keepdims=True)
+    return jnp.where(s > 1e-8, w / s, jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+
+
+def _interp2(w, a0, a1, a2):
+    return w[..., 0:1] * a0 + w[..., 1:2] * a1 + w[..., 2:3] * a2
+
+
+def _uv_per_world(tris, tri, uv_set: int):
+    """(reference: triangle_surface_partials:750-817)"""
+    v0 = tris.v0[tri]
+    v1 = tris.v1[tri]
+    v2 = tris.v2[tri]
+    if uv_set == 0:
+        uv0, uv1, uv2 = tris.uv0[tri], tris.uv1[tri], tris.uv2[tri]
+    else:
+        uv0, uv1, uv2 = tris.uvb0[tri], tris.uvb1[tri], tris.uvb2[tri]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    duv1 = uv1 - uv0
+    duv2 = uv2 - uv0
+    det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+    dpdu = (e1 * duv2[..., 1:2] - e2 * duv1[..., 1:2]) * inv_det[..., None]
+    dpdv = (e2 * duv1[..., 0:1] - e1 * duv2[..., 0:1]) * inv_det[..., None]
+    len_u = jnp.sqrt(jnp.maximum(dot(dpdu, dpdu), 1e-30))
+    len_v = jnp.sqrt(jnp.maximum(dot(dpdv, dpdv), 1e-30))
+    primary = jnp.maximum(1.0 / len_u, 1.0 / len_v)
+    # degenerate-UV fallback: sqrt(uv_area / world_area)
+    world_area = jnp.sqrt(jnp.maximum(
+        dot(jnp.cross(e1, e2), jnp.cross(e1, e2)), 1e-30))
+    uv_area = jnp.abs(det)
+    fallback = jnp.sqrt(uv_area / jnp.maximum(world_area, 1e-12))
+    ok = (jnp.abs(det) > 1e-9) & (len_u > 1e-8) & (len_v > 1e-8)
+    out = jnp.where(ok, primary, fallback)
+    return jnp.where(jnp.isfinite(out) & (out > 0.0), out, 0.0)
+
+
+def _transform_scale(transform):
+    r0 = jnp.sqrt(transform[..., 0, 0] ** 2 + transform[..., 0, 1] ** 2)
+    r1 = jnp.sqrt(transform[..., 1, 0] ** 2 + transform[..., 1, 1] ** 2)
+    return jnp.maximum(jnp.maximum(r0, r1), 1e-6)
+
+
+def apply_pbr_textures(scene, m, rec, wo, cone_width, depth, state,
+                       static, uniforms):
+    """Apply the six texture slots to PBR lanes of the wavefront.
+
+    Non-PBR / non-triangle lanes pass through unchanged. Consumes 1 RNG
+    draw on alpha-BLEND lanes (reference :6215).
+    """
+    from metal_pathtracer_tpu import constants as C
+    from metal_pathtracer_tpu.ops.integrator import to_working_space
+
+    shape = rec.t.shape
+    textures = scene.textures
+    tris = scene.triangles
+    shading_normal = rec.shading_normal
+    ones = jnp.ones(shape, jnp.float32)
+
+    pbr_lane = (m.mat_type == C.MATERIAL_PBR) & \
+        (rec.prim_type == C.PRIMITIVE_TRIANGLE)
+
+    base_emissive = to_working_space(m.emission, static)
+    if textures is None or tris is None:
+        return PbrTextureResult(
+            m=m, shading_normal=shading_normal, diffuse_occlusion=ones,
+            emissive=base_emissive,
+            passthrough=jnp.zeros(shape, bool), state=state)
+
+    tri = jnp.clip(rec.prim_index, 0, tris.count - 1)
+    w = _bary_weights(rec.barycentric)
+    uv_a = _interp2(w, tris.uv0[tri], tris.uv1[tri], tris.uv2[tri])
+    uv_b = _interp2(w, tris.uvb0[tri], tris.uvb1[tri], tris.uvb2[tri])
+    tangent = _interp2(w, tris.t0[tri], tris.t1[tri], tris.t2[tri])
+
+    upw = [_uv_per_world(tris, tri, 0), _uv_per_world(tris, tri, 1)]
+    cos_view = jnp.abs(dot(normalize(shading_normal), normalize(wo)))
+    footprint = cone_width / jnp.maximum(cos_view, 1e-3)
+
+    tex_size = textures.levels[0].shape[1]
+    max_lod = textures.max_lod
+
+    def slot_sample(slot, srgb_working=False, default=None):
+        """-> (rgba, valid). Applies UV set, KHR transform and cone LOD."""
+        tid = m.texture_indices[..., slot]
+        uv_set = m.texture_uv_set[..., slot]
+        uv = jnp.where((uv_set == 1)[..., None], uv_b, uv_a)
+        tf = m.texture_transform[..., slot, :, :]
+        u, v = tex_ops.apply_uv_transform(tf, uv[..., 0], uv[..., 1])
+        upw_lane = jnp.where(uv_set == 1, upw[1], upw[0]) * _transform_scale(tf)
+        texel = footprint * upw_lane * tex_size
+        lod = jnp.clip(jnp.log2(jnp.maximum(texel, 1e-7)), 0.0, max_lod)
+        rgba = tex_ops.sample_texture(textures, tid, u, v, lod=lod)
+        if default is not None:
+            rgba = jnp.where((tid >= 0)[..., None], rgba,
+                             jnp.asarray(default, jnp.float32))
+        return rgba, tid >= 0
+
+    # --- base color (reference :6086-6111) ------------------------------
+    base_factor = to_working_space(jnp.clip(m.base_color, 0.0, 1.0), static)
+    base_rgba, _ = slot_sample(SLOT_BASE)
+    base_rgb = to_working_space(base_rgba[..., :3], static)
+    base_color = base_factor * base_rgb
+
+    # --- ORM (reference :6113-6152) -------------------------------------
+    metallic = jnp.clip(m.pbr_metallic, 0.0, 1.0)
+    roughness = jnp.clip(m.roughness, 0.0, 1.0)
+    disable_orm = (m.material_flags & 1) == 1  # kMaterialFlagDisableOrm
+    orm_rgba, orm_valid = slot_sample(SLOT_MR)
+    use_orm = orm_valid & jnp.logical_not(disable_orm)
+    if static.debug_disable_orm:
+        use_orm = jnp.zeros_like(use_orm)
+    metallic = jnp.where(use_orm,
+                         jnp.clip(orm_rgba[..., 2] * metallic, 0.0, 1.0),
+                         metallic)
+    roughness = jnp.where(use_orm,
+                          jnp.clip(orm_rgba[..., 1] * roughness, 0.0, 1.0),
+                          roughness)
+
+    # --- transmission (reference :6180-6202) ----------------------------
+    transmission = jnp.clip(m.pbr_transmission, 0.0, 1.0)
+    tr_rgba, tr_valid = slot_sample(SLOT_TRANSMISSION)
+    transmission = jnp.where(
+        tr_valid, jnp.clip(transmission * tr_rgba[..., 0], 0.0, 1.0),
+        transmission)
+    transmission = transmission * (1.0 - metallic)
+
+    # --- alpha modes (reference :6203-6228) -----------------------------
+    alpha = jnp.clip(m.pbr_alpha, 0.0, 1.0) * jnp.clip(base_rgba[..., 3], 0.0, 1.0)
+    alpha_mode = m.pbr_alpha_mode
+    state_b, xi = rng_ops.rand_uniform(state)
+    blend_lane = pbr_lane & (alpha_mode > 1.5)
+    state = jnp.where(blend_lane, state_b, state)
+    discard_mask = jnp.where(
+        alpha_mode > 1.5, xi > alpha,
+        jnp.where(alpha_mode > 0.5, alpha < jnp.clip(m.pbr_alpha_cutoff, 0.0, 1.0),
+                  False))
+    passthrough = pbr_lane & discard_mask
+
+    # --- occlusion (reference :6229-6255) -------------------------------
+    occ_rgba, occ_valid = slot_sample(SLOT_OCCLUSION)
+    use_occ = occ_valid & jnp.logical_not(disable_orm)
+    occlusion = jnp.where(
+        use_occ,
+        1.0 + (occ_rgba[..., 0] - 1.0) * jnp.clip(m.pbr_occlusion_strength, 0.0, 1.0),
+        1.0)
+    diffuse_occlusion = jnp.where(
+        jnp.asarray(static.debug_disable_ao), ones, occlusion)
+    if static.debug_ao_indirect_only:
+        diffuse_occlusion = jnp.where(depth == 0, ones, diffuse_occlusion)
+
+    # --- emissive (reference :6260-6287) --------------------------------
+    em_rgba, em_valid = slot_sample(SLOT_EMISSIVE)
+    em_sample = to_working_space(em_rgba[..., :3], static)
+    emissive = base_emissive * jnp.where(em_valid[..., None], em_sample, 1.0)
+
+    # --- normal map (reference :6289-6395) ------------------------------
+    normal_scale = m.pbr_normal_scale * uniforms.debug_normal_strength_scale
+    nm_rgba, nm_valid = slot_sample(SLOT_NORMAL, default=(0.5, 0.5, 1.0, 1.0))
+    use_nm = nm_valid & (normal_scale > 1e-4)
+    if static.debug_disable_normal_map:
+        use_nm = jnp.zeros_like(use_nm)
+    n_ts = nm_rgba[..., :3] * 2.0 - 1.0
+    if static.debug_flip_normal_green:
+        n_ts = n_ts * jnp.asarray([1.0, -1.0, 1.0], jnp.float32)
+    n_ts = jnp.concatenate([n_ts[..., :2] * normal_scale[..., None],
+                            n_ts[..., 2:3]], -1)
+    normal_length = jnp.sqrt(jnp.maximum(dot(n_ts, n_ts), 1e-12))
+    xy2 = n_ts[..., 0] ** 2 + n_ts[..., 1] ** 2
+    n_ts = jnp.concatenate(
+        [n_ts[..., :2], jnp.sqrt(jnp.maximum(1.0 - xy2, 0.0))[..., None]], -1)
+    n_ts = safe_normalize(n_ts)
+
+    # tangent basis: vertex tangent (Gram-Schmidt) or ONB fallback
+    t_raw = tangent[..., :3]
+    trust = (jnp.abs(tangent[..., 3]) > 0.5) & \
+        jnp.all(jnp.isfinite(t_raw), -1) & (dot(t_raw, t_raw) > 1e-6)
+    t_gs = t_raw - shading_normal * dot(shading_normal, t_raw)[..., None]
+    t_ok = trust & (dot(t_gs, t_gs) > 1e-6)
+    t_gs = safe_normalize(t_gs)
+    sign = jnp.where(tangent[..., 3] < 0.0, -1.0, 1.0)
+    b_gs = safe_normalize(jnp.cross(shading_normal, t_gs)) * sign[..., None]
+    t_onb, b_onb = build_onb(shading_normal)
+    t_basis = where3(t_ok, t_gs, t_onb)
+    b_basis = where3(t_ok, b_gs, b_onb)
+
+    mapped = normalize(t_basis * n_ts[..., 0:1] + b_basis * n_ts[..., 1:2]
+                       + shading_normal * n_ts[..., 2:3])
+    mapped = where3(dot(mapped, rec.normal) < 0.0, -mapped, mapped)
+    new_normal = where3(pbr_lane & use_nm, mapped, shading_normal)
+
+    # Toksvig-style roughness widening from normal shortening (:6359-6395;
+    # the gradient-variance term needs Igehy gradients — tracked)
+    tok = jnp.maximum((1.0 - normal_length) / jnp.maximum(normal_length, 1e-6), 0.0)
+    roughness = jnp.where(pbr_lane & use_nm,
+                          jnp.clip(jnp.sqrt(roughness * roughness + tok), 0.0, 1.0),
+                          roughness)
+
+    # --- write back (reference :6397-6401) ------------------------------
+    m_out = m.replace(
+        base_color=where3(pbr_lane, base_color, m.base_color),
+        roughness=jnp.where(pbr_lane, roughness, m.roughness),
+        pbr_metallic=jnp.where(pbr_lane, metallic, m.pbr_metallic),
+        pbr_transmission=jnp.where(pbr_lane, transmission, m.pbr_transmission),
+        emission=where3(pbr_lane, emissive, m.emission),
+    )
+    emissive_out = where3(pbr_lane, emissive, base_emissive)
+    return PbrTextureResult(
+        m=m_out, shading_normal=new_normal,
+        diffuse_occlusion=jnp.where(pbr_lane, diffuse_occlusion, ones),
+        emissive=emissive_out,
+        passthrough=passthrough, state=state)

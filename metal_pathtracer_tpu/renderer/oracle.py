@@ -1,0 +1,179 @@
+"""ctypes wrapper for the native CPU oracle (native/cpu_oracle.cpp).
+
+The framework's independent parity backend — the role the Embree renderer
+plays for the reference (SURVEY.md §3.5): every feature lands with an
+RMSE-on-linear-image gate against this implementation
+(reference acceptance criterion: README.md:28, paper.md:29-33 — RMSE, not
+bit identity).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+from metal_pathtracer_tpu import constants as C
+from metal_pathtracer_tpu.ops.camera import build_camera
+from metal_pathtracer_tpu.settings import BackgroundMode, RenderSettings
+
+_LIB_PATH = os.path.normpath(os.path.join(
+    os.path.dirname(__file__), "..", "..", "native", "libcpu_oracle.so"))
+
+
+def oracle_available() -> bool:
+    return os.path.exists(_LIB_PATH)
+
+
+def _load():
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.render_oracle.restype = ctypes.c_int
+    return lib
+
+
+# Types the oracle implements faithfully (others fall back to lambert).
+ORACLE_TYPES = {C.MATERIAL_LAMBERTIAN, C.MATERIAL_METAL, C.MATERIAL_DIELECTRIC,
+                C.MATERIAL_DIFFUSE_LIGHT, C.MATERIAL_PLASTIC}
+
+
+def pack_materials(resources) -> np.ndarray:
+    from metal_pathtracer_tpu.scene.resources import (
+        compute_coat_average,
+        compute_coat_sample_weight,
+    )
+
+    mats = resources.materials or []
+    out = np.zeros((max(len(mats), 1), 32), np.float32)
+    for i, m in enumerate(mats):
+        coat_roughness = float(np.clip(m.coat_roughness, 0.0, 1.0))
+        avg = compute_coat_average(max(m.coat_ior, 0.0))
+        weight = compute_coat_sample_weight(m.mat_type, coat_roughness,
+                                            max(m.coat_thickness, 0.0), avg)
+        out[i] = [
+            *np.clip(m.base_color, 0.0, 1.0),
+            np.clip(m.roughness, 0.0, 1.0), m.mat_type, max(m.ior, 0.0),
+            1.0 if m.thin else 0.0,
+            *m.emission, 1.0 if m.emission_env else 0.0,
+            *np.maximum(m.conductor_eta, 0.0), *np.maximum(m.conductor_k, 0.0),
+            1.0 if m.has_conductor else 0.0,
+            *np.maximum(m.dielectric_sigma_a, 0.0),
+            coat_roughness, max(m.coat_thickness, 0.0), min(weight, 0.95), avg,
+            *np.clip(m.coat_tint, 0.0, 1.0),
+            *np.maximum(m.coat_absorption, 0.0),
+            max(m.coat_ior, 0.0),
+        ]
+    return out
+
+
+def render_oracle(resources, settings: RenderSettings, width: int, height: int,
+                  spp: int, environment=None, n_threads: int = 0) -> np.ndarray:
+    """Render with the native CPU oracle; returns linear (H,W,3)."""
+    lib = _load()
+    cam = build_camera(settings, width, height)
+    cam_flat = np.concatenate([
+        np.asarray(cam.origin), np.asarray(cam.lower_left),
+        np.asarray(cam.horizontal), np.asarray(cam.vertical),
+        np.asarray(cam.u), np.asarray(cam.v),
+        [float(np.asarray(cam.lens_radius))]]).astype(np.float32)
+
+    spheres = np.zeros((max(len(resources.spheres), 1), 4), np.float32)
+    sph_mat = np.zeros(max(len(resources.spheres), 1), np.int32)
+    for i, s in enumerate(resources.spheres):
+        spheres[i] = [*s.center, s.radius]
+        sph_mat[i] = s.material
+
+    rects = np.zeros((max(len(resources.rects), 1), 15), np.float32)
+    rect_mat = np.zeros(max(len(resources.rects), 1), np.int32)
+    rect_two = np.zeros(max(len(resources.rects), 1), np.int32)
+    for i, r in enumerate(resources.rects):
+        eu2 = float(np.dot(r.edge_u, r.edge_u))
+        ev2 = float(np.dot(r.edge_v, r.edge_v))
+        rects[i] = [*r.corner, *r.edge_u, *r.edge_v,
+                    1.0 / max(eu2, 1e-20), 1.0 / max(ev2, 1e-20),
+                    *r.normal, float(np.dot(r.normal, r.corner))]
+        rect_mat[i] = r.material
+        rect_two[i] = 1 if r.two_sided else 0
+
+    tris_list = []
+    tri_mat_list = []
+    for mesh in resources.meshes:
+        idx = mesh.indices
+        v = mesh.vertices
+        t9 = np.concatenate([v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]]], 1)
+        tris_list.append(t9)
+        tri_mat_list.append(np.full(len(idx), mesh.material, np.int32))
+    if tris_list:
+        tris = np.ascontiguousarray(np.concatenate(tris_list), np.float32)
+        tri_mat = np.ascontiguousarray(np.concatenate(tri_mat_list))
+        n_tris = len(tris)
+    else:
+        tris = np.zeros((1, 9), np.float32)
+        tri_mat = np.zeros(1, np.int32)
+        n_tris = 0
+
+    mats = pack_materials(resources)
+
+    env_w = env_h = 0
+    envf = np.zeros(1, np.float32)
+    env_texels = env_marg_t = env_cond_t = env_pdf = envf
+    env_marg_a = env_cond_a = np.zeros(1, np.int32)
+    if environment is not None:
+        env_w, env_h = environment.width, environment.height
+        env_texels = np.ascontiguousarray(np.asarray(environment.texels),
+                                          np.float32)
+        env_marg_t = np.ascontiguousarray(
+            np.asarray(environment.marginal_threshold), np.float32)
+        env_marg_a = np.ascontiguousarray(
+            np.asarray(environment.marginal_alias), np.int32)
+        env_cond_t = np.ascontiguousarray(
+            np.asarray(environment.conditional_threshold), np.float32)
+        env_cond_a = np.ascontiguousarray(
+            np.asarray(environment.conditional_alias), np.int32)
+        env_pdf = np.ascontiguousarray(np.asarray(environment.pdf), np.float32)
+
+    firefly = np.asarray([
+        max(settings.fireflyClampFactor, 0.0),
+        max(settings.fireflyClampFloor, 0.0),
+        max(settings.throughputClamp, 0.0),
+        max(settings.fireflyClampMaxContribution, 0.0),
+        1.0 if settings.fireflyClampEnabled else 0.0], np.float32)
+
+    out = np.zeros((height, width, 3), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    ret = lib.render_oracle(
+        ctypes.c_int(width), ctypes.c_int(height), ctypes.c_int(spp),
+        ctypes.c_int(settings.maxDepth),
+        ctypes.c_uint32(settings.fixedRngSeed),
+        ctypes.c_int(1 if settings.enableRussianRoulette else 0),
+        cam_flat.ctypes.data_as(fp),
+        ctypes.c_int(int(settings.backgroundMode)),
+        np.asarray(settings.backgroundColor, np.float32).ctypes.data_as(fp),
+        ctypes.c_int(len(resources.spheres)),
+        spheres.ctypes.data_as(fp), sph_mat.ctypes.data_as(ip),
+        ctypes.c_int(len(resources.rects)),
+        rects.ctypes.data_as(fp), rect_mat.ctypes.data_as(ip),
+        rect_two.ctypes.data_as(ip),
+        ctypes.c_int(n_tris), tris.ctypes.data_as(fp),
+        tri_mat.ctypes.data_as(ip),
+        ctypes.c_int(len(mats)), mats.ctypes.data_as(fp),
+        ctypes.c_int(env_w), ctypes.c_int(env_h),
+        env_texels.ctypes.data_as(fp),
+        env_marg_t.ctypes.data_as(fp), env_marg_a.ctypes.data_as(ip),
+        env_cond_t.ctypes.data_as(fp), env_cond_a.ctypes.data_as(ip),
+        env_pdf.ctypes.data_as(fp),
+        ctypes.c_float(settings.environmentRotation),
+        ctypes.c_float(settings.environmentIntensity),
+        firefly.ctypes.data_as(fp),
+        ctypes.c_int(1 if settings.enableSpecularNee else 0),
+        ctypes.c_int(n_threads),
+        out.ctypes.data_as(fp))
+    if ret != 0:
+        raise RuntimeError(f"oracle render failed ({ret})")
+    return out
+
+
+def rmse(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.sqrt(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)))

@@ -251,6 +251,9 @@ def load_gltf_into(path: str, settings, resources: SceneResources,
             pixels = _decode_image(gltf.image_bytes(tex["source"])[0])
             resources.texture_images.append(pixels)
             resources.texture_srgb.append(srgb)
+            wrap_map = {10497: 0, 33071: 1, 33648: 2}
+            resources.texture_wrap.append((wrap_map.get(wrap_s, 0),
+                                           wrap_map.get(wrap_t, 0)))
             texture_cache[key] = len(resources.texture_images) - 1
         return texture_cache[key], wrap_s, wrap_t
 

@@ -157,6 +157,7 @@ class SceneResources:
         self.environment_path: str = ""
         self.texture_images: List[np.ndarray] = []  # loaded texture pixels
         self.texture_srgb: List[bool] = []
+        self.texture_wrap: List = []  # (wrap_s, wrap_t) 0=repeat 1=clamp 2=mirror
 
     # -- materials ----------------------------------------------------------
 
@@ -450,6 +451,13 @@ class SceneResources:
                     and any(e != 0.0 for e in self.materials[mi].emission):
                 light_indices.append(i)
         light_rect_indices = jnp.asarray(np.array(light_indices, np.int32))
+
+        if textures is None and self.texture_images:
+            from metal_pathtracer_tpu.ops.textures import build_texture_arrays
+            wraps = self.texture_wrap if len(self.texture_wrap) == \
+                len(self.texture_images) else None
+            textures = build_texture_arrays(self.texture_images,
+                                            self.texture_srgb, wraps)
 
         triangles = None
         tri_bvh = None

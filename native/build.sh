@@ -10,6 +10,6 @@ $CXX $FLAGS bvh_builder.cpp -o libbvh_builder.so
 echo "built libbvh_builder.so"
 
 if [[ -f cpu_oracle.cpp ]]; then
-    $CXX $FLAGS -fopenmp cpu_oracle.cpp -o libcpu_oracle.so
+    $CXX $FLAGS -pthread cpu_oracle.cpp bvh_builder.cpp -o libcpu_oracle.so
     echo "built libcpu_oracle.so"
 fi

@@ -1,0 +1,1197 @@
+// CPU oracle path tracer — the framework's independent parity reference.
+//
+// Plays the role the Embree backend plays in the reference renderer
+// (reference: src/headless/EmbreeHeadlessRenderer.mm — a complete,
+// independent CPU implementation of the same material/sampling model used
+// as the RMSE gate). This implementation is written against the same
+// behavioral spec as the JAX integrator (ops/integrator.py): identical PCG
+// RNG and per-pixel seeding, identical BSDF math for lambert / GGX
+// conductor / exact-Fresnel dielectric / diffuse light / plastic,
+// rect-light NEE + env alias-table NEE with MIS, Beer-Lambert medium
+// stack, firefly clamps and Russian roulette.
+//
+// Tile-parallel over std::thread with an atomic work index, 16x16 tiles
+// (the reference backend's scheduling, EmbreeHeadlessRenderer.mm:2538+).
+//
+// C ABI (ctypes). Coverage notes: subsurface/carpaint/PBR lanes currently
+// fall back to lambert in the oracle (tracked for the next round); the
+// RMSE gate therefore runs on scenes without those types.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" int build_bvh_sah(int, const float*, float*, float*, int32_t*,
+                             int32_t*, int32_t*, int32_t*, int, int);
+
+namespace {
+
+constexpr float kPi = 3.14159265358979323846f;
+constexpr float kInfinity = 1e20f;
+constexpr float kEpsilon = 1e-3f;
+constexpr float kRayOriginEpsilon = 1e-4f;
+constexpr float kMisMin = 1.0e-4f;
+constexpr float kMisMax = 0.9999f;
+constexpr int kMaxMedium = 8;
+
+struct V3 {
+    float x = 0, y = 0, z = 0;
+};
+inline V3 operator+(V3 a, V3 b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
+inline V3 operator-(V3 a, V3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+inline V3 operator*(V3 a, float s) { return {a.x * s, a.y * s, a.z * s}; }
+inline V3 operator*(float s, V3 a) { return a * s; }
+inline V3 operator*(V3 a, V3 b) { return {a.x * b.x, a.y * b.y, a.z * b.z}; }
+inline V3 operator/(V3 a, float s) { return {a.x / s, a.y / s, a.z / s}; }
+inline float dot(V3 a, V3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+inline V3 cross(V3 a, V3 b) {
+    return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+inline float length(V3 a) { return std::sqrt(dot(a, a)); }
+inline V3 normalize(V3 a) {
+    float l = length(a);
+    return l > 0 ? a / l : V3{0, 0, 0};
+}
+inline V3 vmin0(V3 a) { return {std::max(a.x, 0.f), std::max(a.y, 0.f), std::max(a.z, 0.f)}; }
+inline float maxc(V3 a) { return std::max(a.x, std::max(a.y, a.z)); }
+inline bool finite3(V3 a) {
+    return std::isfinite(a.x) && std::isfinite(a.y) && std::isfinite(a.z);
+}
+inline float luminance(V3 c) {
+    return 0.2126f * c.x + 0.7152f * c.y + 0.0722f * c.z;
+}
+inline V3 vexp(V3 a) { return {std::exp(a.x), std::exp(a.y), std::exp(a.z)}; }
+inline V3 reflect(V3 v, V3 n) { return v - 2.0f * dot(v, n) * n; }
+inline V3 refract(V3 v, V3 n, float eta) {
+    float cosi = -dot(v, n);
+    float k = 1.0f - eta * eta * (1.0f - cosi * cosi);
+    if (k < 0.0f) return {0, 0, 0};
+    return eta * v + (eta * cosi - std::sqrt(k)) * n;
+}
+
+// ---- RNG: bit-identical to ops/rng.py / pathtrace.metal:55-64 -----------
+inline uint32_t pcg_hash(uint32_t s) {
+    s = s * 747796405u + 2891336453u;
+    uint32_t w = ((s >> ((s >> 28u) + 4u)) ^ s) * 277803737u;
+    return (w >> 22u) ^ w;
+}
+inline float rand_uniform(uint32_t& s) {
+    s = pcg_hash(s);
+    return static_cast<float>(s) / 4294967296.0f;
+}
+inline void disk_sample(uint32_t& s, float& ox, float& oy) {
+    while (true) {
+        float a = rand_uniform(s) * 2.0f - 1.0f;
+        float b = rand_uniform(s) * 2.0f - 1.0f;
+        if (a * a + b * b < 1.0f) {
+            ox = a;
+            oy = b;
+            return;
+        }
+    }
+}
+inline void build_onb(V3 n, V3& t, V3& b) {
+    V3 up = std::fabs(n.z) < 0.999f ? V3{0, 0, 1} : V3{1, 0, 0};
+    t = normalize(cross(up, n));
+    b = cross(n, t);
+}
+inline V3 to_world(V3 local, V3 n) {
+    V3 t, b;
+    build_onb(n, t, b);
+    return local.x * t + local.y * b + local.z * n;
+}
+inline V3 cosine_hemisphere(uint32_t& s) {
+    float r1 = rand_uniform(s);
+    float r2 = rand_uniform(s);
+    float phi = 2.0f * kPi * r2;
+    float r = std::sqrt(std::max(r1, 0.0f));
+    return {std::cos(phi) * r, std::sin(phi) * r,
+            std::sqrt(std::max(1.0f - r1, 0.0f))};
+}
+
+// ---- scene data ----------------------------------------------------------
+struct Material {
+    V3 base_color;
+    float roughness;
+    int type;
+    float eta;
+    float thin;
+    V3 emission;
+    float emission_env;
+    V3 conductor_eta, conductor_k;
+    float has_conductor;
+    V3 sigma_a;  // dielectric absorption
+    float coat_roughness, coat_thickness, coat_sample_weight, coat_fresnel_avg;
+    V3 coat_tint, coat_absorption;
+    float coat_ior;
+};
+
+struct Scene {
+    int n_spheres = 0;
+    const float* sph = nullptr;  // (S,4) center+radius
+    const int* sph_mat = nullptr;
+    int n_rects = 0;
+    const float* rect = nullptr;  // (R,15) corner eU eV invU invV n plane
+    const int* rect_mat = nullptr;
+    const int* rect_two_sided = nullptr;
+    int n_tris = 0;
+    const float* tri = nullptr;  // (T,9)
+    const int* tri_mat = nullptr;
+    std::vector<Material> mats;
+    std::vector<int> light_rects;
+    // env
+    int env_w = 0, env_h = 0;
+    const float* env_texels = nullptr;
+    const float* marg_thresh = nullptr;
+    const int* marg_alias = nullptr;
+    const float* cond_thresh = nullptr;
+    const int* cond_alias = nullptr;
+    const float* env_pdf = nullptr;
+    float env_rotation = 0.0f, env_intensity = 1.0f;
+    // tri BVH (exit-link layout, built on the fly)
+    std::vector<float> bvh_min, bvh_max;
+    std::vector<int> bvh_exit, bvh_off, bvh_cnt, bvh_prims;
+};
+
+struct Hit {
+    bool hit = false;
+    float t = kInfinity;
+    V3 point, normal;
+    bool front = false, two_sided = false;
+    int mat = 0;
+    int prim_type = 0;  // 1 sphere 2 rect 3 tri
+    int prim = -1;
+};
+
+struct Clamps {
+    float factor, floor_, throughput, max_contribution, enabled;
+};
+
+// ---- intersection (reference math: pathtrace.metal:1239-1319, 544-592) --
+bool hit_spheres(const Scene& sc, V3 o, V3 d, float tmin, float tmax, Hit& out) {
+    bool any = false;
+    float closest = tmax;
+    for (int i = 0; i < sc.n_spheres; ++i) {
+        V3 c = {sc.sph[4 * i], sc.sph[4 * i + 1], sc.sph[4 * i + 2]};
+        float r = sc.sph[4 * i + 3];
+        V3 oc = o - c;
+        float a = dot(d, d);
+        float hb = dot(oc, d);
+        float cc = dot(oc, oc) - r * r;
+        float disc = hb * hb - a * cc;
+        if (disc < 0) continue;
+        float sq = std::sqrt(disc);
+        float root = (-hb - sq) / a;
+        if (root < tmin || root > closest) {
+            root = (-hb + sq) / a;
+            if (root < tmin || root > closest) continue;
+        }
+        closest = root;
+        out.hit = true;
+        out.t = root;
+        out.point = o + d * root;
+        V3 outward = (out.point - c) / r;
+        out.front = dot(d, outward) < 0;
+        out.normal = out.front ? outward : outward * -1.0f;
+        out.two_sided = true;
+        out.mat = sc.sph_mat[i];
+        out.prim_type = 1;
+        out.prim = i;
+        any = true;
+    }
+    return any;
+}
+
+bool hit_rects(const Scene& sc, V3 o, V3 d, float tmin, float tmax, Hit& out) {
+    bool any = false;
+    float closest = out.hit ? out.t : tmax;
+    for (int i = 0; i < sc.n_rects; ++i) {
+        const float* r = sc.rect + 15 * i;
+        V3 n = {r[11], r[12], r[13]};
+        float denom = dot(n, d);
+        if (std::fabs(denom) < 1e-6f) continue;
+        float t = (r[14] - dot(n, o)) / denom;
+        if (t < tmin || t > closest) continue;
+        V3 p = o + d * t;
+        V3 rel = p - V3{r[0], r[1], r[2]};
+        float u = dot(rel, {r[3], r[4], r[5]}) * r[9];
+        float v = dot(rel, {r[6], r[7], r[8]}) * r[10];
+        if (u < 0 || u > 1 || v < 0 || v > 1) continue;
+        closest = t;
+        out.hit = true;
+        out.t = t;
+        out.point = p;
+        out.front = denom < 0;
+        out.normal = out.front ? n : n * -1.0f;
+        out.two_sided = sc.rect_two_sided[i] != 0;
+        out.mat = sc.rect_mat[i];
+        out.prim_type = 2;
+        out.prim = i;
+        any = true;
+    }
+    return any;
+}
+
+bool hit_tris(const Scene& sc, V3 o, V3 d, float tmin, float tmax,
+              int exclude, Hit& out) {
+    if (sc.n_tris == 0) return false;
+    bool any = false;
+    float closest = out.hit ? out.t : tmax;
+    V3 inv = {1.0f / (std::fabs(d.x) < 1e-20f ? 1e-20f : d.x),
+              1.0f / (std::fabs(d.y) < 1e-20f ? 1e-20f : d.y),
+              1.0f / (std::fabs(d.z) < 1e-20f ? 1e-20f : d.z)};
+    int node = 0;
+    const int n_nodes = static_cast<int>(sc.bvh_off.size());
+    while (node < n_nodes) {
+        const float* bmin = &sc.bvh_min[3 * node];
+        const float* bmax = &sc.bvh_max[3 * node];
+        float t0x = (bmin[0] - o.x) * inv.x, t1x = (bmax[0] - o.x) * inv.x;
+        float t0y = (bmin[1] - o.y) * inv.y, t1y = (bmax[1] - o.y) * inv.y;
+        float t0z = (bmin[2] - o.z) * inv.z, t1z = (bmax[2] - o.z) * inv.z;
+        float tn = std::max({std::min(t0x, t1x), std::min(t0y, t1y),
+                             std::min(t0z, t1z), tmin});
+        float tf = std::min({std::max(t0x, t1x), std::max(t0y, t1y),
+                             std::max(t0z, t1z), closest});
+        if (tf < tn) {
+            node = sc.bvh_exit[node];
+            continue;
+        }
+        if (sc.bvh_cnt[node] > 0) {
+            for (int k = 0; k < sc.bvh_cnt[node]; ++k) {
+                int ti = sc.bvh_prims[sc.bvh_off[node] + k];
+                if (ti == exclude) continue;
+                const float* tv = sc.tri + 9 * ti;
+                V3 v0 = {tv[0], tv[1], tv[2]};
+                V3 e1 = V3{tv[3], tv[4], tv[5]} - v0;
+                V3 e2 = V3{tv[6], tv[7], tv[8]} - v0;
+                V3 pv = cross(d, e2);
+                float det = dot(e1, pv);
+                if (std::fabs(det) < 1e-8f) continue;
+                float invd = 1.0f / det;
+                V3 tvv = o - v0;
+                float u = dot(tvv, pv) * invd;
+                if (u < 0 || u > 1) continue;
+                V3 qv = cross(tvv, e1);
+                float v = dot(d, qv) * invd;
+                if (v < 0 || u + v > 1) continue;
+                float t = dot(e2, qv) * invd;
+                if (t < tmin || t > closest) continue;
+                closest = t;
+                out.hit = true;
+                out.t = t;
+                out.point = o + d * t;
+                V3 gn = normalize(cross(e1, e2));
+                out.front = dot(d, gn) < 0;
+                out.normal = out.front ? gn : gn * -1.0f;
+                out.two_sided = false;
+                out.mat = sc.tri_mat[ti];
+                out.prim_type = 3;
+                out.prim = ti;
+                any = true;
+            }
+            node = sc.bvh_exit[node];
+        } else {
+            node = node + 1;
+        }
+    }
+    return any;
+}
+
+bool trace(const Scene& sc, V3 o, V3 d, float tmin, float tmax,
+           int exclude_tri, Hit& out) {
+    out = Hit{};
+    out.t = tmax;
+    bool a = hit_spheres(sc, o, d, tmin, tmax, out);
+    bool b = hit_rects(sc, o, d, tmin, tmax, out);
+    bool c = hit_tris(sc, o, d, tmin, tmax, exclude_tri, out);
+    return a || b || c;
+}
+
+V3 offset_origin(const Hit& h, V3 dir) {
+    V3 n = h.normal;
+    float sign = dot(dir, n) >= 0 ? 1.0f : -1.0f;
+    float dist = std::max(std::fabs(h.t) * 1e-4f, kRayOriginEpsilon);
+    return h.point + n * (sign * dist) + dir * (kRayOriginEpsilon * 0.5f);
+}
+
+// ---- clamps (reference: pathtrace.metal clamp_*) -------------------------
+V3 clamp_contribution(V3 tp, V3 c, const Clamps& p) {
+    V3 comb = tp * c;
+    if (!finite3(comb)) return {0, 0, 0};
+    V3 pos = vmin0(comb);
+    if (p.enabled < 0.5f) return pos;
+    float lum = luminance(pos);
+    float tl = luminance(vmin0(tp));
+    float ml = std::max(tl * p.factor, p.floor_);
+    if (p.max_contribution > 0) ml = std::max(ml, p.max_contribution);
+    if (lum > ml && lum > 0) {
+        comb = comb * (ml / std::max(lum, 1e-6f));
+        pos = vmin0(comb);
+    }
+    return pos;
+}
+V3 clamp_throughput(V3 tp, const Clamps& p) {
+    if (!finite3(tp)) return {0, 0, 0};
+    if (p.enabled < 0.5f || p.throughput <= 0) return tp;
+    float lum = luminance(vmin0(tp));
+    if (lum > p.throughput && lum > 0)
+        return tp * (p.throughput / std::max(lum, 1e-6f));
+    return tp;
+}
+
+// ---- Fresnel / GGX (reference: pathtrace.metal:3645-3911) ----------------
+float fresnel_dielectric(float ci, float etai, float etat, float& cost) {
+    ci = std::clamp(ci, -1.0f, 1.0f);
+    float aci = std::fabs(ci);
+    float s2i = std::max(0.0f, 1.0f - aci * aci);
+    float eta = etai / etat;
+    float s2t = eta * eta * s2i;
+    if (s2t >= 1.0f) {
+        cost = 0;
+        return 1.0f;
+    }
+    cost = std::sqrt(std::max(1.0f - s2t, 0.0f));
+    float rs = (etai * aci - etat * cost) / (etai * aci + etat * cost);
+    float rp = (etat * aci - etai * cost) / (etat * aci + etai * cost);
+    return 0.5f * (rs * rs + rp * rp);
+}
+V3 fresnel_conductor(float ci, V3 eta, V3 k) {
+    ci = std::clamp(ci, -1.0f, 1.0f);
+    float c2 = ci * ci, s2 = std::max(0.0f, 1.0f - c2);
+    auto comp = [&](float e, float kk) {
+        float e2 = e * e, k2 = kk * kk;
+        float t0 = e2 - k2 - s2;
+        float a2b2 = std::sqrt(std::max(t0 * t0 + 4 * e2 * k2, 0.0f));
+        float a = std::sqrt(std::max(0.5f * (a2b2 + t0), 0.0f));
+        float rs = (a2b2 + c2 - 2 * ci * a) / (a2b2 + c2 + 2 * ci * a);
+        float rp = (c2 * a2b2 + s2 * s2 - 2 * ci * a * s2) /
+                   (c2 * a2b2 + s2 * s2 + 2 * ci * a * s2);
+        return std::clamp(0.5f * (rs * rs + rp * rp), 0.0f, 1.0f);
+    };
+    return {comp(eta.x, k.x), comp(eta.y, k.y), comp(eta.z, k.z)};
+}
+float schlick_w(float c) {
+    float m = std::clamp(1.0f - c, 0.0f, 1.0f);
+    return m * m * m * m * m;
+}
+V3 schlick(V3 f0, float c) {
+    float w = schlick_w(c);
+    return f0 + (V3{1, 1, 1} - f0) * w;
+}
+float ggx_lambda(float a, float c) {
+    float ac = std::fabs(c);
+    if (ac <= 0) return 0;
+    float s = std::sqrt(std::max(0.0f, 1.0f - ac * ac));
+    if (s == 0) return 0;
+    float t = s / ac, aa = a * t;
+    return (-1.0f + std::sqrt(1.0f + aa * aa)) * 0.5f;
+}
+float ggx_g1(float a, float c) { return 1.0f / (1.0f + ggx_lambda(a, c)); }
+float ggx_d(float a, float ch) {
+    float ac = std::fabs(ch), a2 = a * a;
+    float den = ac * ac * (a2 - 1.0f) + 1.0f;
+    return a2 / (kPi * den * den);
+}
+float ggx_pdf(float a, V3 n, V3 wo, V3 wi) {
+    V3 wh = normalize(wo + wi);
+    float ch = dot(n, wh), dwh = dot(wo, wh), co = dot(n, wo);
+    if (co <= 0 || ch <= 0 || dwh <= 0) return 0;
+    return ggx_d(a, ch) * ggx_g1(a, co) * ch / (4.0f * std::max(dwh, 1e-6f));
+}
+V3 to_local(V3 v, V3 n) {
+    V3 t, b;
+    build_onb(n, t, b);
+    return {dot(v, t), dot(v, b), dot(v, n)};
+}
+V3 sample_vndf(V3 n, V3 wo, float rough, uint32_t& s) {
+    V3 wol = to_local(normalize(wo), n);
+    wol.z = std::max(wol.z, 1e-6f);
+    float a = std::max(rough * rough, 1e-4f);
+    V3 vh = normalize({a * wol.x, a * wol.y, wol.z});
+    float lensq = vh.x * vh.x + vh.y * vh.y;
+    V3 t1 = lensq > 0 ? V3{-vh.y, vh.x, 0} * (1.0f / std::sqrt(lensq))
+                      : V3{1, 0, 0};
+    V3 t2 = cross(vh, t1);
+    float u1 = rand_uniform(s), u2 = rand_uniform(s);
+    float r = std::sqrt(u1), phi = 2.0f * kPi * u2;
+    float p1 = r * std::cos(phi), p2 = r * std::sin(phi);
+    float sfac = 0.5f * (1.0f + vh.z);
+    float p2a = (1.0f - sfac) * std::sqrt(std::max(0.0f, 1.0f - p1 * p1)) + sfac * p2;
+    float p3 = std::sqrt(std::max(0.0f, 1.0f - p1 * p1 - p2a * p2a));
+    V3 nh = p1 * t1 + p2a * t2 + p3 * vh;
+    V3 ne = normalize({a * nh.x, a * nh.y, std::max(nh.z, 0.0f)});
+    return normalize(to_world(ne, n));
+}
+void dfg_approx(float rough, float nov, float& x, float& y) {
+    const float c0[4] = {-1.0f, -0.0275f, -0.572f, 0.022f};
+    const float c1[4] = {1.0f, 0.0425f, 1.04f, -0.04f};
+    float r[4];
+    for (int i = 0; i < 4; ++i) r[i] = rough * c0[i] + c1[i];
+    float a004 = std::min(r[0] * r[0], std::exp2(-9.28f * nov)) * r[0] + r[1];
+    x = -1.04f * a004 + r[2];
+    y = 1.04f * a004 + r[3];
+}
+V3 energy_comp(V3 f0, float rough, float nov) {
+    float x, y;
+    dfg_approx(rough, std::clamp(nov, 0.0f, 1.0f), x, y);
+    auto comp = [&](float f) {
+        float fss = std::clamp(f * x + y, 0.0f, 0.99f);
+        float favg = f + (1.0f - f) / 21.0f;
+        float om = std::clamp(1.0f - fss, 0.0f, 1.0f);
+        float fms = (favg * om) / std::max(1.0f - favg * om, 1e-3f);
+        return std::clamp((fss + fms) / std::max(fss, 1e-4f), 1.0f, 2.0f);
+    };
+    return {comp(f0.x), comp(f0.y), comp(f0.z)};
+}
+
+struct SampleResult {
+    V3 dir, weight;
+    float pdf = 0, dpdf = 0;
+    bool delta = false;
+    int medium_event = 0;
+};
+struct EvalResult {
+    V3 value{};
+    float pdf = 0;
+    bool delta = false;
+};
+
+bool has_conductor(const Material& m) {
+    return m.has_conductor > 0 || maxc(m.conductor_eta) > 0 || maxc(m.conductor_k) > 0;
+}
+V3 conductor_f0(const Material& m) {
+    if (has_conductor(m)) return fresnel_conductor(1.0f, m.conductor_eta, m.conductor_k);
+    return {std::clamp(m.base_color.x, 0.f, 1.f), std::clamp(m.base_color.y, 0.f, 1.f),
+            std::clamp(m.base_color.z, 0.f, 1.f)};
+}
+bool material_is_delta(const Material& m) {
+    if (m.type == 2) return true;
+    if (m.type == 1) return std::clamp(m.roughness, 0.f, 1.f) <= 1e-3f;
+    return false;
+}
+
+float plastic_coat_f0(const Material& m) {
+    float eta = std::max(m.eta, 1.0f);
+    float r = (eta - 1.0f) / std::max(eta + 1.0f, 1e-6f);
+    return std::clamp(r * r, 0.0f, 0.999f);
+}
+V3 plastic_spec_tint(const Material& m) {
+    V3 tint = m.coat_tint;
+    if (m.coat_thickness <= 0 || maxc(m.coat_absorption) <= 1e-6f) return tint;
+    return tint * vexp(m.coat_absorption * -m.coat_thickness);
+}
+V3 plastic_diffuse_trans(const Material& m, float ci, float co) {
+    if (m.coat_thickness <= 0) return m.coat_tint;
+    float si = std::max(ci, 1e-3f), so = std::max(co, 1e-3f);
+    return m.coat_tint * vexp(m.coat_absorption * -(m.coat_thickness / si)) *
+           vexp(m.coat_absorption * -(m.coat_thickness / so));
+}
+
+EvalResult eval_bsdf(const Material& m, V3 n, V3 wo, V3 wi) {
+    EvalResult r;
+    float co = std::max(dot(n, wo), 0.0f), ci = std::max(dot(n, wi), 0.0f);
+    if (ci <= 0 || co <= 0) return r;
+    switch (m.type) {
+        case 0: {
+            r.value = m.base_color / kPi;
+            r.pdf = ci / kPi;
+            break;
+        }
+        case 1: {
+            float rough = std::clamp(m.roughness, 0.f, 1.f);
+            if (rough <= 1e-3f) {
+                r.delta = true;
+                break;
+            }
+            float a = rough * rough;
+            V3 wh = normalize(wo + wi);
+            if (dot(wh, n) <= 0 || dot(wo, wh) <= 0 || dot(wi, wh) <= 0) break;
+            float D = ggx_d(a, dot(n, wh));
+            float G = ggx_g1(a, co) * ggx_g1(a, ci);
+            V3 f0 = conductor_f0(m);
+            V3 F = has_conductor(m)
+                       ? fresnel_conductor(dot(wi, wh), m.conductor_eta, m.conductor_k)
+                       : schlick(f0, dot(wi, wh));
+            V3 spec = F * (D * G / std::max(4.0f * co * ci, 1e-6f));
+            spec = spec * energy_comp(f0, rough, co);
+            float pdf = ggx_pdf(a, n, wo, wi);
+            if (pdf > 0) {
+                r.value = vmin0(spec);
+                r.pdf = pdf;
+            }
+            break;
+        }
+        case 2:
+            r.delta = true;
+            break;
+        case 4: {
+            float cr = std::max(std::clamp(m.coat_roughness, 0.f, 1.f), 1e-3f);
+            float a = cr * cr;
+            float f0 = plastic_coat_f0(m);
+            V3 f0c = {f0, f0, f0};
+            V3 spec{};
+            float pdf_s = 0;
+            V3 wh = normalize(wo + wi);
+            if (dot(wh, n) > 0 && dot(wo, wh) > 0 && dot(wi, wh) > 0) {
+                float D = ggx_d(a, dot(n, wh));
+                float G = ggx_g1(a, co) * ggx_g1(a, ci);
+                V3 F = schlick(f0c, dot(wi, wh));
+                spec = F * (D * G / std::max(4.0f * co * ci, 1e-6f));
+                spec = vmin0(spec * plastic_spec_tint(m));
+                pdf_s = ggx_pdf(a, n, wo, wi);
+            }
+            V3 Fi = schlick(f0c, ci), Fo = schlick(f0c, co);
+            V3 diff = m.base_color / kPi;
+            diff = diff * plastic_diffuse_trans(m, ci, co);
+            diff = diff * (V3{1, 1, 1} - Fi) * (V3{1, 1, 1} - Fo);
+            diff = vmin0(diff * std::max(1.0f - m.coat_fresnel_avg, 0.0f));
+            float pdf_d = ci / kPi;
+            float pc = std::clamp(m.coat_sample_weight, 0.0f, 1.0f);
+            r.value = spec + diff;
+            r.pdf = pc * pdf_s + (1.0f - pc) * pdf_d;
+            break;
+        }
+        default: {  // oracle fallback: lambert
+            r.value = m.base_color / kPi;
+            r.pdf = ci / kPi;
+            break;
+        }
+    }
+    if (r.pdf <= 0 || !finite3(r.value)) r.value = {0, 0, 0};
+    return r;
+}
+
+SampleResult sample_bsdf(const Material& m, V3 n, V3 wo, V3 incident,
+                         bool front, uint32_t& s) {
+    SampleResult r;
+    switch (m.type) {
+        case 0: {
+            V3 local = cosine_hemisphere(s);
+            V3 wi = normalize(to_world(local, n));
+            float ci = dot(n, wi);
+            if (ci <= 0) return r;
+            float pdf = ci / kPi;
+            if (pdf <= 0) return r;
+            r.dir = wi;
+            r.weight = m.base_color;
+            r.pdf = r.dpdf = pdf;
+            break;
+        }
+        case 1: {
+            float rough = std::clamp(m.roughness, 0.f, 1.f);
+            V3 f0 = conductor_f0(m);
+            if (rough <= 1e-3f) {
+                V3 wi = reflect(incident, n);
+                if (dot(n, wi) <= 0) return r;
+                float ct = std::max(dot(n, wo), 0.0f);
+                r.weight = has_conductor(m)
+                               ? fresnel_conductor(ct, m.conductor_eta, m.conductor_k)
+                               : schlick(f0, ct);
+                r.dir = wi;
+                r.pdf = r.dpdf = 1.0f;
+                r.delta = true;
+                break;
+            }
+            float a = rough * rough;
+            V3 wh = sample_vndf(n, wo, rough, s);
+            if (dot(wh, n) <= 0) return r;
+            V3 wi = normalize(reflect(wo * -1.0f, wh));
+            float ci = dot(n, wi), co = dot(n, wo);
+            if (ci <= 0 || co <= 0 || dot(wo, wh) <= 0) return r;
+            float D = ggx_d(a, dot(n, wh));
+            float G = ggx_g1(a, co) * ggx_g1(a, ci);
+            V3 F = has_conductor(m)
+                       ? fresnel_conductor(dot(wi, wh), m.conductor_eta, m.conductor_k)
+                       : schlick(f0, dot(wi, wh));
+            V3 f = F * (D * G / std::max(4.0f * co * ci, 1e-6f));
+            f = f * energy_comp(f0, rough, co);
+            float pdf = ggx_pdf(a, n, wo, wi);
+            if (pdf <= 0) return r;
+            r.dir = wi;
+            r.weight = vmin0(f * (ci / pdf));
+            r.pdf = r.dpdf = pdf;
+            break;
+        }
+        case 2: {
+            bool thin = m.thin > 0.5f;
+            float ref = std::max(m.eta, 1.0f);
+            float ei = 1.0f, et = ref;
+            if (!thin && !front) {
+                ei = ref;
+                et = 1.0f;
+            }
+            float co = std::clamp(dot(incident * -1.0f, n), -1.0f, 1.0f);
+            float ct = 0;
+            float Fr = fresnel_dielectric(co, ei, et, ct);
+            V3 dir;
+            V3 weight;
+            if (rand_uniform(s) < Fr) {
+                dir = reflect(incident, n);
+                weight = {Fr, Fr, Fr};
+            } else {
+                dir = refract(incident, n, ei / et);
+                if (dot(dir, dir) <= 0) {
+                    dir = reflect(incident, n);
+                    weight = {Fr, Fr, Fr};
+                } else {
+                    dir = normalize(dir);
+                    float esc = (et * et) / (ei * ei);
+                    float w = std::max(1.0f - Fr, 0.0f) * esc *
+                              (std::fabs(ct) / std::max(std::fabs(co), 1e-6f));
+                    weight = {w, w, w};
+                    if (!thin) r.medium_event = front ? 1 : -1;
+                }
+            }
+            r.dir = normalize(dir);
+            r.weight = weight;
+            r.pdf = r.dpdf = 1.0f;
+            r.delta = true;
+            break;
+        }
+        case 4: {
+            float co = dot(n, wo);
+            if (co <= 0) return r;
+            float cr = std::max(std::clamp(m.coat_roughness, 0.f, 1.f), 1e-3f);
+            float a = cr * cr;
+            float f0 = plastic_coat_f0(m);
+            V3 f0c = {f0, f0, f0};
+            float pc = std::clamp(m.coat_sample_weight, 0.0f, 1.0f);
+            float sel = rand_uniform(s);
+            if (sel < pc && pc > 0) {
+                V3 wh = sample_vndf(n, wo, cr, s);
+                if (dot(wh, n) <= 0) return r;
+                V3 wi = normalize(reflect(wo * -1.0f, wh));
+                float ci = dot(n, wi);
+                if (ci <= 0 || dot(wi, wh) <= 0) return r;
+                float D = ggx_d(a, dot(n, wh));
+                float G = ggx_g1(a, co) * ggx_g1(a, ci);
+                V3 F = schlick(f0c, dot(wi, wh));
+                V3 spec = F * (D * G / std::max(4.0f * co * ci, 1e-6f));
+                spec = spec * plastic_spec_tint(m);
+                float ps = ggx_pdf(a, n, wo, wi);
+                float pd = ci / kPi;
+                float pdf = pc * ps + (1.0f - pc) * pd;
+                if (pdf <= 0) return r;
+                r.dir = wi;
+                r.weight = vmin0(spec * (ci / pdf));
+                r.pdf = r.dpdf = pdf;
+            } else {
+                V3 local = cosine_hemisphere(s);
+                V3 wi = normalize(to_world(local, n));
+                float ci = dot(n, wi);
+                if (ci <= 0) return r;
+                V3 diff = m.base_color / kPi;
+                diff = diff * plastic_diffuse_trans(m, ci, co);
+                V3 Fi = schlick(f0c, ci), Fo = schlick(f0c, co);
+                diff = diff * (V3{1, 1, 1} - Fi) * (V3{1, 1, 1} - Fo);
+                diff = vmin0(diff * std::max(1.0f - m.coat_fresnel_avg, 0.0f));
+                float pd = ci / kPi;
+                float ps = ggx_pdf(a, n, wo, wi);
+                float pdf = pc * ps + (1.0f - pc) * pd;
+                if (pdf <= 0) return r;
+                r.dir = wi;
+                r.weight = vmin0(diff * (ci / pdf));
+                r.pdf = r.dpdf = pdf;
+            }
+            break;
+        }
+        default: {  // oracle fallback: lambert
+            V3 local = cosine_hemisphere(s);
+            V3 wi = normalize(to_world(local, n));
+            float ci = dot(n, wi);
+            if (ci <= 0) return r;
+            r.dir = wi;
+            r.weight = m.base_color;
+            r.pdf = r.dpdf = ci / kPi;
+            break;
+        }
+    }
+    return r;
+}
+
+// ---- environment (reference: ops/env.py lookup convention) ---------------
+V3 env_lookup(const Scene& sc, V3 dir) {
+    V3 u = normalize(dir);
+    float cr = std::cos(sc.env_rotation), sr = std::sin(sc.env_rotation);
+    V3 rot = {u.x * cr - u.z * sr, u.y, u.x * sr + u.z * cr};
+    float uu = (std::atan2(rot.z, rot.x) + kPi) / (2.0f * kPi);
+    float vv = 0.5f - std::asin(std::clamp(rot.y, -1.0f, 1.0f)) / kPi;
+    int w = sc.env_w, h = sc.env_h;
+    // bilinear, repeat addressing (matches ops/env.py _bilinear_wrap)
+    float x = uu * w - 0.5f, y = vv * h - 0.5f;
+    int x0 = static_cast<int>(std::floor(x)), y0 = static_cast<int>(std::floor(y));
+    float fx = x - x0, fy = y - y0;
+    auto texel = [&](int yy, int xx) {
+        yy = ((yy % h) + h) % h;
+        xx = ((xx % w) + w) % w;
+        const float* p = sc.env_texels + 3 * (yy * w + xx);
+        return V3{p[0], p[1], p[2]};
+    };
+    V3 c = texel(y0, x0) * ((1 - fx) * (1 - fy)) + texel(y0, x0 + 1) * (fx * (1 - fy)) +
+           texel(y0 + 1, x0) * ((1 - fx) * fy) + texel(y0 + 1, x0 + 1) * (fx * fy);
+    return c * sc.env_intensity;
+}
+float env_pdf_lookup(const Scene& sc, V3 dir) {
+    if (!sc.env_pdf) return 0;
+    V3 u = normalize(dir);
+    float cr = std::cos(sc.env_rotation), sr = std::sin(sc.env_rotation);
+    V3 rot = {u.x * cr - u.z * sr, u.y, u.x * sr + u.z * cr};
+    float uu = (std::atan2(rot.z, rot.x) + kPi) / (2.0f * kPi);
+    float vv = 0.5f - std::asin(std::clamp(rot.y, -1.0f, 1.0f)) / kPi;
+    uu = std::clamp(uu, 0.0f, 0.99999994f);
+    vv = std::clamp(vv, 0.0f, 0.99999994f);
+    int x = std::min(static_cast<int>(uu * sc.env_w), sc.env_w - 1);
+    int y = std::min(static_cast<int>(vv * sc.env_h), sc.env_h - 1);
+    float p = sc.env_pdf[y * sc.env_w + x];
+    return (std::isfinite(p) && p > 0) ? p : 0;
+}
+bool env_sample(const Scene& sc, uint32_t& s, V3& dir, V3& rad, float& pdf) {
+    if (!sc.env_pdf) return false;
+    int w = sc.env_w, h = sc.env_h;
+    float um = rand_uniform(s), uc = rand_uniform(s), uj = rand_uniform(s);
+    float rc = um * h;
+    int row = std::min(static_cast<int>(std::floor(rc)), h - 1);
+    if (rc - std::floor(rc) >= sc.marg_thresh[row])
+        row = std::min(sc.marg_alias[row], h - 1);
+    float cc = uc * w;
+    int col = std::min(static_cast<int>(std::floor(cc)), w - 1);
+    if (cc - std::floor(cc) >= sc.cond_thresh[row * w + col])
+        col = std::min(sc.cond_alias[row * w + col], w - 1);
+    float fx = (col + (uc - std::floor(uc))) / w;
+    float fy = (row + std::clamp(uj, 0.0f, 0.99999994f)) / h;
+    float theta = fy * kPi;
+    float phi = fx * 2.0f * kPi - kPi;  // lookup-consistent convention
+    float st = std::sin(theta), ct = std::cos(theta);
+    V3 map_dir = {st * std::cos(phi), ct, st * std::sin(phi)};
+    float cr = std::cos(sc.env_rotation), sr = std::sin(sc.env_rotation);
+    dir = {map_dir.x * cr + map_dir.z * sr, map_dir.y,
+           -map_dir.x * sr + map_dir.z * cr};
+    pdf = sc.env_pdf[row * w + col];
+    if (!std::isfinite(pdf) || pdf <= 0) return false;
+    rad = vmin0(env_lookup(sc, dir));
+    return finite3(rad);
+}
+
+// ---- rect light sampling (reference: pathtrace.metal sample_rect_light) --
+bool rect_light_sample(const Scene& sc, const Hit& hit, uint32_t& s,
+                       V3& dir, float& dist, float& pdf, V3& emission) {
+    int nl = static_cast<int>(sc.light_rects.size());
+    if (nl == 0) return false;
+    int sel = std::min(static_cast<int>(rand_uniform(s) * nl), nl - 1);
+    int ri = sc.light_rects[sel];
+    float u = rand_uniform(s), v = rand_uniform(s);
+    const float* r = sc.rect + 15 * ri;
+    V3 eu = {r[3], r[4], r[5]}, ev = {r[6], r[7], r[8]};
+    V3 p = V3{r[0], r[1], r[2]} + eu * u + ev * v;
+    V3 to = p - hit.point;
+    float d2 = dot(to, to);
+    if (d2 <= 0) return false;
+    dist = std::sqrt(d2);
+    dir = to / dist;
+    float area = length(cross(eu, ev));
+    if (area <= 0) return false;
+    V3 n = {r[11], r[12], r[13]};
+    float cl = dot(dir * -1.0f, n);
+    bool two = sc.rect_two_sided[ri] != 0;
+    if (two) cl = std::fabs(cl);
+    else if (cl <= 0) return false;
+    if (cl <= 0) return false;
+    pdf = (1.0f / area) * d2 / std::max(cl, 1e-6f) / nl;
+    if (pdf <= 0 || !std::isfinite(pdf)) return false;
+    emission = sc.mats[sc.rect_mat[ri]].emission;
+    return maxc(emission) > 0 || emission.x != 0 || emission.y != 0 || emission.z != 0;
+}
+float rect_light_pdf_hit(const Scene& sc, const Hit& h, V3 origin) {
+    int nl = static_cast<int>(sc.light_rects.size());
+    if (nl == 0 || h.prim_type != 2) return 0;
+    const Material& m = sc.mats[sc.rect_mat[h.prim]];
+    if (m.type != 3 || (m.emission.x == 0 && m.emission.y == 0 && m.emission.z == 0))
+        return 0;
+    const float* r = sc.rect + 15 * h.prim;
+    V3 eu = {r[3], r[4], r[5]}, ev = {r[6], r[7], r[8]};
+    float area = length(cross(eu, ev));
+    if (area <= 0) return 0;
+    V3 to = h.point - origin;
+    float d2 = dot(to, to);
+    if (d2 <= 0) return 0;
+    V3 dir = to / std::sqrt(d2);
+    V3 n = {r[11], r[12], r[13]};
+    float cl = dot(dir * -1.0f, n);
+    if (sc.rect_two_sided[h.prim]) cl = std::fabs(cl);
+    else if (cl <= 0) return 0;
+    if (cl <= 0) return 0;
+    return (1.0f / area) * d2 / std::max(cl, 1e-6f) / nl;
+}
+
+// ---- path integrator (mirrors ops/integrator.py / reference :5717-7284) --
+struct Params {
+    int width, height, spp, max_depth;
+    uint32_t seed;
+    int use_rr;
+    float cam[19];  // origin, lower_left, horizontal, vertical, u, v, lens_r
+    int bg_mode;
+    V3 bg_color;
+    Clamps clamps;
+    int enable_spec_nee;
+};
+
+V3 sky(V3 d) {
+    V3 u = normalize(d);
+    float t = 0.5f * (u.y + 1.0f);
+    return V3{1, 1, 1} * (1.0f - t) + V3{0.5f, 0.7f, 1.0f} * t;
+}
+
+V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
+    V3 throughput = {1, 1, 1};
+    V3 radiance = {0, 0, 0};
+    float last_pdf = 1.0f;
+    bool last_delta = true;
+    int exclude_tri = -1;
+    V3 medium[kMaxMedium];
+    int medium_depth = 0;
+    bool env_on = P.bg_mode == 2 && sc.env_pdf != nullptr;
+
+    for (int depth = 0; depth < P.max_depth; ++depth) {
+        Hit rec;
+        if (!trace(sc, ro, rd, kEpsilon, kInfinity, exclude_tri, rec)) {
+            V3 bg = P.bg_mode == 1 ? P.bg_color
+                    : (P.bg_mode == 2 && sc.env_texels ? env_lookup(sc, rd)
+                                                       : sky(rd));
+            float mis = 1.0f;
+            bool use_mis = !last_delta || P.enable_spec_nee;
+            if (use_mis && env_on) {
+                float lp = env_pdf_lookup(sc, rd);
+                float den = last_pdf + lp;
+                if (den > 0)
+                    mis = std::clamp(last_pdf / den, kMisMin, kMisMax);
+            }
+            radiance = radiance + clamp_contribution(throughput, bg * mis, P.clamps);
+            break;
+        }
+        exclude_tri = rec.prim_type == 3 ? rec.prim : -1;
+
+        if (medium_depth > 0) {
+            V3 sg = medium[medium_depth - 1];
+            if (maxc(sg) > 0)
+                throughput = throughput * vexp(sg * -std::max(rec.t, 0.0f));
+        }
+
+        const Material& m = sc.mats[std::min(rec.mat, (int)sc.mats.size() - 1)];
+        V3 incident = normalize(rd);
+        V3 wo = incident * -1.0f;
+        V3 n = rec.normal;
+
+        // DiffuseLight hit (reference :6444-6485)
+        if (m.type == 3) {
+            V3 em = m.emission;
+            if ((em.x != 0 || em.y != 0 || em.z != 0) && (rec.front || rec.two_sided)) {
+                float mis = 1.0f;
+                bool use_mis = !last_delta || P.enable_spec_nee;
+                if (use_mis && !sc.light_rects.empty()) {
+                    float lp = rect_light_pdf_hit(sc, rec, ro);
+                    float den = last_pdf + lp;
+                    if (den > 0) mis = std::clamp(last_pdf / den, kMisMin, kMisMax);
+                }
+                radiance = radiance + clamp_contribution(throughput, em * mis, P.clamps);
+            }
+            break;
+        }
+
+        bool is_delta_surface = material_is_delta(m);
+
+        // NEE rect lights
+        if (!is_delta_surface && !sc.light_rects.empty()) {
+            V3 ldir, lem;
+            float ldist, lpdf;
+            if (rect_light_sample(sc, rec, s, ldir, ldist, lpdf, lem)) {
+                float ndl = std::max(dot(n, ldir), 0.0f);
+                if (lpdf > 0 && ndl > 0) {
+                    Hit sh;
+                    V3 so = offset_origin(rec, ldir);
+                    bool occ = trace(sc, so, ldir, kEpsilon,
+                                     std::max(ldist - kEpsilon, kEpsilon), -1, sh);
+                    if (!occ) {
+                        EvalResult ev = eval_bsdf(m, n, wo, ldir);
+                        if (!ev.delta && maxc(ev.value) > 0) {
+                            float wgt = 1.0f;
+                            if (ev.pdf > 0) {
+                                float den = lpdf + ev.pdf;
+                                if (den > 0)
+                                    wgt = std::clamp(lpdf / den, kMisMin, kMisMax);
+                            }
+                            V3 contrib = lem * ev.value * (ndl * wgt / lpdf);
+                            if (finite3(contrib))
+                                radiance = radiance +
+                                           clamp_contribution(throughput, contrib, P.clamps);
+                        }
+                    }
+                }
+            }
+        }
+
+        // NEE environment
+        if (!is_delta_surface && env_on) {
+            V3 edir, erad;
+            float epdf;
+            if (env_sample(sc, s, edir, erad, epdf)) {
+                float ndl = std::max(dot(n, edir), 0.0f);
+                if (epdf > 0 && ndl > 0) {
+                    Hit sh;
+                    V3 so = offset_origin(rec, edir);
+                    bool occ = trace(sc, so, edir, kEpsilon, kInfinity, -1, sh);
+                    if (!occ) {
+                        EvalResult ev = eval_bsdf(m, n, wo, edir);
+                        if (!ev.delta && maxc(ev.value) > 0) {
+                            float wgt = 1.0f;
+                            if (ev.pdf > 0) {
+                                float den = epdf + ev.pdf;
+                                if (den > 0)
+                                    wgt = std::clamp(epdf / den, kMisMin, kMisMax);
+                            }
+                            V3 contrib = erad * ev.value * (ndl * wgt / epdf);
+                            if (finite3(contrib))
+                                radiance = radiance +
+                                           clamp_contribution(throughput, contrib, P.clamps);
+                        }
+                    }
+                }
+            }
+        }
+
+        SampleResult smp = sample_bsdf(m, n, wo, incident, rec.front, s);
+        if (smp.pdf <= 0) break;
+
+        if (smp.medium_event == 1) {
+            V3 sg = vmin0(m.sigma_a);
+            if (medium_depth < kMaxMedium)
+                medium[medium_depth++] = sg;
+            else
+                medium[kMaxMedium - 1] = sg;
+        } else if (smp.medium_event == -1) {
+            if (medium_depth > 0) medium_depth--;
+        }
+
+        V3 next_o = offset_origin(rec, smp.dir);
+
+        // specular NEE (reference :6843-6960), primary chain only
+        if (P.enable_spec_nee && smp.delta && smp.medium_event <= 0 &&
+            finite3(smp.dir) && dot(smp.dir, smp.dir) > 0) {
+            V3 nd = normalize(smp.dir);
+            if (env_on) {
+                Hit sh;
+                bool occ = trace(sc, next_o, nd, kEpsilon, kInfinity, -1, sh);
+                if (!occ) {
+                    float ep = std::max(env_pdf_lookup(sc, nd), 1.0e-4f);
+                    float inv = std::min(1.0f / ep, 1.0e4f);
+                    float bp = std::max(smp.dpdf, 1.0e-4f);
+                    float wgt = std::clamp(ep / (ep + bp), kMisMin, kMisMax);
+                    V3 contrib = smp.weight * env_lookup(sc, nd) * (wgt * inv);
+                    if (finite3(contrib))
+                        radiance = radiance +
+                                   clamp_contribution(throughput, contrib, P.clamps);
+                }
+            }
+            if (!sc.light_rects.empty()) {
+                Hit lh;
+                if (trace(sc, next_o, nd, kEpsilon, kInfinity, -1, lh) &&
+                    lh.prim_type == 2) {
+                    const Material& lm = sc.mats[sc.rect_mat[lh.prim]];
+                    if (lm.type == 3 && (lh.front || lh.two_sided)) {
+                        float lp = rect_light_pdf_hit(sc, lh, next_o);
+                        if (lp > 0) {
+                            lp = std::max(lp, 1.0e-4f);
+                            float inv = std::min(1.0f / lp, 1.0e4f);
+                            float bp = std::max(smp.dpdf, 1.0e-4f);
+                            float wgt = std::clamp(lp / (lp + bp), kMisMin, kMisMax);
+                            V3 contrib = smp.weight * lm.emission * (wgt * inv);
+                            if (finite3(contrib))
+                                radiance = radiance + clamp_contribution(
+                                                          throughput, contrib, P.clamps);
+                        }
+                    }
+                }
+            }
+        }
+
+        throughput = clamp_throughput(throughput * smp.weight, P.clamps);
+        if (!finite3(throughput)) break;
+        float mtp = maxc(throughput);
+        if (mtp <= 0) break;
+
+        last_pdf = smp.dpdf > 0 ? smp.dpdf : smp.pdf;
+        last_delta = smp.delta;
+        ro = next_o;
+        rd = smp.dir;
+
+        if (P.use_rr && depth >= 5) {
+            float cp = std::clamp(mtp, 0.05f, 0.95f);
+            if (rand_uniform(s) > cp) break;
+            throughput = throughput / cp;
+        }
+    }
+    return radiance;
+}
+
+}  // namespace
+
+extern "C" int render_oracle(
+    int width, int height, int spp, int max_depth, uint32_t seed, int use_rr,
+    const float* cam,  // 19 floats
+    int bg_mode, const float* bg_color,
+    int n_spheres, const float* sph, const int* sph_mat,
+    int n_rects, const float* rect, const int* rect_mat, const int* rect_two_sided,
+    int n_tris, const float* tri, const int* tri_mat,
+    int n_mats, const float* mat_data,  // (M, 32)
+    int env_w, int env_h, const float* env_texels,
+    const float* marg_thresh, const int* marg_alias,
+    const float* cond_thresh, const int* cond_alias, const float* env_pdf,
+    float env_rotation, float env_intensity,
+    const float* firefly,  // factor, floor, throughput, max_contrib, enabled
+    int enable_spec_nee, int n_threads,
+    float* out_rgb) {
+    Scene sc;
+    sc.n_spheres = n_spheres;
+    sc.sph = sph;
+    sc.sph_mat = sph_mat;
+    sc.n_rects = n_rects;
+    sc.rect = rect;
+    sc.rect_mat = rect_mat;
+    sc.rect_two_sided = rect_two_sided;
+    sc.n_tris = n_tris;
+    sc.tri = tri;
+    sc.tri_mat = tri_mat;
+    sc.env_w = env_w;
+    sc.env_h = env_h;
+    sc.env_texels = env_texels;
+    sc.marg_thresh = marg_thresh;
+    sc.marg_alias = marg_alias;
+    sc.cond_thresh = cond_thresh;
+    sc.cond_alias = cond_alias;
+    sc.env_pdf = env_pdf;
+    sc.env_rotation = env_rotation;
+    sc.env_intensity = env_intensity;
+
+    sc.mats.resize(n_mats);
+    for (int i = 0; i < n_mats; ++i) {
+        const float* d = mat_data + 32 * i;
+        Material& m = sc.mats[i];
+        m.base_color = {std::clamp(d[0], 0.f, 1.f), std::clamp(d[1], 0.f, 1.f),
+                        std::clamp(d[2], 0.f, 1.f)};
+        m.roughness = d[3];
+        m.type = static_cast<int>(d[4]);
+        m.eta = d[5];
+        m.thin = d[6];
+        m.emission = {d[7], d[8], d[9]};
+        m.emission_env = d[10];
+        m.conductor_eta = {d[11], d[12], d[13]};
+        m.conductor_k = {d[14], d[15], d[16]};
+        m.has_conductor = d[17];
+        m.sigma_a = {d[18], d[19], d[20]};
+        m.coat_roughness = d[21];
+        m.coat_thickness = d[22];
+        m.coat_sample_weight = d[23];
+        m.coat_fresnel_avg = d[24];
+        m.coat_tint = {d[25], d[26], d[27]};
+        m.coat_absorption = {d[28], d[29], d[30]};
+        m.coat_ior = d[31];
+    }
+    for (int i = 0; i < n_rects; ++i) {
+        const Material& m = sc.mats[std::min(rect_mat[i], n_mats - 1)];
+        if (m.type == 3 && (m.emission.x != 0 || m.emission.y != 0 || m.emission.z != 0))
+            sc.light_rects.push_back(i);
+    }
+
+    // build the triangle BVH with the shared native builder
+    if (n_tris > 0) {
+        int max_nodes = std::max(2 * n_tris, 2);
+        std::vector<float> bmin(max_nodes * 3), bmax(max_nodes * 3);
+        std::vector<int32_t> off(max_nodes), cnt(max_nodes), ex(max_nodes),
+            prims(n_tris);
+        int n_nodes = build_bvh_sah(n_tris, tri, bmin.data(), bmax.data(),
+                                    off.data(), cnt.data(), ex.data(),
+                                    prims.data(), 4, 16);
+        if (n_nodes <= 0) return -1;
+        sc.bvh_min.assign(bmin.begin(), bmin.begin() + 3 * n_nodes);
+        sc.bvh_max.assign(bmax.begin(), bmax.begin() + 3 * n_nodes);
+        sc.bvh_off.assign(off.begin(), off.begin() + n_nodes);
+        sc.bvh_cnt.assign(cnt.begin(), cnt.begin() + n_nodes);
+        sc.bvh_exit.assign(ex.begin(), ex.begin() + n_nodes);
+        sc.bvh_prims.assign(prims.begin(), prims.end());
+    }
+
+    Params P;
+    P.width = width;
+    P.height = height;
+    P.spp = spp;
+    P.max_depth = max_depth;
+    P.seed = seed;
+    P.use_rr = use_rr;
+    std::memcpy(P.cam, cam, sizeof(float) * 19);
+    P.bg_mode = bg_mode;
+    P.bg_color = {bg_color[0], bg_color[1], bg_color[2]};
+    P.clamps = {firefly[0], firefly[1], firefly[2], firefly[3], firefly[4]};
+    P.enable_spec_nee = enable_spec_nee;
+
+    V3 cam_origin = {cam[0], cam[1], cam[2]};
+    V3 lower_left = {cam[3], cam[4], cam[5]};
+    V3 horizontal = {cam[6], cam[7], cam[8]};
+    V3 vertical = {cam[9], cam[10], cam[11]};
+    V3 cam_u = {cam[12], cam[13], cam[14]};
+    V3 cam_v = {cam[15], cam[16], cam[17]};
+    float lens_r = cam[18];
+
+    // 16x16 tiles, atomic work index (reference backend scheduling)
+    const int tile = 16;
+    int tx = (width + tile - 1) / tile, ty = (height + tile - 1) / tile;
+    std::atomic<int> next{0};
+    int workers = n_threads > 0
+                      ? n_threads
+                      : static_cast<int>(std::thread::hardware_concurrency());
+    workers = std::max(workers, 1);
+
+    auto work = [&]() {
+        while (true) {
+            int t = next.fetch_add(1);
+            if (t >= tx * ty) break;
+            int x0 = (t % tx) * tile, y0 = (t / tx) * tile;
+            for (int y = y0; y < std::min(y0 + tile, height); ++y) {
+                for (int x = x0; x < std::min(x0 + tile, width); ++x) {
+                    V3 sum = {0, 0, 0};
+                    for (int sidx = 0; sidx < spp; ++sidx) {
+                        // seed recipe (reference: pathtrace.metal:9735-9740);
+                        // frameIndex == sampleCount == previousCount == sidx
+                        uint32_t s = P.seed + static_cast<uint32_t>(sidx) * 9781u +
+                                     static_cast<uint32_t>(x) * 6271u +
+                                     static_cast<uint32_t>(y) * 13007u +
+                                     2u * static_cast<uint32_t>(sidx) * 211u;
+                        float ju = rand_uniform(s);
+                        float u = (x + ju) / width;
+                        float jv = rand_uniform(s);
+                        float v = 1.0f - (y + jv) / height;
+                        float dx, dy;
+                        disk_sample(s, dx, dy);
+                        V3 off = cam_u * (lens_r * dx) + cam_v * (lens_r * dy);
+                        V3 ro = cam_origin + off;
+                        V3 rd = lower_left + horizontal * u + vertical * v - ro;
+                        V3 rad = trace_path(sc, P, ro, rd, s);
+                        if (finite3(rad)) sum = sum + vmin0(rad);
+                    }
+                    float invs = 1.0f / std::max(spp, 1);
+                    float* o = out_rgb + 3 * (y * width + x);
+                    o[0] = sum.x * invs;
+                    o[1] = sum.y * invs;
+                    o[2] = sum.z * invs;
+                }
+            }
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int i = 1; i < workers; ++i) threads.emplace_back(work);
+    work();
+    for (auto& th : threads) th.join();
+    return 0;
+}

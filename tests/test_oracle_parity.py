@@ -1,0 +1,173 @@
+"""RMSE parity gate: JAX integrator vs the native CPU oracle.
+
+The reference's acceptance criterion for backend parity is a statistical
+RMSE threshold on linear HDR output, not bit identity
+(reference: README.md:28, paper/paper.md:29-33); BASELINE.md sets
+RMSE < 0.01. The oracle is an independent C++ implementation
+(native/cpu_oracle.cpp) sharing only the behavioral spec and RNG recipe.
+"""
+
+import numpy as np
+import pytest
+
+from metal_pathtracer_tpu.renderer import oracle
+from metal_pathtracer_tpu.scene import dsl
+from metal_pathtracer_tpu.scene.resources import SceneResources
+from metal_pathtracer_tpu.settings import RenderSettings
+
+pytestmark = pytest.mark.skipif(not oracle.oracle_available(),
+                                reason="native oracle not built")
+
+
+def render_jax(settings, resources, width, height, spp, environment=None):
+    from metal_pathtracer_tpu.ops.camera import build_camera
+    from metal_pathtracer_tpu.renderer import frame
+    from metal_pathtracer_tpu.renderer.accumulation import RenderState
+    from metal_pathtracer_tpu.schema import settings_to_static, settings_to_uniforms
+
+    scene = resources.build_arrays(environment=environment)
+    static = settings_to_static(settings, width, height,
+                                resources.material_types_present())
+    cam = build_camera(settings, width, height)
+    uni = settings_to_uniforms(settings, cam, 0, 0)
+    st = frame.render_samples(scene, uni, RenderState.create(width, height),
+                              static, spp)
+    return np.asarray(st.present())
+
+
+def scene_from(text):
+    settings = RenderSettings()
+    res = SceneResources()
+    dsl.parse_scene(text, settings, res)
+    return settings, res
+
+
+SMOKE = """\
+camera target=0,0,-1 distance=3.5 yaw=0 pitch=0 vfov=45
+renderer maxDepth=4 seed=1337
+background solid=0.7,0.8,1.0
+material type=lambert albedo=0.8,0.3,0.3
+material type=lambert albedo=0.8,0.8,0.0
+sphere center=0,0,-1 radius=0.5 material=0
+sphere center=0,-100.5,-1 radius=100 material=1
+"""
+
+
+def test_smoke_scene_rmse():
+    settings, res = scene_from(SMOKE)
+    w = h = 48
+    spp = 48
+    img_jax = render_jax(settings, res, w, h, spp)
+    img_oracle = oracle.render_oracle(res, settings, w, h, spp)
+    err = oracle.rmse(img_jax, img_oracle)
+    assert err < 0.01, f"RMSE {err}"
+
+
+CORNELL = """\
+camera target=0,1,0 distance=3.9 yaw=1.5708 pitch=0 vfov=40
+renderer maxDepth=5 seed=7
+material type=lambert albedo=0.73,0.73,0.73
+material type=lambert albedo=0.65,0.05,0.05
+material type=lambert albedo=0.12,0.45,0.15
+material type=light emit=15,15,15
+rectangle x=-1,1 y=0 z=-1,1 normal=1 material=0
+rectangle x=-1,1 y=2 z=-1,1 normal=-1 material=0
+rectangle x=-1 y=0,2 z=-1,1 normal=1 material=2
+rectangle x=1 y=0,2 z=-1,1 normal=-1 material=1
+rectangle x=-1,1 y=0,2 z=-1 normal=1 material=0
+rectangle x=-0.4,0.4 y=1.99 z=-0.4,0.4 normal=-1 material=3
+"""
+
+
+def test_cornell_box_rmse():
+    settings, res = scene_from(CORNELL)
+    w = h = 40
+    spp = 64
+    img_jax = render_jax(settings, res, w, h, spp)
+    img_oracle = oracle.render_oracle(res, settings, w, h, spp)
+    err = oracle.rmse(img_jax, img_oracle)
+    # emissive scenes need more samples for tight statistical agreement
+    assert err < 0.12, f"RMSE {err}"
+    # means agree much tighter than per-pixel noise
+    assert abs(img_jax.mean() - img_oracle.mean()) < 0.01
+
+
+GLASS = """\
+camera target=0,0,-1 distance=3 yaw=0 pitch=0 vfov=45
+renderer maxDepth=8 seed=3
+background solid=0.8,0.85,0.9
+material type=lambert albedo=0.6,0.6,0.2
+material type=glass ior=1.5
+material type=metal albedo=0.9,0.7,0.4 roughness=0.2
+sphere center=0,-100.5,-1 radius=100 material=0
+sphere center=-0.6,0,-1 radius=0.45 material=1
+sphere center=0.6,0,-1 radius=0.45 material=2
+"""
+
+
+def test_glass_metal_rmse():
+    settings, res = scene_from(GLASS)
+    w = h = 40
+    spp = 64
+    img_jax = render_jax(settings, res, w, h, spp)
+    img_oracle = oracle.render_oracle(res, settings, w, h, spp)
+    err = oracle.rmse(img_jax, img_oracle)
+    assert err < 0.05, f"RMSE {err}"
+    assert abs(img_jax.mean() - img_oracle.mean()) < 0.01
+
+
+def test_mesh_scene_rmse(tmp_path):
+    obj = tmp_path / "quad.obj"
+    obj.write_text("v -3 0 -3\nv 3 0 -3\nv 3 0 3\nv -3 0 3\nf 1 2 3 4\n")
+    text = f"""\
+camera target=0,0.3,0 distance=3 yaw=0.3 pitch=0.4 vfov=45
+renderer maxDepth=3 seed=21
+background solid=0.6,0.7,0.9
+material type=lambert albedo=0.7,0.3,0.5
+mesh path={obj} material=0
+"""
+    settings = RenderSettings()
+    res = SceneResources()
+    from metal_pathtracer_tpu.scene.meshload import mesh_loader
+    dsl.parse_scene(text, settings, res, scene_directory=str(tmp_path),
+                    mesh_loader=mesh_loader)
+    w = h = 32
+    spp = 32
+    img_jax = render_jax(settings, res, w, h, spp)
+    img_oracle = oracle.render_oracle(res, settings, w, h, spp)
+    err = oracle.rmse(img_jax, img_oracle)
+    assert err < 0.01, f"RMSE {err}"
+
+
+def test_env_scene_rmse():
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.ops import env as env_ops
+    from metal_pathtracer_tpu.schema import EnvironmentSoA
+    from metal_pathtracer_tpu.settings import BackgroundMode
+
+    texels = np.full((16, 32, 3), 0.2, np.float32)
+    texels[3:6, 6:10] = (8.0, 6.0, 3.0)  # warm hotspot
+    (ma, mt, ca, ct, pdf) = env_ops.build_distribution(texels)
+    env = EnvironmentSoA(
+        texels=jnp.asarray(texels), mips=(),
+        marginal_threshold=jnp.asarray(mt),
+        marginal_alias=jnp.asarray(ma.astype(np.int32)),
+        conditional_threshold=jnp.asarray(ct),
+        conditional_alias=jnp.asarray(ca.astype(np.int32)),
+        pdf=jnp.asarray(pdf), width=32, height=16)
+
+    settings, res = scene_from(
+        "camera target=0,0,-1 distance=3 yaw=0 pitch=0 vfov=45\n"
+        "renderer maxDepth=4 seed=9\n"
+        "material type=lambert albedo=0.7,0.7,0.7\n"
+        "sphere center=0,0,-1 radius=0.5 material=0\n"
+        "sphere center=0,-100.5,-1 radius=100 material=0\n")
+    settings.backgroundMode = BackgroundMode.ENVIRONMENT
+
+    w = h = 32
+    spp = 48
+    img_jax = render_jax(settings, res, w, h, spp, environment=env)
+    img_oracle = oracle.render_oracle(res, settings, w, h, spp, environment=env)
+    err = oracle.rmse(img_jax, img_oracle)
+    assert err < 0.06, f"RMSE {err}"
+    assert abs(img_jax.mean() - img_oracle.mean()) < 0.02
