@@ -110,13 +110,25 @@ def main(argv=None) -> int:
     backend_name = args.backend
     if args.enableEmbree:
         backend_name = "cpu"
-    backend = make_backend(backend_name)
+    try:
+        backend = make_backend(backend_name)
+    except ValueError as exc:
+        print(f"error: {exc} (choose tpu | cpu | cpu-jax)", file=sys.stderr)
+        return 1
 
     fmt = args.format or ("exr" if backend_name in ("cpu", "embree") else "exr")
     output = args.output or default_output(args.scene, width, height, fmt)
 
-    out = backend.render(resources, settings, width, height,
-                         args.sppTotal, verbose=args.verbose)
+    from metal_pathtracer_tpu.renderer.accumulation import CheckpointError
+
+    try:
+        out = backend.render(resources, settings, width, height,
+                             args.sppTotal, verbose=args.verbose,
+                             checkpoint_path=args.checkpoint,
+                             n_threads=args.threads)
+    except CheckpointError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
 
     tm = image_io.TonemapSettings(
         tonemapMode=settings.tonemapMode, acesVariant=settings.acesVariant,

@@ -17,8 +17,11 @@ from metal_pathtracer_tpu.ops import rng as rng_ops
 from metal_pathtracer_tpu.schema import CameraUniforms
 
 
-def build_camera(settings, width: int, height: int) -> CameraUniforms:
-    """Settings -> camera basis. Host-side (numpy), result goes to device."""
+def build_camera(settings, width: int, height: int,
+                 to_device: bool = True) -> CameraUniforms:
+    """Settings -> camera basis. Host-side (numpy), result goes to device
+    unless ``to_device=False`` (pure-numpy consumers like the CPU oracle
+    must never trigger device transfers)."""
     aspect = float(width) / float(height)
     vfov = min(max(settings.cameraVerticalFov, 1.0), 179.0)
     defocus_angle = max(settings.cameraDefocusAngle, 0.0)
@@ -56,7 +59,12 @@ def build_camera(settings, width: int, height: int) -> CameraUniforms:
     lower_left = look_from - 0.5 * horizontal - 0.5 * vertical - focus_dist * w
     lens_radius = focus_dist * math.tan(math.radians(defocus_angle * 0.5))
 
-    f = lambda a: jnp.asarray(np.asarray(a, np.float32))
+    if to_device:
+        f = lambda a: jnp.asarray(np.asarray(a, np.float32))
+        lr = jnp.float32(lens_radius)
+    else:
+        f = lambda a: np.asarray(a, np.float32)
+        lr = np.float32(lens_radius)
     return CameraUniforms(
         origin=f(look_from),
         lower_left=f(lower_left),
@@ -64,7 +72,7 @@ def build_camera(settings, width: int, height: int) -> CameraUniforms:
         vertical=f(vertical),
         u=f(u),
         v=f(v),
-        lens_radius=jnp.float32(lens_radius),
+        lens_radius=lr,
     )
 
 

@@ -191,21 +191,26 @@ def build_distribution(texels: np.ndarray):
             pdf.astype(np.float32))
 
 
-def load_environment(path: str) -> EnvironmentSoA:
-    import jax.numpy as jnp
+def load_environment(path: str, to_device: bool = True) -> EnvironmentSoA:
+    if to_device:
+        import jax.numpy as jnp
+        f = jnp.asarray
+    else:
+        # pure-numpy consumers (CPU oracle) must not touch the device
+        f = np.asarray
 
     texels = load_hdr_image(path).astype(np.float32)
     mips = build_mips(texels)
     (marg_alias, marg_thresh, cond_alias, cond_thresh, pdf) = \
         build_distribution(texels)
     return EnvironmentSoA(
-        texels=jnp.asarray(texels),
-        mips=tuple(jnp.asarray(m) for m in mips),
-        marginal_threshold=jnp.asarray(marg_thresh),
-        marginal_alias=jnp.asarray(marg_alias.astype(np.int32)),
-        conditional_threshold=jnp.asarray(cond_thresh),
-        conditional_alias=jnp.asarray(cond_alias.astype(np.int32)),
-        pdf=jnp.asarray(pdf),
+        texels=f(texels),
+        mips=tuple(f(m) for m in mips),
+        marginal_threshold=f(marg_thresh),
+        marginal_alias=f(marg_alias.astype(np.int32)),
+        conditional_threshold=f(cond_thresh),
+        conditional_alias=f(cond_alias.astype(np.int32)),
+        pdf=f(pdf),
         width=int(texels.shape[1]),
         height=int(texels.shape[0]),
     )

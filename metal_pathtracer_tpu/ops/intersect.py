@@ -32,10 +32,17 @@ import os
 
 
 def _use_pallas() -> bool:
-    """Pallas kernels on TPU; the jnp path remains the CPU/debug reference."""
+    """Pallas kernels on TPU; the jnp path remains the CPU/debug reference.
+
+    Honors `jax.default_device(...)` overrides: a CPU default device in a
+    TPU session (CpuJaxBackend) must take the jnp path — Pallas TPU kernels
+    do not lower for CPU."""
     if os.environ.get("MPT_DISABLE_PALLAS"):
         return False
     try:
+        default = jax.config.jax_default_device
+        if default is not None:
+            return default.platform in ("tpu", "axon")
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False

@@ -9,9 +9,15 @@ SURVEY.md §5.4) is a free `orbax`/npz save of this pytree.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+
+
+class CheckpointError(RuntimeError):
+    """A render-state checkpoint could not be read."""
 
 
 @struct.dataclass
@@ -57,22 +63,36 @@ class RenderState:
 
     def save(self, path: str) -> None:
         """Checkpoint to .npz — resume is `RenderState.load(path)`."""
-        np.savez(
-            path,
-            radiance_sum=np.asarray(self.radiance_sum),
-            sample_count=np.asarray(self.sample_count),
-            albedo=np.asarray(self.albedo),
-            normal=np.asarray(self.normal),
-            frame_index=np.asarray(self.frame_index),
-            denoised=np.asarray(self.denoised),
-            ray_count=np.asarray(self.ray_count if self.ray_count is not None else 0.0),
-            shadow_ray_count=np.asarray(
-                self.shadow_ray_count if self.shadow_ray_count is not None else 0.0),
-        )
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        # write through a handle so np.savez can't append ".npz" and break
+        # the exists() check on resume
+        with open(path, "wb") as fh:
+            np.savez(
+                fh,
+                radiance_sum=np.asarray(self.radiance_sum),
+                sample_count=np.asarray(self.sample_count),
+                albedo=np.asarray(self.albedo),
+                normal=np.asarray(self.normal),
+                frame_index=np.asarray(self.frame_index),
+                denoised=np.asarray(self.denoised),
+                ray_count=np.asarray(
+                    self.ray_count if self.ray_count is not None else 0.0),
+                shadow_ray_count=np.asarray(
+                    self.shadow_ray_count
+                    if self.shadow_ray_count is not None else 0.0),
+            )
 
     @classmethod
     def load(cls, path: str) -> "RenderState":
-        data = np.load(path)
+        try:
+            data = np.load(path)
+            data["radiance_sum"]  # force header validation
+        except Exception as exc:
+            raise CheckpointError(
+                f"could not load render-state checkpoint {path!r}: {exc}"
+            ) from exc
         return cls(
             radiance_sum=jnp.asarray(data["radiance_sum"]),
             sample_count=jnp.asarray(data["sample_count"]),

@@ -54,7 +54,10 @@ class TpuBackend:
                spp_total: int, verbose: bool = False,
                progress_interval: float = 0.5,
                batch: int = DEFAULT_BATCH,
-               mesh_parallel=None) -> HeadlessRenderOutput:
+               checkpoint_path: str = "",
+               mesh_parallel=None, **_kwargs) -> HeadlessRenderOutput:
+        import os
+
         import jax
 
         environment = None
@@ -67,27 +70,52 @@ class TpuBackend:
         static = settings_to_static(settings, width, height,
                                     resources.material_types_present())
         camera = build_camera(settings, width, height)
-        state = RenderState.create(width, height)
+        # Render-state checkpoint/resume (capability the reference lacks,
+        # SURVEY.md §5.4): a checkpointed accumulation continues exactly
+        # where it stopped (deterministic via the per-sample seed recipe).
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            state = RenderState.load(checkpoint_path)
+            if verbose:
+                done0 = int(np.asarray(state.frame_index))
+                print(f"[Headless] resumed {done0} spp from {checkpoint_path}")
+        else:
+            state = RenderState.create(width, height)
+
+        from metal_pathtracer_tpu.utils import stats as stats_mod
+
+        perf = stats_mod.PerformanceStats()
+        # counters restored from a checkpoint are history, not this run's work
+        perf.total_rays = float(np.asarray(state.ray_count))
+        perf.total_shadow_rays = float(np.asarray(state.shadow_ray_count))
+        log = stats_mod.get_logger("Headless")
+        stats_mod.set_verbose(verbose)
 
         start = time.time()
         last_report = start
-        done = 0
+        done = int(np.asarray(state.frame_index))
         while done < spp_total:
             n = min(batch, spp_total - done)
             uniforms = settings_to_uniforms(settings, camera, 0, 0)
-            state = frame.render_samples(scene, uniforms, state, static, n)
+            with stats_mod.BatchTimer() as bt:
+                state = frame.render_samples(scene, uniforms, state, static, n)
+                if verbose:
+                    state.radiance_sum.block_until_ready()
             done += n
             if verbose:
+                perf.update(
+                    samples=n, seconds=bt.seconds, width=width, height=height,
+                    ray_count=float(np.asarray(state.ray_count)),
+                    shadow_ray_count=float(np.asarray(state.shadow_ray_count)))
                 now = time.time()
                 if now - last_report >= progress_interval or done >= spp_total:
-                    state.radiance_sum.block_until_ready()
-                    elapsed = time.time() - start
-                    print(f"[Headless] {done}/{spp_total} spp "
-                          f"({elapsed:.1f}s, {1000.0 * elapsed / max(done, 1):.1f} ms/sample)")
+                    log.info(f"{done}/{spp_total} spp — {perf.summary()}")
                     last_report = now
 
         state.radiance_sum.block_until_ready()
         total = time.time() - start
+        self.last_stats = perf
+        if checkpoint_path:
+            state.save(checkpoint_path)
         img = np.asarray(state.present())
         return HeadlessRenderOutput(
             linear_rgb=img, width=width, height=height, samples=done,
@@ -100,12 +128,7 @@ class TpuBackend:
 
 
 class CpuJaxBackend(TpuBackend):
-    """Same integrator pinned to jax-CPU — a quick cross-device check.
-
-    The reference's independent CPU oracle (EmbreeHeadlessRenderer.mm) maps
-    to native/cpu_oracle in this framework; this backend is the cheap
-    device-parity probe (TPU vs CPU must agree bit-for-bit modulo libm).
-    """
+    """Same integrator pinned to jax-CPU — a quick cross-device check."""
 
     name = "cpu-jax"
 
@@ -117,10 +140,51 @@ class CpuJaxBackend(TpuBackend):
             return super().render(*args, **kwargs)
 
 
+class OracleBackend:
+    """The native C++ CPU oracle — the parity reference backend, playing
+    the reference's `--backend=embree` role
+    (reference: src/headless/EmbreeHeadlessRenderer.mm)."""
+
+    name = "oracle"
+
+    def render(self, resources, settings: RenderSettings, width: int,
+               height: int, spp_total: int, verbose: bool = False,
+               n_threads: int = 0, **_kwargs) -> HeadlessRenderOutput:
+        from metal_pathtracer_tpu.renderer import oracle
+
+        if _kwargs.get("checkpoint_path"):
+            print("[Oracle] warning: --checkpoint is not supported by the "
+                  "CPU oracle backend; rendering from scratch")
+
+        environment = None
+        if settings.backgroundMode == BackgroundMode.ENVIRONMENT \
+                and settings.environmentMapPath:
+            from metal_pathtracer_tpu.ops import env as env_ops
+            environment = env_ops.load_environment(settings.environmentMapPath,
+                                                   to_device=False)
+
+        start = time.time()
+        img = oracle.render_oracle(resources, settings, width, height,
+                                   spp_total, environment=environment,
+                                   n_threads=n_threads)
+        total = time.time() - start
+        if verbose:
+            print(f"[Oracle] {spp_total} spp in {total:.1f}s")
+        return HeadlessRenderOutput(
+            linear_rgb=img, width=width, height=height, samples=spp_total,
+            total_seconds=total,
+            avg_ms_per_sample=1000.0 * total / max(spp_total, 1))
+
+
 def make_backend(name: str):
     """(reference: main_headless.mm --backend=metal|embree)"""
     if name in ("tpu", "metal"):  # accept the reference's flag value
         return TpuBackend()
-    if name in ("cpu", "cpu-jax", "embree"):
+    if name in ("cpu", "oracle", "embree"):
+        from metal_pathtracer_tpu.renderer import oracle
+        if oracle.oracle_available():
+            return OracleBackend()
+        return CpuJaxBackend()
+    if name == "cpu-jax":
         return CpuJaxBackend()
     raise ValueError(f"unknown backend: {name}")

@@ -71,7 +71,7 @@ def render_oracle(resources, settings: RenderSettings, width: int, height: int,
                   spp: int, environment=None, n_threads: int = 0) -> np.ndarray:
     """Render with the native CPU oracle; returns linear (H,W,3)."""
     lib = _load()
-    cam = build_camera(settings, width, height)
+    cam = build_camera(settings, width, height, to_device=False)
     cam_flat = np.concatenate([
         np.asarray(cam.origin), np.asarray(cam.lower_left),
         np.asarray(cam.horizontal), np.asarray(cam.vertical),

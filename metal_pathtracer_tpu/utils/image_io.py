@@ -35,11 +35,10 @@ class TonemapSettings:
 
 def tonemap_to_u8(linear_rgb: np.ndarray, tonemap: TonemapSettings) -> np.ndarray:
     """HDR -> LDR bytes, matching the CPU replica incl. lround semantics
-    (reference: ImageWriter.mm:140-177)."""
-    import jax.numpy as jnp
-
+    (reference: ImageWriter.mm:140-177). Stays on host — numpy in,
+    numpy math — exactly like the reference's CPU tonemap replicas."""
     color = tonemap_ops.apply_tonemap(
-        jnp.asarray(linear_rgb, jnp.float32), tonemap.tonemapMode,
+        np.asarray(linear_rgb, np.float32), tonemap.tonemapMode,
         tonemap.acesVariant, tonemap.exposure, tonemap.reinhardWhitePoint)
     color = np.asarray(color, np.float32)
     # std::lround rounds half away from zero; values are >= 0 here.
