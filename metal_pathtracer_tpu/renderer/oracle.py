@@ -35,7 +35,7 @@ def _load():
 
 # Types the oracle implements faithfully (others fall back to lambert).
 ORACLE_TYPES = {C.MATERIAL_LAMBERTIAN, C.MATERIAL_METAL, C.MATERIAL_DIELECTRIC,
-                C.MATERIAL_DIFFUSE_LIGHT, C.MATERIAL_PLASTIC}
+                C.MATERIAL_DIFFUSE_LIGHT, C.MATERIAL_PLASTIC, C.MATERIAL_PBR}
 
 
 def pack_materials(resources) -> np.ndarray:
@@ -45,7 +45,7 @@ def pack_materials(resources) -> np.ndarray:
     )
 
     mats = resources.materials or []
-    out = np.zeros((max(len(mats), 1), 32), np.float32)
+    out = np.zeros((max(len(mats), 1), 36), np.float32)
     for i, m in enumerate(mats):
         coat_roughness = float(np.clip(m.coat_roughness, 0.0, 1.0))
         avg = compute_coat_average(max(m.coat_ior, 0.0))
@@ -63,6 +63,10 @@ def pack_materials(resources) -> np.ndarray:
             *np.clip(m.coat_tint, 0.0, 1.0),
             *np.maximum(m.coat_absorption, 0.0),
             max(m.coat_ior, 0.0),
+            float(np.clip(m.pbr_metallic, 0.0, 1.0)),
+            float(np.clip(m.pbr_transmission, 0.0, 1.0)),
+            max(m.pbr_thickness, 0.0),
+            1.0 if m.pbr_double_sided else 0.0,
         ]
     return out
 

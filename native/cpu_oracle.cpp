@@ -128,6 +128,8 @@ struct Material {
     float coat_roughness, coat_thickness, coat_sample_weight, coat_fresnel_avg;
     V3 coat_tint, coat_absorption;
     float coat_ior;
+    // PBR metallic-roughness (ops/pbr.py; reference pathtrace.metal:4632-4945)
+    float pbr_metallic, pbr_transmission, pbr_thickness, pbr_double_sided;
 };
 
 struct Scene {
@@ -470,7 +472,8 @@ V3 conductor_f0(const Material& m) {
 }
 bool material_is_delta(const Material& m) {
     if (m.type == 2) return true;
-    if (m.type == 1) return std::clamp(m.roughness, 0.f, 1.f) <= 1e-3f;
+    if (m.type == 1 || m.type == 7)
+        return std::clamp(m.roughness, 0.f, 1.f) <= 1e-3f;
     return false;
 }
 
@@ -491,8 +494,250 @@ V3 plastic_diffuse_trans(const Material& m, float ci, float co) {
            vexp(m.coat_absorption * -(m.coat_thickness / so));
 }
 
+// ---- PBR metallic-roughness (mirrors ops/pbr.py; reference
+// pathtrace.metal evaluate/sample_pbr_metallic_roughness:4632-4945) --------
+struct PbrLobes {
+    float roughness;
+    V3 f0, diffuse_color;
+    float transmission, reflect_scale;
+    float p_spec, p_diff, p_trans;
+    bool ok;
+};
+
+float pbr_dielectric_f0(float ior) {
+    float eta = std::max(ior, 1.0f);
+    float ratio = (eta - 1.0f) / std::max(eta + 1.0f, 1e-6f);
+    return std::clamp(ratio * ratio, 0.0f, 0.99f);
+}
+
+PbrLobes pbr_lobes(const Material& m) {
+    PbrLobes L;
+    V3 base = {std::clamp(m.base_color.x, 0.f, 1.f),
+               std::clamp(m.base_color.y, 0.f, 1.f),
+               std::clamp(m.base_color.z, 0.f, 1.f)};
+    float metallic = std::clamp(m.pbr_metallic, 0.f, 1.f);
+    L.roughness = std::clamp(m.roughness, 0.f, 1.f);
+    float fd = pbr_dielectric_f0(m.eta);
+    L.f0 = {fd + (base.x - fd) * metallic, fd + (base.y - fd) * metallic,
+            fd + (base.z - fd) * metallic};
+    L.diffuse_color = base * (1.0f - metallic);
+    L.transmission = std::clamp(m.pbr_transmission, 0.f, 1.f) * (1.0f - metallic);
+    L.reflect_scale = 1.0f - L.transmission;
+    float swb = std::clamp(maxc(L.f0), 0.05f, 0.95f);
+    float w_spec = swb * L.reflect_scale;
+    float w_diff = (1.0f - swb) * L.reflect_scale;
+    float w_trans = L.transmission;
+    float sum = w_spec + w_diff + w_trans;
+    float safe = std::max(sum, 1e-20f);
+    L.p_spec = w_spec / safe;
+    L.p_diff = w_diff / safe;
+    L.p_trans = w_trans / safe;
+    L.ok = sum > 0.0f;
+    return L;
+}
+
+V3 pbr_transmission_tint(const Material& m, float cos_theta) {
+    float thickness = std::max(m.pbr_thickness, 0.0f);
+    V3 sig = vmin0(m.sigma_a);
+    if (thickness <= 0.0f || maxc(sig) <= 0.0f) return {1, 1, 1};
+    float distance = thickness / std::max(std::fabs(cos_theta), 1e-3f);
+    V3 tint = vexp(sig * -distance);
+    return {std::clamp(tint.x, 0.f, 1.f), std::clamp(tint.y, 0.f, 1.f),
+            std::clamp(tint.z, 0.f, 1.f)};
+}
+
+float ggx_vndf_pdf(float a, V3 n, V3 wo, V3 wh) {
+    float co = dot(n, wo), ch = dot(n, wh);
+    if (co <= 0.0f || ch <= 0.0f) return 0.0f;
+    return ggx_d(a, ch) * ggx_g1(a, co) * ch / std::max(dot(wo, wh), 1e-6f);
+}
+
+EvalResult eval_pbr(const Material& m, V3 n, V3 wo, V3 wi) {
+    EvalResult r;
+    PbrLobes L = pbr_lobes(m);
+    if (L.roughness <= 1e-3f) {
+        r.delta = true;
+        return r;
+    }
+    float cos_o = dot(n, wo), cos_i = dot(n, wi);
+    float abs_o = std::fabs(cos_o), abs_i = std::fabs(cos_i);
+    if (abs_o <= 0.0f || abs_i <= 0.0f || !L.ok) return r;
+    float alpha = std::max(L.roughness * L.roughness, 1e-4f);
+
+    if (cos_o * cos_i > 0.0f && cos_o > 0.0f && cos_i > 0.0f) {
+        // reflection side (ops/pbr.py evaluate_pbr reflection block)
+        V3 wh = normalize(wo + wi);
+        if (dot(wh, n) > 0.0f && dot(wo, wh) > 0.0f && dot(wi, wh) > 0.0f) {
+            float D = ggx_d(alpha, dot(n, wh));
+            float G = ggx_g1(alpha, cos_o) * ggx_g1(alpha, cos_i);
+            V3 F = schlick(L.f0, dot(wi, wh));
+            V3 spec = F * (D * G / std::max(4.0f * cos_o * cos_i, 1e-6f));
+            spec = spec * energy_comp(L.f0, L.roughness, abs_o);
+            spec = spec * L.reflect_scale;
+            float pdf_spec = ggx_pdf(alpha, n, wo, wi);
+            V3 diffuse = (L.diffuse_color / kPi) * L.reflect_scale;
+            float pdf_diffuse = std::max(cos_i, 0.0f) / kPi;
+            float pdf = L.p_spec * pdf_spec + L.p_diff * pdf_diffuse;
+            if (pdf > 0.0f) {
+                r.value = vmin0(spec + diffuse);
+                r.pdf = pdf;
+            }
+        }
+        return r;
+    }
+
+    // transmission side (opposite hemispheres)
+    if (L.transmission <= 0.0f) return r;
+    float eta_t0 = std::max(m.eta, 1.0f);
+    bool inside = cos_o < 0.0f;
+    float eta_i = inside ? eta_t0 : 1.0f;
+    float eta_t = inside ? 1.0f : eta_t0;
+    float eta = eta_i / eta_t;
+    V3 wht = wo + wi * eta;
+    if (dot(wht, wht) <= 0.0f) return r;
+    wht = normalize(wht);
+    if (dot(wht, n) <= 0.0f) wht = wht * -1.0f;
+    float cos_o_wh = dot(wo, wht), cos_i_wh = dot(wi, wht);
+    if (cos_o_wh * cos_i_wh > 0.0f) return r;
+    float Dt = ggx_d(alpha, std::max(dot(n, wht), 0.0f));
+    float Gt = ggx_g1(alpha, abs_o) * ggx_g1(alpha, abs_i);
+    float cost_unused;
+    float Fr = fresnel_dielectric(cos_o_wh, eta_i, eta_t, cost_unused);
+    float denom = cos_o_wh + eta * cos_i_wh;
+    float denom_sq = denom * denom;
+    if (std::fabs(denom_sq) <= 1e-8f) return r;
+    float factor = (eta * eta) * std::fabs(cos_i_wh) * std::fabs(cos_o_wh);
+    factor = factor / std::max(abs_o * abs_i * denom_sq, 1e-6f);
+    V3 ft = pbr_transmission_tint(m, abs_i) * ((1.0f - Fr) * Dt * Gt * factor);
+    ft = ft * L.transmission;
+    float pdf_wh = ggx_vndf_pdf(alpha, n, wo, wht);
+    float dwh_dwi = std::fabs((eta * eta * cos_i_wh) / std::max(denom_sq, 1e-8f));
+    float pdf_trans = L.p_trans * pdf_wh * dwh_dwi;
+    if (pdf_trans > 0.0f && finite3(ft)) {
+        r.value = vmin0(ft);
+        r.pdf = pdf_trans;
+    }
+    return r;
+}
+
+SampleResult sample_pbr(const Material& m, V3 n, V3 wo, V3 incident,
+                        uint32_t& s) {
+    // RNG order mirrors ops/pbr.py sample_pbr exactly: 1 selector draw,
+    // then the chosen lobe draws 2 (VNDF / cosine) unless delta (0).
+    SampleResult r;
+    PbrLobes L = pbr_lobes(m);
+    bool smooth = L.roughness <= 1e-3f;
+    float alpha = std::max(L.roughness * L.roughness, 1e-4f);
+    float choose = rand_uniform(s);
+    bool lobe_spec = choose < L.p_spec;
+    bool lobe_diff = !lobe_spec && choose < L.p_spec + L.p_diff;
+
+    float cos_o = dot(n, wo);
+    float abs_o = std::fabs(cos_o);
+    V3 wi{}, f{};
+    float lobe_pdf = 0.0f;
+    bool branch_ok = false, delta = false;
+
+    if (lobe_spec) {
+        if (smooth) {
+            wi = reflect(incident, n);
+            f = schlick(L.f0, std::max(cos_o, 0.0f)) * L.reflect_scale;
+            lobe_pdf = 1.0f;
+            branch_ok = dot(n, wi) > 0.0f;
+            delta = true;
+        } else {
+            V3 wh = sample_vndf(n, wo, L.roughness, s);
+            wi = normalize(reflect(wo * -1.0f, wh));
+            float cos_i = dot(n, wi);
+            float D = ggx_d(alpha, dot(n, wh));
+            float G = ggx_g1(alpha, std::max(cos_o, 0.0f)) * ggx_g1(alpha, cos_i);
+            f = schlick(L.f0, dot(wi, wh)) *
+                (D * G / std::max(4.0f * std::max(cos_o, 0.0f) * cos_i, 1e-6f));
+            f = f * energy_comp(L.f0, L.roughness, std::max(cos_o, 0.0f));
+            f = f * L.reflect_scale;
+            lobe_pdf = ggx_pdf(alpha, n, wo, wi);
+            branch_ok = cos_i > 0.0f;
+        }
+        r.pdf = L.p_spec * lobe_pdf;
+    } else if (lobe_diff) {
+        V3 local = cosine_hemisphere(s);
+        wi = normalize(to_world(local, n));
+        float cos_i = dot(n, wi);
+        f = (L.diffuse_color / kPi) * L.reflect_scale;
+        lobe_pdf = std::max(cos_i, 0.0f) / kPi;
+        branch_ok = cos_i > 0.0f;
+        r.pdf = L.p_diff * lobe_pdf;
+    } else {
+        float eta_t0 = std::max(m.eta, 1.0f);
+        bool inside = cos_o < 0.0f;
+        float eta_i = inside ? eta_t0 : 1.0f;
+        float eta_t = inside ? 1.0f : eta_t0;
+        float eta = eta_i / eta_t;
+        if (smooth) {
+            V3 wt = refract(incident, n, eta);
+            float len2 = dot(wt, wt);
+            branch_ok = len2 > 0.0f;
+            if (branch_ok) {
+                wi = wt * (1.0f / std::sqrt(std::max(len2, 1e-38f)));
+                float cost = 0.0f;
+                float Fr = fresnel_dielectric(cos_o, eta_i, eta_t, cost);
+                float eta_scale = (eta_t * eta_t) / (eta_i * eta_i);
+                float dir_scale =
+                    eta_scale * (std::fabs(cost) / std::max(abs_o, 1e-6f));
+                f = pbr_transmission_tint(m, std::fabs(dot(n, wi))) *
+                    (std::max(1.0f - Fr, 0.0f) * dir_scale) * L.transmission;
+            }
+            lobe_pdf = 1.0f;
+            delta = true;
+        } else {
+            V3 wh = sample_vndf(n, wo, L.roughness, s);
+            V3 wt = refract(wo * -1.0f, wh, eta);
+            float len2 = dot(wt, wt);
+            if (len2 > 0.0f) {
+                wi = wt * (1.0f / std::sqrt(std::max(len2, 1e-38f)));
+                float cos_i = dot(n, wi);
+                float abs_i = std::fabs(cos_i);
+                float cos_o_wh = dot(wo, wh), cos_i_wh = dot(wi, wh);
+                float Dt = ggx_d(alpha, std::max(dot(n, wh), 0.0f));
+                float Gt = ggx_g1(alpha, abs_o) * ggx_g1(alpha, abs_i);
+                float cost_unused;
+                float Fr = fresnel_dielectric(cos_o_wh, eta_i, eta_t, cost_unused);
+                float denom = cos_o_wh + eta * cos_i_wh;
+                float denom_sq = denom * denom;
+                float factor = (eta * eta) * std::fabs(cos_i_wh) *
+                               std::fabs(cos_o_wh);
+                factor = factor / std::max(abs_o * abs_i * denom_sq, 1e-6f);
+                f = pbr_transmission_tint(m, abs_i) *
+                    ((1.0f - Fr) * Dt * Gt * factor) * L.transmission;
+                float pdf_wh = ggx_vndf_pdf(alpha, n, wo, wh);
+                float dwh_dwi =
+                    std::fabs((eta * eta * cos_i_wh) / std::max(denom_sq, 1e-8f));
+                lobe_pdf = pdf_wh * dwh_dwi;
+                branch_ok = (cos_i * cos_o < 0.0f) && (cos_o_wh * cos_i_wh <= 0.0f) &&
+                            (std::fabs(denom_sq) > 1e-8f);
+            }
+        }
+        r.pdf = L.p_trans * lobe_pdf;
+    }
+
+    float cos_i = dot(n, wi);
+    float abs_i = std::fabs(cos_i);
+    V3 weight = vmin0(f * (abs_i / std::max(r.pdf, 1e-20f)));
+    if (!L.ok || !branch_ok || abs_i <= 0.0f || r.pdf <= 0.0f ||
+        !finite3(weight)) {
+        r.pdf = 0.0f;
+        return r;
+    }
+    r.dir = wi;
+    r.weight = weight;
+    r.dpdf = r.pdf;
+    r.delta = delta;
+    return r;
+}
+
 EvalResult eval_bsdf(const Material& m, V3 n, V3 wo, V3 wi) {
     EvalResult r;
+    if (m.type == 7) return eval_pbr(m, n, wo, wi);
     float co = std::max(dot(n, wo), 0.0f), ci = std::max(dot(n, wi), 0.0f);
     if (ci <= 0 || co <= 0) return r;
     switch (m.type) {
@@ -699,6 +944,8 @@ SampleResult sample_bsdf(const Material& m, V3 n, V3 wo, V3 incident,
             }
             break;
         }
+        case 7:
+            return sample_pbr(m, n, wo, incident, s);
         default: {  // oracle fallback: lambert
             V3 local = cosine_hemisphere(s);
             V3 wi = normalize(to_world(local, n));
@@ -885,6 +1132,14 @@ V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
         V3 wo = incident * -1.0f;
         V3 n = rec.normal;
 
+        // PBR emissive additive — does not terminate the path
+        // (ops/integrator.py PBR emissive block; reference :6437-6442)
+        if (m.type == 7 &&
+            (m.emission.x != 0 || m.emission.y != 0 || m.emission.z != 0) &&
+            (rec.front || rec.two_sided || m.pbr_double_sided > 0.5f)) {
+            radiance = radiance + clamp_contribution(throughput, m.emission, P.clamps);
+        }
+
         // DiffuseLight hit (reference :6444-6485)
         if (m.type == 3) {
             V3 em = m.emission;
@@ -1045,7 +1300,7 @@ extern "C" int render_oracle(
     int n_spheres, const float* sph, const int* sph_mat,
     int n_rects, const float* rect, const int* rect_mat, const int* rect_two_sided,
     int n_tris, const float* tri, const int* tri_mat,
-    int n_mats, const float* mat_data,  // (M, 32)
+    int n_mats, const float* mat_data,  // (M, 36)
     int env_w, int env_h, const float* env_texels,
     const float* marg_thresh, const int* marg_alias,
     const float* cond_thresh, const int* cond_alias, const float* env_pdf,
@@ -1077,7 +1332,7 @@ extern "C" int render_oracle(
 
     sc.mats.resize(n_mats);
     for (int i = 0; i < n_mats; ++i) {
-        const float* d = mat_data + 32 * i;
+        const float* d = mat_data + 36 * i;
         Material& m = sc.mats[i];
         m.base_color = {std::clamp(d[0], 0.f, 1.f), std::clamp(d[1], 0.f, 1.f),
                         std::clamp(d[2], 0.f, 1.f)};
@@ -1098,6 +1353,10 @@ extern "C" int render_oracle(
         m.coat_tint = {d[25], d[26], d[27]};
         m.coat_absorption = {d[28], d[29], d[30]};
         m.coat_ior = d[31];
+        m.pbr_metallic = d[32];
+        m.pbr_transmission = d[33];
+        m.pbr_thickness = d[34];
+        m.pbr_double_sided = d[35];
     }
     for (int i = 0; i < n_rects; ++i) {
         const Material& m = sc.mats[std::min(rect_mat[i], n_mats - 1)];

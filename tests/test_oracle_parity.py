@@ -139,6 +139,50 @@ mesh path={obj} material=0
     assert err < 0.01, f"RMSE {err}"
 
 
+def test_pbr_scene_rmse():
+    """PBR metallic-roughness (type 7): rough metal, rough dielectric, and
+    rough transmission lobes vs the oracle's independent C++ implementation
+    (reference: pathtrace.metal evaluate/sample_pbr_metallic_roughness
+    :4632-4945)."""
+    from metal_pathtracer_tpu import constants as C
+    from metal_pathtracer_tpu.scene.resources import Material
+
+    settings = RenderSettings()
+    settings.maxDepth = 6
+    settings.fixedRngSeed = 11
+    settings.backgroundColor = (0.7, 0.8, 1.0)
+    settings.backgroundMode = 1
+    settings.cameraTarget = (0.0, 0.0, -1.0)
+    settings.cameraDistance = 3.2
+    settings.cameraVerticalFov = 45.0
+
+    res = SceneResources()
+    ground = res.add_material(Material(base_color=(0.6, 0.6, 0.5)))
+    metal_pbr = res.add_material(Material(
+        base_color=(0.9, 0.6, 0.3), roughness=0.35,
+        mat_type=C.MATERIAL_PBR, pbr_metallic=1.0))
+    rough_diel = res.add_material(Material(
+        base_color=(0.2, 0.5, 0.8), roughness=0.6,
+        mat_type=C.MATERIAL_PBR, pbr_metallic=0.0))
+    transmissive = res.add_material(Material(
+        base_color=(0.9, 0.9, 0.9), roughness=0.25, ior=1.5,
+        mat_type=C.MATERIAL_PBR, pbr_transmission=0.9,
+        pbr_thickness=0.4, dielectric_sigma_a=(0.4, 0.1, 0.1)))
+    res.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
+    res.add_sphere((-0.75, 0.0, -1.0), 0.35, metal_pbr)
+    res.add_sphere((0.0, 0.0, -1.0), 0.35, rough_diel)
+    res.add_sphere((0.75, 0.0, -1.0), 0.35, transmissive)
+
+    w = h = 40
+    spp = 64
+    img_jax = render_jax(settings, res, w, h, spp)
+    img_oracle = oracle.render_oracle(res, settings, w, h, spp)
+    err = oracle.rmse(img_jax, img_oracle)
+    # the oracle mirrors the RNG stream draw-for-draw: measured 2.2e-5
+    assert err < 0.005, f"RMSE {err}"
+    assert abs(img_jax.mean() - img_oracle.mean()) < 0.01
+
+
 def test_env_scene_rmse():
     import jax.numpy as jnp
     from metal_pathtracer_tpu.ops import env as env_ops
