@@ -33,9 +33,10 @@ def _load():
     return lib
 
 
-# Types the oracle implements faithfully (others fall back to lambert).
+# All 8 material types are implemented faithfully by the oracle.
 ORACLE_TYPES = {C.MATERIAL_LAMBERTIAN, C.MATERIAL_METAL, C.MATERIAL_DIELECTRIC,
-                C.MATERIAL_DIFFUSE_LIGHT, C.MATERIAL_PLASTIC, C.MATERIAL_PBR}
+                C.MATERIAL_DIFFUSE_LIGHT, C.MATERIAL_PLASTIC, C.MATERIAL_PBR,
+                C.MATERIAL_CARPAINT, C.MATERIAL_SUBSURFACE}
 
 
 def pack_materials(resources) -> np.ndarray:
@@ -45,7 +46,7 @@ def pack_materials(resources) -> np.ndarray:
     )
 
     mats = resources.materials or []
-    out = np.zeros((max(len(mats), 1), 36), np.float32)
+    out = np.zeros((max(len(mats), 1), 64), np.float32)
     for i, m in enumerate(mats):
         coat_roughness = float(np.clip(m.coat_roughness, 0.0, 1.0))
         avg = compute_coat_average(max(m.coat_ior, 0.0))
@@ -67,6 +68,31 @@ def pack_materials(resources) -> np.ndarray:
             float(np.clip(m.pbr_transmission, 0.0, 1.0)),
             max(m.pbr_thickness, 0.0),
             1.0 if m.pbr_double_sided else 0.0,
+            # carpaint lanes, derived as in SceneResources.build_arrays
+            float(np.clip(m.carpaint_base_metallic, 0.0, 1.0)),
+            float(np.clip(m.carpaint_base_roughness, 0.0, 1.0)),
+            max(m.carpaint_flake_scale, 1e-4),
+            float(np.clip(
+                np.clip(m.carpaint_flake_sample_weight, 0.0, 0.95)
+                * max(np.clip(m.carpaint_flake_reflectance, 0.0, 1.0), 0.01),
+                0.0, 0.95)),
+            float(np.clip(m.carpaint_flake_roughness, 0.0, 1.0)),
+            float(np.clip(m.carpaint_flake_anisotropy, -0.99, 0.99)),
+            float(np.clip(m.carpaint_flake_normal_strength, 0.0, 1.0)),
+            *(np.maximum(m.carpaint_base_eta, 0.0)
+              if m.carpaint_has_base_conductor else np.zeros(3)),
+            *(np.maximum(m.carpaint_base_k, 0.0)
+              if m.carpaint_has_base_conductor else np.zeros(3)),
+            1.0 if m.carpaint_has_base_conductor else 0.0,
+            # subsurface lanes
+            *np.maximum(m.sss_sigma_a, 0.0),
+            *np.maximum(m.sss_sigma_s, 0.0),
+            max(m.sss_mfp, 0.0),
+            float(np.clip(m.sss_g, -0.99, 0.99)),
+            float(m.sss_method),
+            1.0 if m.sss_coat else 0.0,
+            1.0 if m.sss_sigma_override else 0.0,
+            0.0, 0.0, 0.0,  # pad to 64
         ]
     return out
 
@@ -172,6 +198,8 @@ def render_oracle(resources, settings: RenderSettings, width: int, height: int,
         ctypes.c_float(settings.environmentIntensity),
         firefly.ctypes.data_as(fp),
         ctypes.c_int(1 if settings.enableSpecularNee else 0),
+        ctypes.c_int(int(settings.sssMode)),
+        ctypes.c_int(int(settings.sssMaxSteps)),
         ctypes.c_int(n_threads),
         out.ctypes.data_as(fp))
     if ret != 0:

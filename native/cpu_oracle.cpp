@@ -5,17 +5,20 @@
 // independent CPU implementation of the same material/sampling model used
 // as the RMSE gate). This implementation is written against the same
 // behavioral spec as the JAX integrator (ops/integrator.py): identical PCG
-// RNG and per-pixel seeding, identical BSDF math for lambert / GGX
-// conductor / exact-Fresnel dielectric / diffuse light / plastic,
-// rect-light NEE + env alias-table NEE with MIS, Beer-Lambert medium
-// stack, firefly clamps and Russian roulette.
+// RNG and per-pixel seeding, identical BSDF math for all 8 material types
+// (lambert / GGX conductor / exact-Fresnel dielectric / diffuse light /
+// plastic / subsurface separable + random walk / carpaint / PBR
+// metallic-roughness with rough transmission), rect-light NEE + env
+// alias-table NEE with MIS, Beer-Lambert medium stack, firefly clamps and
+// Russian roulette.
 //
 // Tile-parallel over std::thread with an atomic work index, 16x16 tiles
 // (the reference backend's scheduling, EmbreeHeadlessRenderer.mm:2538+).
 //
-// C ABI (ctypes). Coverage notes: subsurface/carpaint/PBR lanes currently
-// fall back to lambert in the oracle (tracked for the next round); the
-// RMSE gate therefore runs on scenes without those types.
+// C ABI (ctypes). Parity notes: most types are RNG-stream-exact vs the JAX
+// integrator (RMSE ~1e-5). Carpaint-with-flakes and random-walk SSS agree
+// statistically, not bitwise: the flake spatial hash and grazing-angle TIR
+// decisions amplify last-bit position differences between XLA and C++.
 
 #include <algorithm>
 #include <atomic>
@@ -130,6 +133,15 @@ struct Material {
     float coat_ior;
     // PBR metallic-roughness (ops/pbr.py; reference pathtrace.metal:4632-4945)
     float pbr_metallic, pbr_transmission, pbr_thickness, pbr_double_sided;
+    // CarPaint (ops/carpaint.py; reference pathtrace.metal:3300-3536)
+    float cp_base_metallic, cp_base_roughness, cp_flake_scale;
+    float cp_flake_sample_weight, cp_flake_roughness, cp_flake_anisotropy;
+    float cp_flake_normal_strength;
+    V3 cp_base_eta, cp_base_k;
+    float cp_has_base_conductor;
+    // Subsurface (ops/sss.py; reference pathtrace.metal:3912-4310)
+    V3 ss_a, ss_s;
+    float ss_mfp, ss_g, ss_method, ss_coat, ss_override;
 };
 
 struct Scene {
@@ -455,6 +467,9 @@ struct SampleResult {
     float pdf = 0, dpdf = 0;
     bool delta = false;
     int medium_event = 0;
+    // BSSRDF exit (ops/sss.py; the integrator restarts the ray here)
+    bool has_exit = false;
+    V3 exit_point{}, exit_normal{};
 };
 struct EvalResult {
     V3 value{};
@@ -735,9 +750,524 @@ SampleResult sample_pbr(const Material& m, V3 n, V3 wo, V3 incident,
     return r;
 }
 
-EvalResult eval_bsdf(const Material& m, V3 n, V3 wo, V3 wi) {
+// ---- CarPaint: base (diffuse/conductor) + procedural flakes + clearcoat
+// (mirrors ops/carpaint.py; reference pathtrace.metal carpaint_*:3300-3536,
+// sample case 6:5508-5633, evaluate case 6:5079-5110) ----------------------
+float plastic_coat_roughness_cp(const Material& m) {
+    return std::max(std::clamp(m.coat_roughness, 0.f, 1.f), 1e-3f);
+}
+
+V3 carpaint_flake_normal(const Material& m, V3 position, V3 normal) {
+    // floor-mod matches jnp.mod(x, 1.0) for negative inputs too
+    auto fm = [](float x) { return x - std::floor(x); };
+    V3 p = position * m.cp_flake_scale;
+    V3 q = {fm(p.x * 0.3183099f + 0.1f), fm(p.y * 0.3183099f + 0.3f),
+            fm(p.z * 0.3183099f + 0.7f)};
+    float s = q.x * (q.y + 33.33f) + q.y * (q.z + 55.55f) + q.z * (q.x + 77.77f);
+    q = q + V3{s, s, s};
+    V3 rand = {fm((q.x + q.y) * 13.5453123f), fm((q.x + q.z) * 13.5453123f),
+               fm((q.y + q.z) * 13.5453123f)};
+    float anis = m.cp_flake_anisotropy;
+    float ax = std::max(1.0f - anis, 1e-3f), ay = std::max(1.0f + anis, 1e-3f);
+    float phi = 2.0f * kPi * rand.x;
+    float r = std::sqrt(std::max(rand.y, 1e-4f));
+    float x = r * std::cos(phi) * ax, y = r * std::sin(phi) * ay;
+    float m2 = std::clamp(x * x + y * y, 0.0f, 0.99f);
+    float z = std::sqrt(std::max(1.0f - m2, 0.0f));
+    V3 t, b;
+    build_onb(normal, t, b);
+    V3 pert = normalize(x * t + y * b + z * normal);
+    float st = m.cp_flake_normal_strength;
+    return normalize(normal + (pert - normal) * st);
+}
+
+V3 carpaint_base_f0(const Material& m) {
+    if (m.cp_has_base_conductor > 0.0f)
+        return fresnel_conductor(1.0f, m.cp_base_eta, m.cp_base_k);
+    return {std::clamp(m.base_color.x, 0.f, 1.f),
+            std::clamp(m.base_color.y, 0.f, 1.f),
+            std::clamp(m.base_color.z, 0.f, 1.f)};
+}
+
+void carpaint_eval_coat(const Material& m, V3 n, V3 wo, V3 wi, V3& f, float& pdf) {
+    f = {0, 0, 0};
+    pdf = 0;
+    float co = std::max(dot(n, wo), 0.0f), ci = std::max(dot(n, wi), 0.0f);
+    if (ci <= 0 || co <= 0) return;
+    float rough = plastic_coat_roughness_cp(m);
+    float alpha = std::max(rough * rough, 1e-4f);
+    V3 wh = normalize(wo + wi);
+    if (!(dot(wh, n) > 0 && dot(wo, wh) > 0 && dot(wi, wh) > 0)) return;
+    float D = ggx_d(alpha, dot(n, wh));
+    float G = ggx_g1(alpha, co) * ggx_g1(alpha, ci);
+    float f0 = plastic_coat_f0(m);
+    V3 F = schlick({f0, f0, f0}, dot(wi, wh));
+    V3 spec = F * (D * G / std::max(4.0f * co * ci, 1e-6f));
+    spec = spec * plastic_spec_tint(m);
+    float pdf_raw = ggx_pdf(alpha, n, wo, wi);
+    if (pdf_raw <= 0) return;
+    f = spec;
+    pdf = pdf_raw;
+}
+
+void carpaint_eval_flake(const Material& m, V3 position, V3 n, V3 wo, V3 wi,
+                         V3& f, float& pdf) {
+    f = {0, 0, 0};
+    pdf = 0;
+    V3 fn = carpaint_flake_normal(m, position, n);
+    float co = std::max(dot(fn, wo), 0.0f), ci = std::max(dot(fn, wi), 0.0f);
+    if (ci <= 0 || co <= 0) return;
+    float rough = std::max(std::clamp(m.cp_flake_roughness, 0.f, 1.f), 1e-3f);
+    float alpha = rough * rough;
+    V3 wh = normalize(wo + wi);
+    if (!(dot(wh, fn) > 0 && dot(wo, wh) > 0 && dot(wi, wh) > 0)) return;
+    float D = ggx_d(alpha, dot(fn, wh));
+    float G = ggx_g1(alpha, co) * ggx_g1(alpha, ci);
+    V3 F = schlick(carpaint_base_f0(m), dot(wi, wh));
+    V3 spec = F * (D * G / std::max(4.0f * co * ci, 1e-6f));
+    spec = spec * plastic_spec_tint(m);
+    float coat_avg = std::clamp(m.coat_fresnel_avg, 0.0f, 1.0f);
+    spec = spec * std::max(1.0f - coat_avg, 0.0f);
+    float pdf_raw = ggx_pdf(alpha, fn, wo, wi);
+    if (pdf_raw <= 0) return;
+    f = spec;
+    pdf = pdf_raw;
+}
+
+void carpaint_eval_base(const Material& m, V3 n, V3 wo, V3 wi, V3& f, float& pdf) {
+    f = {0, 0, 0};
+    pdf = 0;
+    float co = std::max(dot(n, wo), 0.0f), ci = std::max(dot(n, wi), 0.0f);
+    if (ci <= 0 || co <= 0) return;
+    float metallic = std::clamp(m.cp_base_metallic, 0.f, 1.f);
+    float diffuse_w = std::max(1.0f - metallic, 0.0f);
+    float spec_w = std::max(metallic, 0.0f);
+    if (diffuse_w <= 1e-4f && spec_w <= 1e-4f) return;
+    float coat_avg = std::clamp(m.coat_fresnel_avg, 0.0f, 1.0f);
+    V3 base = {std::clamp(m.base_color.x, 0.f, 1.f),
+               std::clamp(m.base_color.y, 0.f, 1.f),
+               std::clamp(m.base_color.z, 0.f, 1.f)};
+
+    V3 combined{};
+    float pdf_diffuse = 0;
+    if (diffuse_w > 1e-4f) {
+        V3 diffuse = base / kPi;
+        diffuse = diffuse * plastic_diffuse_trans(m, ci, co);
+        diffuse = vmin0(diffuse * std::max(1.0f - coat_avg, 0.0f));
+        combined = combined + diffuse * diffuse_w;
+        pdf_diffuse = ci / kPi;
+    }
+
+    float rough = std::max(std::clamp(m.cp_base_roughness, 0.f, 1.f), 1e-3f);
+    float alpha = rough * rough;
+    V3 wh = normalize(wo + wi);
+    float pdf_spec = 0;
+    bool half_ok = dot(wh, n) > 0 && dot(wo, wh) > 0 && dot(wi, wh) > 0;
+    if (spec_w > 1e-4f && half_ok) {
+        float D = ggx_d(alpha, dot(n, wh));
+        float G = ggx_g1(alpha, co) * ggx_g1(alpha, ci);
+        V3 F = m.cp_has_base_conductor > 0.0f
+                   ? fresnel_conductor(dot(wi, wh), m.cp_base_eta, m.cp_base_k)
+                   : schlick(base, dot(wi, wh));
+        V3 spec = F * (D * G / std::max(4.0f * co * ci, 1e-6f));
+        spec = vmin0(spec * plastic_spec_tint(m) * std::max(1.0f - coat_avg, 0.0f));
+        combined = combined + spec * spec_w;
+        float pdf_raw = ggx_pdf(alpha, n, wo, wi);
+        if (pdf_raw > 0) pdf_spec = pdf_raw;
+    }
+    f = vmin0(combined);
+    pdf = diffuse_w * pdf_diffuse + spec_w * pdf_spec;
+}
+
+void carpaint_lobe_probs(const Material& m, float& p_coat, float& p_flake,
+                         float& p_base) {
+    p_coat = std::clamp(m.coat_sample_weight, 0.0f, 0.95f);
+    p_flake = std::clamp(m.cp_flake_sample_weight, 0.0f, 0.95f);
+    p_base = std::max(1.0f - (p_coat + p_flake), 0.0f);
+    float norm = p_coat + p_flake + p_base;
+    if (norm <= 1e-6f) {
+        p_coat = p_flake = 0.0f;
+        p_base = 1.0f;
+        norm = 1.0f;
+    }
+    p_coat /= norm;
+    p_flake /= norm;
+    p_base /= norm;
+}
+
+EvalResult eval_carpaint(const Material& m, V3 position, V3 n, V3 wo, V3 wi) {
+    EvalResult r;
+    float p_coat, p_flake, p_base;
+    carpaint_lobe_probs(m, p_coat, p_flake, p_base);
+    V3 cf, ff, bf;
+    float cp, fp, bp;
+    carpaint_eval_coat(m, n, wo, wi, cf, cp);
+    carpaint_eval_flake(m, position, n, wo, wi, ff, fp);
+    carpaint_eval_base(m, n, wo, wi, bf, bp);
+    r.value = bf * p_base + ff * p_flake + cf * p_coat;
+    r.pdf = p_base * bp + p_flake * fp + p_coat * cp;
+    if (r.pdf <= 0 || !finite3(r.value)) {
+        r.value = {0, 0, 0};
+        r.pdf = 0;
+    }
+    return r;
+}
+
+SampleResult sample_carpaint(const Material& m, V3 position, V3 n, V3 wo,
+                             uint32_t& s) {
+    // RNG order mirrors ops/carpaint.py sample_carpaint: 1 selector draw;
+    // coat/flake draw 2 (VNDF); base draws 1 (sub-lobe) + 2 (VNDF/cosine).
+    SampleResult out;
+    float p_coat, p_flake, p_base;
+    carpaint_lobe_probs(m, p_coat, p_flake, p_base);
+    float r = rand_uniform(s);
+    int lobe = 0;  // 0 base, 1 flake, 2 coat
+    if (p_coat > 0.0f && r < p_coat)
+        lobe = 2;
+    else if (p_flake > 0.0f && r < p_coat + p_flake)
+        lobe = 1;
+    if (lobe == 0 && p_base <= 1e-6f) {
+        if (p_flake > p_coat && p_flake > 0.0f)
+            lobe = 1;
+        else if (p_coat > 0.0f)
+            lobe = 2;
+    }
+
+    V3 fn = carpaint_flake_normal(m, position, n);
+    V3 wi{};
+    bool branch_ok = false;
+    if (lobe == 2) {
+        V3 wh = sample_vndf(n, wo, plastic_coat_roughness_cp(m), s);
+        wi = normalize(reflect(wo * -1.0f, wh));
+        branch_ok = dot(wh, n) > 0.0f;
+    } else if (lobe == 1) {
+        float rough = std::max(std::clamp(m.cp_flake_roughness, 0.f, 1.f), 1e-3f);
+        V3 wh = sample_vndf(fn, wo, rough, s);
+        wi = normalize(reflect(wo * -1.0f, wh));
+        branch_ok = dot(wh, fn) > 0.0f;
+    } else {
+        float metallic = std::clamp(m.cp_base_metallic, 0.f, 1.f);
+        float diffuse_w = std::max(1.0f - metallic, 0.0f);
+        float spec_w = std::max(metallic, 0.0f);
+        float choose = rand_uniform(s);
+        bool sample_spec = spec_w > 0.0f && (diffuse_w + spec_w) > 0.0f &&
+                           choose < spec_w / std::max(diffuse_w + spec_w, 1e-6f);
+        if (sample_spec) {
+            float rough = std::max(std::clamp(m.cp_base_roughness, 0.f, 1.f), 1e-3f);
+            V3 wh = sample_vndf(n, wo, rough, s);
+            wi = normalize(reflect(wo * -1.0f, wh));
+            branch_ok = dot(wh, n) > 0.0f;
+        } else {
+            V3 local = cosine_hemisphere(s);
+            wi = normalize(to_world(local, n));
+            branch_ok = true;
+        }
+    }
+
+    bool dir_ok = branch_ok && finite3(wi) && dot(n, wi) > 0.0f;
+    V3 cf, ff, bf;
+    float cp, fp, bp;
+    carpaint_eval_coat(m, n, wo, wi, cf, cp);
+    carpaint_eval_flake(m, position, n, wo, wi, ff, fp);
+    carpaint_eval_base(m, n, wo, wi, bf, bp);
+    float combined_pdf = p_base * bp + p_flake * fp + p_coat * cp;
+    V3 sel_f = lobe == 2 ? cf : (lobe == 1 ? ff : bf);
+    float sel_pdf = lobe == 2 ? cp : (lobe == 1 ? fp : bp);
+    float ci = std::max(dot(n, wi), 0.0f);
+    V3 weight = sel_f * (ci / std::max(combined_pdf, 1e-20f));
+    bool ok = dir_ok && combined_pdf > 0.0f && sel_pdf > 0.0f &&
+              maxc(sel_f) > 0.0f && ci > 0.0f && finite3(weight);
+    if (!ok) return out;
+    out.dir = wi;
+    out.weight = vmin0(weight);
+    out.pdf = combined_pdf;
+    out.dpdf = std::max(sel_pdf, 0.0f);
+    return out;
+}
+
+// ---- Subsurface scattering (mirrors ops/sss.py; reference
+// pathtrace.metal sss_*:3912-4059, case 5:5420-5508, random walk
+// sample_sss_random_walk_software:4060-4310) -------------------------------
+constexpr float kSssCutoff = 1e-3f;
+
+inline V3 vmaxf(V3 v, float lo) {
+    return {std::max(v.x, lo), std::max(v.y, lo), std::max(v.z, lo)};
+}
+inline V3 vclamp01(V3 v, float hi = 1.0f) {
+    return {std::clamp(v.x, 0.0f, hi), std::clamp(v.y, 0.0f, hi),
+            std::clamp(v.z, 0.0f, hi)};
+}
+float schlick_scalar(float f0, float c) { return f0 + (1.0f - f0) * schlick_w(c); }
+
+V3 sss_sigma_a_m(const Material& m, V3 base, float mfp, float anis) {
+    float sigma_t = 1.0f / std::max(mfp, 1e-4f);
+    V3 ss = vclamp01(base, 0.999f) * sigma_t;
+    ss = vmin0(ss) * std::max(1.0f - anis, 0.01f);
+    if (m.ss_override > 0.5f) return vmaxf(m.ss_a, 1e-6f);
+    return vmaxf(V3{sigma_t, sigma_t, sigma_t} - ss, 1e-6f);
+}
+V3 sss_sigma_s_prime_m(const Material& m, V3 base, float mfp, float anis) {
+    float sigma_t = 1.0f / std::max(mfp, 1e-4f);
+    V3 derived = vmin0(vclamp01(base, 0.999f) * sigma_t);
+    V3 out = m.ss_override > 0.5f ? vmin0(m.ss_s) : derived;
+    return out * std::max(1.0f - anis, 0.01f);
+}
+V3 sss_diffusion_profile(float radius, V3 sa, V3 ssp) {
+    auto chan = [&](float a, float sp) {
+        float stp = std::max(a + sp, 1e-6f);
+        float alpha_p = std::clamp(sp / stp, 0.0f, 1.0f);
+        float d = 1.0f / std::max(3.0f * stp, 1e-6f);
+        float str = std::sqrt(std::max(a / d, 1e-6f));
+        float r = std::max(radius, 1e-4f);
+        float zr = 1.0f / stp;
+        float dr = std::sqrt(r * r + zr * zr);
+        float vr = zr + 4.0f * d;
+        float dv = std::sqrt(r * r + vr * vr);
+        float term_dr = (zr * (1.0f + str * dr)) / std::max(dr * dr * dr, 1e-6f);
+        float term_dv = (vr * (1.0f + str * dv)) / std::max(dv * dv * dv, 1e-6f);
+        float p = (alpha_p / (4.0f * kPi)) *
+                  (term_dr * std::exp(-str * dr) + term_dv * std::exp(-str * dv));
+        return std::max(p, 0.0f);
+    };
+    return {chan(sa.x, ssp.x), chan(sa.y, ssp.y), chan(sa.z, ssp.z)};
+}
+float sss_sigma_tr_scalar_m(V3 sa, V3 ssp) {
+    auto chan = [](float a, float sp) {
+        float stp = std::max(a + sp, 1e-6f);
+        float d = 1.0f / std::max(3.0f * stp, 1e-6f);
+        return std::sqrt(std::max(a / d, 1e-6f));
+    };
+    V3 str = {chan(sa.x, ssp.x), chan(sa.y, ssp.y), chan(sa.z, ssp.z)};
+    float lum = str.x * 0.2126f + str.y * 0.7152f + str.z * 0.0722f;
+    return std::max(lum, 1e-4f);
+}
+V3 sample_hg_world(V3 reference_dir, float g, uint32_t& s) {
+    float u1 = rand_uniform(s), u2 = rand_uniform(s);
+    bool iso = std::fabs(g) < 1e-3f;
+    float sq = (1.0f - g * g) / (1.0f - g + 2.0f * g * u1);
+    float cos_aniso =
+        std::clamp((1.0f + g * g - sq * sq) / (2.0f * (iso ? 1.0f : g)), -1.0f, 1.0f);
+    float ct = iso ? 1.0f - 2.0f * u1 : cos_aniso;
+    float st = std::sqrt(std::max(0.0f, 1.0f - ct * ct));
+    float phi = 2.0f * kPi * u2;
+    V3 local = {st * std::cos(phi), st * std::sin(phi), ct};
+    V3 ref = normalize(reference_dir);
+    V3 t, b;
+    build_onb(ref, t, b);
+    return normalize(local.x * t + local.y * b + local.z * ref);
+}
+V3 offset_surface_point(V3 point, V3 normal, V3 dir) {
+    bool ok = finite3(normal) && dot(normal, normal) > 0.0f;
+    V3 n = ok ? normalize(normal) : V3{0, 1, 0};
+    float sign = dot(dir, n) >= 0.0f ? 1.0f : -1.0f;
+    V3 o = point + n * (sign * kRayOriginEpsilon * 4.0f);
+    return o + dir * (kRayOriginEpsilon * 0.5f);
+}
+
+SampleResult sample_lambert_fb(const Material& m, V3 n, uint32_t& s) {
+    SampleResult r;
+    V3 local = cosine_hemisphere(s);
+    V3 wi = normalize(to_world(local, n));
+    float ci = dot(n, wi);
+    if (ci <= 0) return r;
+    float pdf = ci / kPi;
+    V3 base = vclamp01(m.base_color);
+    V3 weight = vmin0((base / kPi) * (ci / std::max(pdf, 1e-20f)));
+    if (pdf <= 0 || !finite3(weight)) return r;
+    r.dir = wi;
+    r.weight = weight;
+    r.pdf = r.dpdf = pdf;
+    return r;
+}
+
+SampleResult sample_subsurface_oracle(const Material& m, V3 pos, V3 n, V3 wo,
+                                      int sss_mode, uint32_t& s) {
+    // sample_bsdf case 5 (ops/sss.py sample_subsurface): separable BSSRDF
+    // when sss_mode==1 and the material is separable, else lambert fallback.
+    if (sss_mode != 1) return sample_lambert_fb(m, n, s);
+    float mfp = std::max(m.ss_mfp, 1e-4f);
+    float anis = std::clamp(m.ss_g, -0.99f, 0.99f);
+    V3 base = vclamp01(m.base_color);
+    V3 sa = sss_sigma_a_m(m, base, mfp, anis);
+    V3 ssp = sss_sigma_s_prime_m(m, base, mfp, anis);
+    float sigma_tr = sss_sigma_tr_scalar_m(sa, ssp);
+    bool separable = m.ss_method < 0.5f && mfp > 1e-4f && sigma_tr > 0.0f;
+    if (!separable) return sample_lambert_fb(m, n, s);
+
+    SampleResult r;
+    // 4 draws: radius, phi, cosine x2
+    float u_r = std::clamp(rand_uniform(s), 1e-6f, 1.0f - 1e-6f);
+    float radius = -std::log(1.0f - u_r) / std::max(sigma_tr, 1e-4f);
+    radius = std::min(radius, mfp * 10.0f);
+    float pdf_radius =
+        std::max(sigma_tr, 1e-4f) * std::exp(-std::max(sigma_tr, 1e-4f) * radius);
+    float phi = 2.0f * kPi * rand_uniform(s);
+    V3 t, b;
+    build_onb(n, t, b);
+    V3 exit_point = pos + t * (radius * std::cos(phi)) + b * (radius * std::sin(phi));
+    V3 local = cosine_hemisphere(s);
+    V3 wi = normalize(to_world(local, n));
+    float cos_exit = dot(n, wi);
+    float pdf_dir = std::max(cos_exit, 0.0f) / kPi;
+    float pdf_area = pdf_radius / (2.0f * kPi * std::max(radius, 1e-4f));
+
+    V3 profile = sss_diffusion_profile(radius, sa, ssp);
+    V3 coat_tint = vclamp01(m.coat_tint);
+    float coat_average = 1.0f - std::clamp(m.coat_fresnel_avg, 0.0f, 1.0f);
+    float cior = std::max(m.coat_ior, 1.0f);
+    float f0 = ((cior - 1.0f) / (cior + 1.0f)) * ((cior - 1.0f) / (cior + 1.0f));
+    float cos_in = std::max(dot(n, wo), 0.0f);
+    float trans_in = 1.0f - schlick_scalar(f0, cos_in);
+    float trans_out = 1.0f - schlick_scalar(f0, cos_exit);
+    float coat_transmission = std::clamp(trans_in * trans_out, 0.0f, 1.0f);
+    bool has_coat = m.ss_coat > 0.5f;
+    if (has_coat) profile = profile * coat_tint;
+    float coat_trans_eff = has_coat ? coat_transmission : 1.0f;
+
+    V3 weight = profile * (cos_exit * coat_average * coat_trans_eff);
+    float denom = std::max(pdf_area * pdf_dir, 1e-6f);
+    weight = vmin0(weight * (1.0f / denom));
+    bool ok = pdf_radius > 0.0f && std::isfinite(pdf_radius) && cos_exit > 0.0f &&
+              pdf_dir > 0.0f && pdf_area > 0.0f && finite3(weight);
+    if (!ok) return r;  // invalid sample; 4 draws stay consumed (JAX keeps st)
+    r.dir = wi;
+    r.weight = weight;
+    r.pdf = denom;
+    r.dpdf = pdf_dir;
+    r.has_exit = true;
+    r.exit_point = exit_point;
+    r.exit_normal = n;
+    return r;
+}
+
+SampleResult sample_sss_walk_oracle(const Scene& sc, const Material& m,
+                                    const Hit& rec, V3 wo, V3 incident,
+                                    int max_steps, uint32_t& s) {
+    // ops/sss.py sample_sss_random_walk: 1 selector; coat lobe draws 2
+    // (VNDF); walk draws 1 per step (+2 HG on scatter steps).
+    SampleResult out;
+    V3 n = rec.normal;
+    float p_coat = std::clamp(m.coat_sample_weight, 0.0f, 1.0f);
+    float rl = rand_uniform(s);
+    bool take_coat = p_coat > 0.0f && rl < p_coat;
+
+    if (take_coat) {
+        float rough = plastic_coat_roughness_cp(m);
+        float alpha = rough * rough;
+        float f0 = plastic_coat_f0(m);
+        V3 f0c = {f0, f0, f0};
+        V3 wh = sample_vndf(n, wo, rough, s);
+        V3 wi = normalize(reflect(wo * -1.0f, wh));
+        float ci = dot(n, wi), co = dot(n, wo);
+        float D = ggx_d(alpha, dot(n, wh));
+        float G = ggx_g1(alpha, co) * ggx_g1(alpha, ci);
+        V3 F = schlick(f0c, dot(wi, wh));
+        V3 spec = F * (D * G / std::max(4.0f * co * ci, 1e-6f));
+        spec = spec * plastic_spec_tint(m);
+        float spec_pdf = ggx_pdf(alpha, n, wo, wi);
+        float combined = std::max(p_coat * spec_pdf, 1e-6f);
+        V3 weight = vmin0(spec * (ci / combined));
+        bool ok = dot(wh, n) > 0.0f && finite3(wi) && ci > 0.0f && co > 0.0f &&
+                  dot(wi, wh) > 0.0f && spec_pdf > 0.0f && finite3(weight);
+        if (!ok) return out;
+        out.dir = wi;
+        out.weight = weight;
+        out.pdf = combined;
+        out.dpdf = spec_pdf;
+        return out;
+    }
+
+    float p_diffuse = std::max(1.0f - p_coat, 1e-3f);
+    float anis = std::clamp(m.ss_g, -0.99f, 0.99f);
+    float mfp = std::max(m.ss_mfp, 1e-4f);
+    V3 base = vclamp01(m.base_color);
+    V3 sa = sss_sigma_a_m(m, base, mfp, anis);
+    V3 ssp = sss_sigma_s_prime_m(m, base, mfp, anis);
+    V3 sigma_t = vmaxf(sa + ssp, 1e-6f);
+    float sigma_t_scalar = std::max(maxc(sigma_t), 1e-4f);
+    bool has_coat = m.ss_coat > 0.5f;
+
+    V3 tp = V3{1, 1, 1} * (1.0f / p_diffuse);
+    float eta_inside = std::max(m.eta, 1.0f);
+    V3 unit_dir = incident;
+    float cos_i = dot(unit_dir * -1.0f, n);
+    float cos_t = 0.0f;
+    float fr_entry = fresnel_dielectric(cos_i, 1.0f, eta_inside, cos_t);
+    V3 enter_dir = refract(unit_dir, n, 1.0f / eta_inside);
+    bool enter_ok = cos_i > 0.0f && finite3(enter_dir) && dot(enter_dir, enter_dir) > 0.0f;
+    if (!enter_ok) return out;
+    enter_dir = normalize(enter_dir);
+    float eta_scale = eta_inside * eta_inside;
+    float dir_scale = eta_scale * (cos_t / std::max(cos_i, 1e-6f));
+    tp = tp * (std::max(1.0f - fr_entry, 0.0f) * dir_scale);
+    if (has_coat) tp = tp * plastic_spec_tint(m);
+
+    V3 pos = offset_surface_point(rec.point, n * -1.0f, enter_dir);
+    V3 dir = enter_dir;
+
+    for (int step = 0; step < std::max(max_steps, 1); ++step) {
+        float xi = std::clamp(rand_uniform(s), 1e-6f, 1.0f - 1e-6f);
+        float distance = -std::log(1.0f - xi) / sigma_t_scalar;
+        Hit b;
+        if (!trace(sc, pos, dir, kRayOriginEpsilon, kInfinity, -1, b)) break;
+        float boundary_dist = std::max(b.t, 1e-4f);
+        if (distance < boundary_dist) {
+            // volume scatter
+            tp = tp * vexp(sigma_t * -distance);
+            V3 albedo = vclamp01(V3{ssp.x / std::max(sigma_t.x, 1e-6f),
+                                    ssp.y / std::max(sigma_t.y, 1e-6f),
+                                    ssp.z / std::max(sigma_t.z, 1e-6f)});
+            tp = tp * albedo;
+            if (maxc(tp) < kSssCutoff) break;
+            V3 new_dir = sample_hg_world(dir * -1.0f, anis, s);
+            if (!(finite3(new_dir) && dot(new_dir, new_dir) > 0.0f)) break;
+            pos = pos + dir * distance;
+            dir = new_dir;
+            continue;
+        }
+        // boundary
+        tp = tp * vexp(sigma_t * -boundary_dist);
+        if (maxc(tp) < kSssCutoff) break;
+        V3 outward = b.front ? b.normal : b.normal * -1.0f;
+        if (!(finite3(outward) && dot(outward, outward) > 0.0f)) break;
+        outward = normalize(outward);
+        float cos_exit_i = dot(dir * -1.0f, outward);
+        bool internal = cos_exit_i <= 0.0f;
+        float cos_exit_t = 0.0f;
+        float fr_exit = fresnel_dielectric(cos_exit_i, eta_inside, 1.0f, cos_exit_t);
+        V3 refracted = refract(dir, outward, eta_inside);
+        bool refract_fail =
+            !(finite3(refracted) && dot(refracted, refracted) > 0.0f);
+        if (internal || refract_fail) {
+            // total internal reflection: bounce inside
+            pos = b.point;
+            dir = normalize(reflect(dir, outward));
+            continue;
+        }
+        refracted = normalize(refracted);
+        float dir_scale_exit =
+            (1.0f / (eta_inside * eta_inside)) * (cos_exit_t / std::max(cos_exit_i, 1e-6f));
+        V3 tp_exit = tp * (std::max(1.0f - fr_exit, 0.0f) * dir_scale_exit);
+        if (has_coat) tp_exit = tp_exit * plastic_spec_tint(m);
+        tp_exit = vmin0(tp_exit);
+        if (!finite3(tp_exit)) break;
+        out.dir = refracted;
+        out.weight = tp_exit;
+        out.pdf = std::max(p_diffuse, 1e-4f);
+        out.dpdf = 1.0f;
+        out.has_exit = true;
+        out.exit_point = b.point;
+        out.exit_normal = outward;
+        return out;
+    }
+    return out;  // absorbed / step-capped: invalid sample
+}
+
+EvalResult eval_bsdf(const Material& m, V3 pos, V3 n, V3 wo, V3 wi) {
     EvalResult r;
     if (m.type == 7) return eval_pbr(m, n, wo, wi);
+    if (m.type == 6) return eval_carpaint(m, pos, n, wo, wi);
+    if (m.type == 5) return r;  // BSSRDF: NEE excluded (evaluate_bsdf is_bssrdf)
     float co = std::max(dot(n, wo), 0.0f), ci = std::max(dot(n, wi), 0.0f);
     if (ci <= 0 || co <= 0) return r;
     switch (m.type) {
@@ -810,10 +1340,14 @@ EvalResult eval_bsdf(const Material& m, V3 n, V3 wo, V3 wi) {
     return r;
 }
 
-SampleResult sample_bsdf(const Material& m, V3 n, V3 wo, V3 incident,
-                         bool front, uint32_t& s) {
+SampleResult sample_bsdf(const Material& m, V3 pos, V3 n, V3 wo, V3 incident,
+                         bool front, int sss_mode, uint32_t& s) {
     SampleResult r;
     switch (m.type) {
+        case 5:
+            return sample_subsurface_oracle(m, pos, n, wo, sss_mode, s);
+        case 6:
+            return sample_carpaint(m, pos, n, wo, s);
         case 0: {
             V3 local = cosine_hemisphere(s);
             V3 wi = normalize(to_world(local, n));
@@ -1084,6 +1618,8 @@ struct Params {
     V3 bg_color;
     Clamps clamps;
     int enable_spec_nee;
+    int sss_mode = 0;
+    int sss_max_steps = 32;
 };
 
 V3 sky(V3 d) {
@@ -1170,7 +1706,7 @@ V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
                     bool occ = trace(sc, so, ldir, kEpsilon,
                                      std::max(ldist - kEpsilon, kEpsilon), -1, sh);
                     if (!occ) {
-                        EvalResult ev = eval_bsdf(m, n, wo, ldir);
+                        EvalResult ev = eval_bsdf(m, rec.point, n, wo, ldir);
                         if (!ev.delta && maxc(ev.value) > 0) {
                             float wgt = 1.0f;
                             if (ev.pdf > 0) {
@@ -1199,7 +1735,7 @@ V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
                     V3 so = offset_origin(rec, edir);
                     bool occ = trace(sc, so, edir, kEpsilon, kInfinity, -1, sh);
                     if (!occ) {
-                        EvalResult ev = eval_bsdf(m, n, wo, edir);
+                        EvalResult ev = eval_bsdf(m, rec.point, n, wo, edir);
                         if (!ev.delta && maxc(ev.value) > 0) {
                             float wgt = 1.0f;
                             if (ev.pdf > 0) {
@@ -1217,7 +1753,31 @@ V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
             }
         }
 
-        SampleResult smp = sample_bsdf(m, n, wo, incident, rec.front, s);
+        SampleResult smp;
+        bool rw_lane = P.sss_mode == 2 && m.type == 5 && m.ss_method >= 0.5f &&
+                       rec.front;
+        if (rw_lane) {
+            // mirror ops/integrator.py: the lambert fallback sample and the
+            // random walk both start from the same RNG state; the walk wins
+            // when it produced a valid exit, else the fallback (and its
+            // post-draw state) stands.
+            uint32_t s0 = s;
+            SampleResult fb =
+                sample_bsdf(m, rec.point, n, wo, incident, rec.front, P.sss_mode, s);
+            uint32_t s_fb = s;
+            s = s0;
+            SampleResult rw = sample_sss_walk_oracle(sc, m, rec, wo, incident,
+                                                     P.sss_max_steps, s);
+            if (rw.pdf > 0) {
+                smp = rw;
+            } else {
+                smp = fb;
+                s = s_fb;
+            }
+        } else {
+            smp = sample_bsdf(m, rec.point, n, wo, incident, rec.front,
+                              P.sss_mode, s);
+        }
         if (smp.pdf <= 0) break;
 
         if (smp.medium_event == 1) {
@@ -1230,7 +1790,19 @@ V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
             if (medium_depth > 0) medium_depth--;
         }
 
-        V3 next_o = offset_origin(rec, smp.dir);
+        V3 next_o;
+        if (smp.has_exit) {
+            // BSSRDF exit restart (ops/integrator.py; reference :6741-6766)
+            V3 en = smp.exit_normal;
+            if (!(finite3(en) && dot(en, en) > 0.0f)) en = rec.normal;
+            en = normalize(en);
+            float sign = dot(smp.dir, en) >= 0.0f ? 1.0f : -1.0f;
+            next_o = smp.exit_point + en * (sign * kRayOriginEpsilon);
+            next_o = next_o + en * (kRayOriginEpsilon * 32.0f);
+            next_o = next_o + normalize(smp.dir) * (kRayOriginEpsilon * 32.0f);
+        } else {
+            next_o = offset_origin(rec, smp.dir);
+        }
 
         // specular NEE (reference :6843-6960), primary chain only
         if (P.enable_spec_nee && smp.delta && smp.medium_event <= 0 &&
@@ -1300,13 +1872,13 @@ extern "C" int render_oracle(
     int n_spheres, const float* sph, const int* sph_mat,
     int n_rects, const float* rect, const int* rect_mat, const int* rect_two_sided,
     int n_tris, const float* tri, const int* tri_mat,
-    int n_mats, const float* mat_data,  // (M, 36)
+    int n_mats, const float* mat_data,  // (M, 64)
     int env_w, int env_h, const float* env_texels,
     const float* marg_thresh, const int* marg_alias,
     const float* cond_thresh, const int* cond_alias, const float* env_pdf,
     float env_rotation, float env_intensity,
     const float* firefly,  // factor, floor, throughput, max_contrib, enabled
-    int enable_spec_nee, int n_threads,
+    int enable_spec_nee, int sss_mode, int sss_max_steps, int n_threads,
     float* out_rgb) {
     Scene sc;
     sc.n_spheres = n_spheres;
@@ -1332,7 +1904,7 @@ extern "C" int render_oracle(
 
     sc.mats.resize(n_mats);
     for (int i = 0; i < n_mats; ++i) {
-        const float* d = mat_data + 36 * i;
+        const float* d = mat_data + 64 * i;
         Material& m = sc.mats[i];
         m.base_color = {std::clamp(d[0], 0.f, 1.f), std::clamp(d[1], 0.f, 1.f),
                         std::clamp(d[2], 0.f, 1.f)};
@@ -1357,6 +1929,23 @@ extern "C" int render_oracle(
         m.pbr_transmission = d[33];
         m.pbr_thickness = d[34];
         m.pbr_double_sided = d[35];
+        m.cp_base_metallic = d[36];
+        m.cp_base_roughness = d[37];
+        m.cp_flake_scale = d[38];
+        m.cp_flake_sample_weight = d[39];
+        m.cp_flake_roughness = d[40];
+        m.cp_flake_anisotropy = d[41];
+        m.cp_flake_normal_strength = d[42];
+        m.cp_base_eta = {d[43], d[44], d[45]};
+        m.cp_base_k = {d[46], d[47], d[48]};
+        m.cp_has_base_conductor = d[49];
+        m.ss_a = {d[50], d[51], d[52]};
+        m.ss_s = {d[53], d[54], d[55]};
+        m.ss_mfp = d[56];
+        m.ss_g = d[57];
+        m.ss_method = d[58];
+        m.ss_coat = d[59];
+        m.ss_override = d[60];
     }
     for (int i = 0; i < n_rects; ++i) {
         const Material& m = sc.mats[std::min(rect_mat[i], n_mats - 1)];
@@ -1394,6 +1983,8 @@ extern "C" int render_oracle(
     P.bg_color = {bg_color[0], bg_color[1], bg_color[2]};
     P.clamps = {firefly[0], firefly[1], firefly[2], firefly[3], firefly[4]};
     P.enable_spec_nee = enable_spec_nee;
+    P.sss_mode = sss_mode;
+    P.sss_max_steps = sss_max_steps;
 
     V3 cam_origin = {cam[0], cam[1], cam[2]};
     V3 lower_left = {cam[3], cam[4], cam[5]};
