@@ -37,6 +37,7 @@ class PacketBvh:
     node_bounds: Array   # (6, N) f32 — minx,miny,minz,maxx,maxy,maxz
     node_meta: Array     # (2, N) i32 — [right_child | chunk_id], is_leaf
     chunk_tris: Array    # (n_chunks, PLANES, CHUNK) f32 — see _pack_chunks
+    chunk_aabb: Array = None  # (n_chunks, 6) f32 — leaf chunk AABBs (culltrace)
     n_nodes: int = struct.field(pytree_node=False, default=0)
     n_chunks: int = struct.field(pytree_node=False, default=0)
 
@@ -114,10 +115,17 @@ def build_packet_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         nodes["bounds_max"][:, 0], nodes["bounds_max"][:, 1],
         nodes["bounds_max"][:, 2]], 0).astype(np.float32)
 
+    # chunk AABBs = the leaf nodes' bounds, ordered by chunk id (culltrace's
+    # XLA-side conservative cull uses these)
+    chunk_aabb = np.concatenate(
+        [nodes["bounds_min"][leaf_ids], nodes["bounds_max"][leaf_ids]],
+        1).astype(np.float32)
+
     return PacketBvh(
         node_bounds=jnp.asarray(bounds),
         node_meta=jnp.asarray(meta),
         chunk_tris=jnp.asarray(chunk_tris),
+        chunk_aabb=jnp.asarray(chunk_aabb),
         n_nodes=int(n_nodes),
         n_chunks=int(n_chunks),
     )

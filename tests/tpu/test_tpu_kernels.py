@@ -125,3 +125,34 @@ if __name__ == "__main__":
     print("packet traversal: OK")
     test_packet_exclusion()
     print("packet exclusion: OK")
+
+
+def test_culltrace_matches_packet_trace():
+    """Experimental culltrace path: exact hit parity with the v1 kernel
+    (random soup incl. excluded prims and grazing rays)."""
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.ops.pallas.culltrace import cull_trace
+    from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
+    from metal_pathtracer_tpu.scene.packetbvh import build_packet_bvh
+
+    rng = np.random.default_rng(3)
+    T = 5000
+    v0 = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-0.4, 0.4, (T, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-0.4, 0.4, (T, 3)).astype(np.float32)
+    bvh = build_packet_bvh(v0, v1, v2)
+
+    N = 4096
+    o = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    excl = np.where(rng.random(N) < 0.2,
+                    rng.integers(0, T, N), -1).astype(np.float32)
+    oj, dj, ej = jnp.asarray(o), jnp.asarray(d), jnp.asarray(excl)
+    t0, tri0, u0, v0r = packet_trace(oj, dj, 1e-3, 3e38, bvh, ej)
+    t1, tri1, u1, v1r = cull_trace(oj, dj, 1e-3, 3e38, bvh, ej)
+    np.testing.assert_array_equal(np.asarray(tri0), np.asarray(tri1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
+                               rtol=1e-5, atol=1e-5)
+    hit = np.asarray(tri0) >= 0
+    np.testing.assert_allclose(np.asarray(u0)[hit], np.asarray(u1)[hit],
+                               atol=1e-5)
