@@ -295,11 +295,23 @@ def trace_scene(origin, direction, scene, t_min, t_max,
 
 
 def trace_occluded(origin, direction, scene, t_min, t_max) -> Array:
-    """Boolean any-hit (shadow) trace — semantics of anyHitOnly=true.
+    """Boolean any-hit (shadow) trace — semantics of anyHitOnly=true
+    (reference: pathtrace.metal shadow rays + shadow-early-exit stats).
 
-    Early exit is a sequential-machine optimization; vectorized lanes just
-    reduce with `any`, which returns the same boolean.
+    On TPU the triangle part uses the packet kernel's any_hit mode: an
+    occluded ray's search window collapses to zero, removing it from every
+    later slab-test union so shadow packets drain their traversal stack
+    early — the packet-wide analogue of a per-thread early return.
     """
+    shape = origin.shape[:-1]
+    if scene.tri_packet is not None and _use_pallas() and len(shape) == 1:
+        rec = hit_spheres(origin, direction, scene.spheres, t_min, t_max)
+        rec = _closer(rec, hit_rects(origin, direction, scene.rects,
+                                     t_min, t_max))
+        from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
+        _, tri, _, _ = packet_trace(origin, direction, t_min, t_max,
+                                    scene.tri_packet, any_hit=True)
+        return rec.hit | (tri >= 0)
     rec = trace_scene(origin, direction, scene, t_min, t_max)
     return rec.hit
 

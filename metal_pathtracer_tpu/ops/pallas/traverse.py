@@ -53,7 +53,7 @@ MAX_CAND = 2 * WAVE        # candidate children per wave (<= LANES)
 LEAF_QUEUE = WAVE          # leaf chunks processed per wave
 
 
-def _kernel(n_nodes: int, t_min: float,
+def _kernel(n_nodes: int, t_min: float, any_hit: bool,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
@@ -163,7 +163,15 @@ def _kernel(n_nodes: int, t_min: float,
                     & (t >= t_min) & (t < bt_ref[:])
                     & (valid_slot > 0.5)
                     & (tri_id != excl[:]))
-            bt_ref[:] = jnp.where(take, t, bt_ref[:])
+            if any_hit:
+                # shadow semantics: any hit in (t_min, tmax) occludes.
+                # Collapsing the ray's search window to zero removes it
+                # from every later slab-test union, so shadow packets
+                # drain the stack early (reference anyHitOnly=true,
+                # pathtrace.metal shadow-early-exit stats).
+                bt_ref[:] = jnp.where(take, 0.0, bt_ref[:])
+            else:
+                bt_ref[:] = jnp.where(take, t, bt_ref[:])
             btri_ref[:] = jnp.where(take, tri_id, btri_ref[:])
             bu_ref[:] = jnp.where(take, u, bu_ref[:])
             bv_ref[:] = jnp.where(take, v, bv_ref[:])
@@ -270,9 +278,10 @@ def _kernel(n_nodes: int, t_min: float,
     out_v[:] = bv_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min"))
+@functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
+                                             "any_hit"))
 def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
-          n_nodes, n_chunks, t_min):
+          n_nodes, n_chunks, t_min, any_hit=False):
     rows = rays7[0].shape[0]
     grid = rows // SUBLANES
     # index maps receive (grid_idx, *scalar_prefetch_refs)
@@ -304,7 +313,7 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, n_nodes, t_min),
+        functools.partial(_kernel, n_nodes, t_min, any_hit),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -316,11 +325,49 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
 
 
 def packet_trace(origin, direction, t_min, t_max, bvh: PacketBvh,
-                 exclude_prim=None):
+                 exclude_prim=None, any_hit: bool = False):
     """Nearest triangle hit for a flat wavefront.
 
-    Returns (t, tri_index (-1 miss), u, v) each (N,).
+    Returns (t, tri_index (-1 miss), u, v) each (N,). With any_hit=True the
+    returned tri index is *a* hit (not the nearest) and t is meaningless —
+    shadow-ray semantics with in-kernel early union collapse.
+
+    Rays are traced in (octant, origin-Morton) sorted order so bounce
+    wavefronts form tight packets (ops/pallas/raysort.py; per-ray results
+    are order-independent, so outputs are bit-identical either way).
+    Disable with MPT_RAY_SORT=0.
     """
+    n = origin.shape[0]
+
+    sort_mode = os.environ.get("MPT_RAY_SORT", "2")
+    if sort_mode != "0" and n >= BLOCK:
+        from metal_pathtracer_tpu.ops.pallas import raysort
+        t_max_full = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        dead = t_max_full <= t_min
+        if sort_mode == "1":
+            # full (octant, Morton) re-keying + dead compaction
+            smin = bvh.chunk_aabb[:, 0:3].min(0)
+            smax = bvh.chunk_aabb[:, 3:6].max(0)
+            sinv = 1.0 / jnp.maximum(smax - smin, 1e-6)
+            perm, inv = raysort.sort_rays(origin, direction, smin, sinv, dead)
+        elif sort_mode == "3":
+            # tile-local octant grouping + dead compaction
+            perm, inv = raysort.sort_octant_in_tile(direction, dead)
+        else:
+            # stable alive-first partition: tile coherence preserved
+            perm, inv = raysort.partition_dead(dead)
+        t_max_arr = t_max_full[perm]
+        excl_s = exclude_prim[perm] if exclude_prim is not None else None
+        t, tri, u, v = packet_trace_unsorted(
+            origin[perm], direction[perm], t_min, t_max_arr, bvh,
+            exclude_prim=excl_s, any_hit=any_hit)
+        return t[inv], tri[inv], u[inv], v[inv]
+    return packet_trace_unsorted(origin, direction, t_min, t_max, bvh,
+                                 exclude_prim=exclude_prim, any_hit=any_hit)
+
+
+def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
+                          exclude_prim=None, any_hit: bool = False):
     n = origin.shape[0]
     rows = ((n + BLOCK - 1) // BLOCK) * SUBLANES
     padded = rows * LANES
@@ -340,6 +387,6 @@ def packet_trace(origin, direction, t_min, t_max, bvh: PacketBvh,
 
     t, tri, u, v = _call(rays7, excl2, bvh.node_bounds, bvh.node_meta,
                          bvh.chunk_tris, bvh.n_nodes, bvh.n_chunks,
-                         float(t_min))
+                         float(t_min), any_hit)
     flat = lambda x: x.reshape(-1)[:n]
     return flat(t), flat(tri), flat(u), flat(v)

@@ -156,3 +156,61 @@ def test_culltrace_matches_packet_trace():
     hit = np.asarray(tri0) >= 0
     np.testing.assert_allclose(np.asarray(u0)[hit], np.asarray(u1)[hit],
                                atol=1e-5)
+
+
+def test_anyhit_matches_nearest_occlusion():
+    """any_hit shadow mode: identical occlusion boolean to nearest-hit,
+    including per-ray tmax-gated (dead) lanes."""
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
+    from metal_pathtracer_tpu.scene.packetbvh import build_packet_bvh
+
+    rng = np.random.default_rng(5)
+    T = 8000
+    v0 = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-0.4, 0.4, (T, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-0.4, 0.4, (T, 3)).astype(np.float32)
+    bvh = build_packet_bvh(v0, v1, v2)
+    N = 8192
+    o = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    tmax = np.where(rng.random(N) < 0.3, 0.0, 3e38).astype(np.float32)
+    oj, dj, tj = (np.asarray(x) for x in (o, d, tmax))
+    import jax.numpy as jnp
+    oj, dj, tj = jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax)
+    _, tri_n, _, _ = packet_trace(oj, dj, 1e-3, tj, bvh, None)
+    _, tri_a, _, _ = packet_trace(oj, dj, 1e-3, tj, bvh, None, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(tri_n) >= 0,
+                                  np.asarray(tri_a) >= 0)
+
+
+def test_ray_sort_results_bit_identical():
+    """Sorted tracing is a pure reordering: outputs bit-identical to the
+    unsorted kernel for every sort mode."""
+    import os
+
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.ops.pallas import traverse
+    from metal_pathtracer_tpu.scene.packetbvh import build_packet_bvh
+
+    rng = np.random.default_rng(7)
+    T = 4000
+    v0 = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-0.4, 0.4, (T, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-0.4, 0.4, (T, 3)).astype(np.float32)
+    bvh = build_packet_bvh(v0, v1, v2)
+    N = 4096
+    o = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    tmax = np.where(rng.random(N) < 0.3, 0.0, 3e38).astype(np.float32)
+    oj, dj, tj = jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax)
+
+    ref = traverse.packet_trace_unsorted(oj, dj, 1e-3, tj, bvh, None)
+    for mode in ("1", "2", "3"):
+        os.environ["MPT_RAY_SORT"] = mode
+        try:
+            got = traverse.packet_trace(oj, dj, 1e-3, tj, bvh, None)
+        finally:
+            os.environ.pop("MPT_RAY_SORT", None)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
