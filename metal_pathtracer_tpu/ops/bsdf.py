@@ -340,11 +340,33 @@ class MatLanes:
 
 
 def gather_material(materials, index) -> MatLanes:
-    """Gather MaterialsSoA rows at per-lane indices."""
+    """Gather MaterialsSoA rows at per-lane indices.
+
+    All ~50 fields are concatenated into one (M, K) table (loop-invariant,
+    M <= 512 so the concat is trivial and XLA hoists it) and fetched with
+    ONE row gather: per-field narrow gathers measured ~25x slower on TPU
+    (BENCHMARKS.md). Integer fields round-trip exactly through f32 (all
+    are small ids/flags).
+    """
     idx = jnp.clip(index, 0, materials.count - 1)
-    pick = lambda a: a[idx]
-    return MatLanes(**{f: pick(getattr(materials, f))
-                       for f in MatLanes.__dataclass_fields__})
+    fields = list(MatLanes.__dataclass_fields__)
+    cols = []
+    layout = []
+    off = 0
+    for f in fields:
+        a = getattr(materials, f)
+        flat = a.reshape(a.shape[0], -1)
+        width = flat.shape[1]
+        layout.append((f, off, width, a.dtype, a.shape[1:]))
+        cols.append(flat.astype(jnp.float32))
+        off += width
+    packed = jnp.concatenate(cols, axis=1)          # (M, K)
+    rows = packed[idx]                              # one gather
+    out = {}
+    for f, lo, width, dtype, tail in layout:
+        v = rows[..., lo:lo + width].reshape(index.shape + tail)
+        out[f] = v if dtype == jnp.float32 else v.astype(dtype)
+    return MatLanes(**out)
 
 
 def material_base_color(m: MatLanes):

@@ -173,9 +173,21 @@ def _hit_record_from_best(origin, direction, tris, best_t, best_tri,
     tri = jnp.maximum(best_tri, 0)
     point = origin + best_t[..., None] * direction
 
-    v0 = tris.v0[tri]
-    v1 = tris.v1[tri]
-    v2 = tris.v2[tri]
+    if tris.shade_packed is not None:
+        # one (T,24) row gather — 8 narrow per-attribute gathers measured
+        # ~270x slower on TPU (see BENCHMARKS.md)
+        row = tris.shade_packed[tri]
+        v0, v1, v2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+        n0c, n1c, n2c = row[..., 9:12], row[..., 12:15], row[..., 15:18]
+        material = row[..., 18].astype(jnp.int32)
+        mesh_index = row[..., 19].astype(jnp.int32)
+    else:
+        v0 = tris.v0[tri]
+        v1 = tris.v1[tri]
+        v2 = tris.v2[tri]
+        n0c, n1c, n2c = tris.n0[tri], tris.n1[tri], tris.n2[tri]
+        material = tris.material[tri]
+        mesh_index = tris.mesh_index[tri]
     geo_n = safe_normalize(jnp.cross(v1 - v0, v2 - v0))
     front = dot(direction, geo_n) < 0.0
     n_faced = where3(front, geo_n, -geo_n)
@@ -189,8 +201,7 @@ def _hit_record_from_best(origin, direction, tris, best_t, best_tri,
     w_sum = jnp.sum(w, -1, keepdims=True)
     w = jnp.where(w_sum > 1e-8, w / w_sum,
                   jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
-    sn = (w[..., 0:1] * tris.n0[tri] + w[..., 1:2] * tris.n1[tri]
-          + w[..., 2:3] * tris.n2[tri])
+    sn = (w[..., 0:1] * n0c + w[..., 1:2] * n1c + w[..., 2:3] * n2c)
     sn_ok = jnp.all(jnp.isfinite(sn), -1) & (dot(sn, sn) > 0.0)
     sn = jnp.where((dot(sn, n_faced) < 0.0)[..., None], -sn, sn)
     sn = safe_normalize(sn)
@@ -204,9 +215,9 @@ def _hit_record_from_best(origin, direction, tris, best_t, best_tri,
         shading_normal=shading_n,
         front_face=front,
         two_sided=jnp.zeros(shape, bool),
-        material=tris.material[tri],
+        material=material,
         prim_type=jnp.where(hit, PRIMITIVE_TRIANGLE, 0).astype(jnp.int32),
         prim_index=tri.astype(jnp.int32),
-        mesh_index=tris.mesh_index[tri],
+        mesh_index=mesh_index,
         barycentric=jnp.stack([best_u, best_v], -1),
     )

@@ -69,13 +69,27 @@ def build_triangle_arrays(meshes) -> Tuple[TrianglesSoA, BvhSoA]:
     nodes = build_bvh(v0, v1, v2)
 
     j = lambda a: jnp.asarray(a)
+    mat_arr = cat(mats)
+    mesh_arr = cat(mesh_ids)
+    n0a, n1a, n2a = cat(n0s), cat(n1s), cat(n2s)
+    T = len(v0)
+    shade = np.zeros((T, 24), np.float32)
+    shade[:, 0:3] = v0
+    shade[:, 3:6] = v1
+    shade[:, 6:9] = v2
+    shade[:, 9:12] = n0a
+    shade[:, 12:15] = n1a
+    shade[:, 15:18] = n2a
+    shade[:, 18] = mat_arr
+    shade[:, 19] = mesh_arr
     tris = TrianglesSoA(
         v0=j(v0), v1=j(v1), v2=j(v2),
-        material=j(cat(mats)), mesh_index=j(cat(mesh_ids)),
-        n0=j(cat(n0s)), n1=j(cat(n1s)), n2=j(cat(n2s)),
+        material=j(mat_arr), mesh_index=j(mesh_arr),
+        n0=j(n0a), n1=j(n1a), n2=j(n2a),
         uv0=j(cat(uv0s)), uv1=j(cat(uv1s)), uv2=j(cat(uv2s)),
         uvb0=j(cat(uvb0s)), uvb1=j(cat(uvb1s)), uvb2=j(cat(uvb2s)),
         t0=j(cat(t0s)), t1=j(cat(t1s)), t2=j(cat(t2s)),
+        shade_packed=j(shade),
     )
     bvh = BvhSoA(
         bounds_min=j(nodes["bounds_min"]),

@@ -163,6 +163,10 @@ class TrianglesSoA:
     t0: Array       # (T,4) f32 tangent (xyz) + handedness (w)
     t1: Array
     t2: Array
+    # Hot-path attribute pack: [v0(3) v1(3) v2(3) n0(3) n1(3) n2(3)
+    # material mesh_index pad pad] — ONE row gather per wave instead of 8
+    # narrow ones (narrow (T,3) gathers measured ~270x slower on TPU).
+    shade_packed: Array = None  # (T, 24) f32
 
     @property
     def count(self) -> int:
