@@ -312,7 +312,8 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
         if C.MATERIAL_PBR in types and scene.textures is not None:
             from metal_pathtracer_tpu.ops import pbr_textures
             texd = pbr_textures.apply_pbr_textures(
-                scene, m, rec, wo, cone_at_hit, depth, state, static, uniforms)
+                scene, m, rec, wo, cone_at_hit, depth, state, static,
+                uniforms, ray_d=cr.ray_d)
             m = texd.m
             shading_normal = texd.shading_normal
             diffuse_occlusion = texd.diffuse_occlusion

@@ -215,19 +215,26 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool,
         n_cand = 2 * popped
 
         # ---- vector phase: batched AABB verdicts + entry distances ------
-        def cand_body(k, acc):
+        # 4 candidates per iteration: the cand->bounds scalar load chains of
+        # the 4 are independent, so they pipeline instead of serializing
+        # (dependent SMEM loads measured ~0.3-1us each).
+        def cand_body4(g, acc):
             margins, entries = acc
-            c = cand[k]
-            cc = jnp.maximum(c, 0)
-            margin, entry = slab_test(nb[0, cc], nb[1, cc], nb[2, cc],
-                                      nb[3, cc], nb[4, cc], nb[5, cc])
-            margin = jnp.where(c >= 0, margin, -1.0)
-            margins = jnp.where(lane_iota == k, margin, margins)
-            entries = jnp.where(lane_iota == k, entry, entries)
+            for j in range(4):
+                k = 4 * g + j
+                in_range = k < n_cand
+                c = jnp.where(in_range,
+                              cand[jnp.minimum(k, MAX_CAND - 1)], -1)
+                cc = jnp.maximum(c, 0)
+                margin, entry = slab_test(nb[0, cc], nb[1, cc], nb[2, cc],
+                                          nb[3, cc], nb[4, cc], nb[5, cc])
+                margin = jnp.where(c >= 0, margin, -1.0)
+                margins = jnp.where(lane_iota == k, margin, margins)
+                entries = jnp.where(lane_iota == k, entry, entries)
             return margins, entries
 
         margins, entries = jax.lax.fori_loop(
-            0, n_cand, cand_body,
+            0, (n_cand + 3) // 4, cand_body4,
             (jnp.full((1, LANES), -1.0, jnp.float32),
              jnp.full((1, LANES), 3.0e38, jnp.float32)))
         verdict_vmem[0:1, :] = margins

@@ -6,10 +6,10 @@ Vectorized port of the reference integrator's texture block
 
 - UV0/UV1/tangent interpolation from triangle corners with saturated
   barycentrics (:597-933),
-- cone-footprint LOD via per-triangle UV density
+- texture LOD: Igehy ray-differential UV gradients on the first hit
+  (:203-257) with cone-footprint LOD via per-triangle UV density beyond it
   (triangle_surface_partials:750-817 + ray_cone_lod_from_footprint) —
-  Igehy first-hit gradients are a tracked refinement; the reference's
-  cone path is the fallback it uses beyond the first hit anyway,
+  the same first-hit/fallback split the reference uses,
 - base/ORM/normal/occlusion/emissive/transmission application incl.
   KHR transforms, dual UV sets, working-space conversion, Toksvig-style
   roughness widening from normal-map length (:6359-6395),
@@ -96,12 +96,74 @@ def _transform_scale(transform):
     return jnp.maximum(jnp.maximum(r0, r1), 1e-6)
 
 
+def _igehy_uv_gradient(tris, tri, rec, ray_d, uniforms, static, uv_set: int):
+    """First-hit UV screen-space gradient via ray differentials
+    (reference: pathtrace.metal:203-257 — Igehy transfer of the pinhole
+    pixel differentials onto the hit triangle's plane, then the barycentric
+    solve for duv/dx, duv/dy).
+
+    Returns max(|duv/dx|, |duv/dy|) per lane, 0 where degenerate (caller
+    falls back to the cone footprint).
+    """
+    v0 = tris.v0[tri]
+    v1 = tris.v1[tri]
+    v2 = tris.v2[tri]
+    if uv_set == 0:
+        uv0, uv1, uv2 = tris.uv0[tri], tris.uv1[tri], tris.uv2[tri]
+    else:
+        uv0, uv1, uv2 = tris.uvb0[tri], tris.uvb1[tri], tris.uvb2[tri]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    duv1 = uv1 - uv0
+    duv2 = uv2 - uv0
+
+    n = rec.normal
+    d = ray_d
+    dn = dot(d, n)
+    safe_dn = jnp.where(jnp.abs(dn) > 1e-12,
+                        dn, jnp.where(dn >= 0, 1e-12, -1e-12))
+    # pinhole pixel differentials of the (unnormalized) primary direction
+    ddx = jnp.broadcast_to(uniforms.camera.horizontal / static.width, d.shape)
+    ddy = jnp.broadcast_to(-uniforms.camera.vertical / static.height, d.shape)
+    t = rec.t
+
+    def transfer(dd):
+        # dP = t * (dd - ((dd.n)/(d.n)) d)   (dO/dpixel = 0 for pinhole)
+        k = (dot(dd, n) / safe_dn)[..., None]
+        return t[..., None] * (dd - k * d)
+
+    dpdx = transfer(ddx)
+    dpdy = transfer(ddy)
+
+    # least-squares barycentric solve in the (e1, e2) basis
+    e11 = dot(e1, e1)
+    e12 = dot(e1, e2)
+    e22 = dot(e2, e2)
+    det = e11 * e22 - e12 * e12
+    inv = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+
+    def uv_grad(dp):
+        p1 = dot(dp, e1)
+        p2 = dot(dp, e2)
+        a = (p1 * e22 - p2 * e12) * inv
+        b = (p2 * e11 - p1 * e12) * inv
+        g = a[..., None] * duv1 + b[..., None] * duv2
+        return jnp.sqrt(jnp.maximum(jnp.sum(g * g, -1), 0.0))
+
+    grad = jnp.maximum(uv_grad(dpdx), uv_grad(dpdy))
+    ok = (jnp.abs(det) > 1e-20) & (jnp.abs(dn) > 1e-12) & jnp.isfinite(grad)
+    return jnp.where(ok, grad, 0.0)
+
+
 def apply_pbr_textures(scene, m, rec, wo, cone_width, depth, state,
-                       static, uniforms):
+                       static, uniforms, ray_d=None):
     """Apply the six texture slots to PBR lanes of the wavefront.
 
     Non-PBR / non-triangle lanes pass through unchanged. Consumes 1 RNG
-    draw on alpha-BLEND lanes (reference :6215).
+    draw on alpha-BLEND lanes (reference :6215). On the first hit
+    (depth == 0, `ray_d` provided) the texture LOD uses Igehy ray-
+    differential UV gradients (reference :203-257); deeper hits use the
+    ray-cone footprint, matching the reference's own fallback.
     """
     from metal_pathtracer_tpu import constants as C
     from metal_pathtracer_tpu.ops.integrator import to_working_space
@@ -132,6 +194,15 @@ def apply_pbr_textures(scene, m, rec, wo, cone_width, depth, state,
     cos_view = jnp.abs(dot(normalize(shading_normal), normalize(wo)))
     footprint = cone_width / jnp.maximum(cos_view, 1e-3)
 
+    # Igehy first-hit gradients (zero where unavailable -> cone fallback)
+    if ray_d is not None:
+        igehy = [_igehy_uv_gradient(tris, tri, rec, ray_d, uniforms,
+                                    static, s) for s in (0, 1)]
+        use_igehy = depth == 0
+    else:
+        igehy = [jnp.zeros(shape, jnp.float32)] * 2
+        use_igehy = False
+
     tex_size = textures.levels[0].shape[1]
     max_lod = textures.max_lod
 
@@ -142,8 +213,12 @@ def apply_pbr_textures(scene, m, rec, wo, cone_width, depth, state,
         uv = jnp.where((uv_set == 1)[..., None], uv_b, uv_a)
         tf = m.texture_transform[..., slot, :, :]
         u, v = tex_ops.apply_uv_transform(tf, uv[..., 0], uv[..., 1])
-        upw_lane = jnp.where(uv_set == 1, upw[1], upw[0]) * _transform_scale(tf)
-        texel = footprint * upw_lane * tex_size
+        tscale = _transform_scale(tf)
+        upw_lane = jnp.where(uv_set == 1, upw[1], upw[0]) * tscale
+        texel_cone = footprint * upw_lane * tex_size
+        g_lane = jnp.where(uv_set == 1, igehy[1], igehy[0]) * tscale
+        texel_igehy = g_lane * tex_size
+        texel = jnp.where(use_igehy & (g_lane > 0.0), texel_igehy, texel_cone)
         lod = jnp.clip(jnp.log2(jnp.maximum(texel, 1e-7)), 0.0, max_lod)
         rgba = tex_ops.sample_texture(textures, tid, u, v, lod=lod)
         if default is not None:
