@@ -57,7 +57,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
-            out_t, out_tri, out_u, out_v,
+            out_t, out_tri, out_u, out_v, out_stats,
             stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
             bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem):
     if _DEBUG_SKIP == "all":
@@ -65,6 +65,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool,
         out_tri[:] = jnp.full(tmax.shape, -1, jnp.int32)
         out_u[:] = tmax[:]
         out_v[:] = tmax[:]
+        out_stats[:] = jnp.zeros(tmax.shape, jnp.float32)
         return
 
     inv_dx = 1.0 / jnp.where(jnp.abs(dx[:]) < 1e-20,
@@ -182,10 +183,11 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool,
             def _():
                 jax.lax.fori_loop(k * group, (k + 1) * group, tri_body, 0)
 
-    def wave_cond(sp):
-        return sp > 0
+    def wave_cond(carry):
+        return carry[0] > 0
 
-    def wave_body(sp):
+    def wave_body(carry):
+        sp, n_visited, n_leaves = carry
         # Branchless wave processing: every scalar `lax.cond` in these loops
         # was a measured ~us-scale pipeline stall; fixed slots + arithmetic
         # selects + unconditional stack writes avoid all of them.
@@ -266,23 +268,31 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool,
         sp = jax.lax.fori_loop(0, popped, push_body, sp)
 
         # ---- leaf phase ------------------------------------------------
-        def leaf_body(i, _):
+        def leaf_body(i, n):
             @pl.when(leafq[i] >= 0)
             def _():
                 leaf_test(leafq[i])
-            return 0
+            return n + jnp.where(leafq[i] >= 0, 1, 0)
 
         if "leaf" not in _DEBUG_SKIP:
-            jax.lax.fori_loop(0, popped, leaf_body, 0)
-        return sp
+            n_leaves = jax.lax.fori_loop(0, popped, leaf_body, n_leaves)
+        return sp, n_visited + popped, n_leaves
 
     stack[0] = 0
-    jax.lax.while_loop(wave_cond, wave_body, jnp.int32(1))
+    _, n_visited, n_leaves = jax.lax.while_loop(
+        wave_cond, wave_body, (jnp.int32(1), jnp.int32(0), jnp.int32(0)))
 
     out_t[:] = bt_ref[:]
     out_tri[:] = btri_ref[:].astype(jnp.int32)
     out_u[:] = bu_ref[:]
     out_v[:] = bv_ref[:]
+    # per-packet traversal counters in the u/v outputs' padding-free lanes
+    # would corrupt results; emit via a dedicated stats output instead
+    stats_iota = jax.lax.broadcasted_iota(jnp.int32, tmax.shape, 1)
+    stats = jnp.where(stats_iota == 0,
+                      n_visited.astype(jnp.float32), 0.0)
+    stats = jnp.where(stats_iota == 1, n_leaves.astype(jnp.float32), stats)
+    out_stats[:] = stats
 
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
@@ -303,7 +313,7 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
         in_specs=[ray_spec] * 8 + [
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * 5,
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),      # traversal stack
             pltpu.SMEM((MAX_CAND,), jnp.int32),         # candidate children
@@ -325,6 +335,7 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ],
@@ -374,7 +385,8 @@ def packet_trace(origin, direction, t_min, t_max, bvh: PacketBvh,
 
 
 def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
-                          exclude_prim=None, any_hit: bool = False):
+                          exclude_prim=None, any_hit: bool = False,
+                          return_stats: bool = False):
     n = origin.shape[0]
     rows = ((n + BLOCK - 1) // BLOCK) * SUBLANES
     padded = rows * LANES
@@ -392,8 +404,19 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
         excl = exclude_prim.astype(jnp.float32)
     excl2 = pad(excl, fill=-1.0)
 
-    t, tri, u, v = _call(rays7, excl2, bvh.node_bounds, bvh.node_meta,
-                         bvh.chunk_tris, bvh.n_nodes, bvh.n_chunks,
-                         float(t_min), any_hit)
+    t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds, bvh.node_meta,
+                                bvh.chunk_tris, bvh.n_nodes, bvh.n_chunks,
+                                float(t_min), any_hit)
     flat = lambda x: x.reshape(-1)[:n]
+    if return_stats:
+        # per-packet counters (reference PathtraceStats nodesVisited /
+        # leafPrimTests analogues, MetalRenderer.mm:1168-1347): stats rows
+        # repeat the packet's scalars across sublanes; take row 0 per packet
+        per_packet = stats[0::SUBLANES]
+        totals = {
+            "nodes_visited": jnp.sum(per_packet[:, 0]),
+            "leaf_chunks_tested": jnp.sum(per_packet[:, 1]),
+            "packets": jnp.float32(per_packet.shape[0]),
+        }
+        return flat(t), flat(tri), flat(u), flat(v), totals
     return flat(t), flat(tri), flat(u), flat(v)

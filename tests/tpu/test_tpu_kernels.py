@@ -214,3 +214,31 @@ def test_ray_sort_results_bit_identical():
             os.environ.pop("MPT_RAY_SORT", None)
         for a, b in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_traversal_stats_counters():
+    """Per-packet nodesVisited / leafChunks counters (the reference's
+    PathtraceStats analogues, SURVEY.md §5.1)."""
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace_unsorted
+    from metal_pathtracer_tpu.scene.packetbvh import build_packet_bvh
+
+    rng = np.random.default_rng(9)
+    T = 6000
+    v0 = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-0.4, 0.4, (T, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-0.4, 0.4, (T, 3)).astype(np.float32)
+    bvh = build_packet_bvh(v0, v1, v2)
+    N = 2048
+    o = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    t, tri, u, v, stats = packet_trace_unsorted(
+        oj, dj, 1e-3, 3e38, bvh, None, return_stats=True)
+    nodes = float(np.asarray(stats["nodes_visited"]))
+    leaves = float(np.asarray(stats["leaf_chunks_tested"]))
+    assert nodes > 0 and leaves > 0
+    assert leaves <= nodes
+    # results identical to the plain call
+    t2, tri2, _, _ = packet_trace_unsorted(oj, dj, 1e-3, 3e38, bvh, None)
+    np.testing.assert_array_equal(np.asarray(tri), np.asarray(tri2))
