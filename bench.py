@@ -31,7 +31,7 @@ def main():
     from metal_pathtracer_tpu.settings import RenderSettings
 
     width, height = 1920, 1080
-    warmup_spp, bench_spp = 1, 8
+    warmup_spp, bench_spp, reps = 1, 16, 3
 
     settings = RenderSettings()
     resources = SceneResources()
@@ -70,21 +70,32 @@ def main():
     camera = build_camera(settings, width, height)
     uniforms = settings_to_uniforms(settings, camera, 0, 0)
 
+    def rays_of(state):
+        # np.asarray forces a real host fetch — block_until_ready alone does
+        # not reliably round-trip over the axon tunnel (BENCHMARKS.md).
+        return float(np.asarray(state.ray_count)) + \
+            float(np.asarray(state.shadow_ray_count))
+
     state = RenderState.create(width, height)
     # Warmup/compile
     state = frame.render_samples(scene, uniforms, state, static, warmup_spp)
-    state.radiance_sum.block_until_ready()
+    _ = rays_of(state)
 
-    rays_before = float(np.asarray(state.ray_count)) + \
-        float(np.asarray(state.shadow_ray_count))
-    t0 = time.time()
-    state = frame.render_samples(scene, uniforms, state, static, bench_spp)
-    state.radiance_sum.block_until_ready()
-    elapsed = time.time() - t0
-    rays_after = float(np.asarray(state.ray_count)) + \
-        float(np.asarray(state.shadow_ray_count))
+    # Median of `reps` timed repetitions: single-shot numbers on the shared
+    # axon tunnel vary +-25% run-to-run (round-1 driver capture vs builder
+    # number differed 2.3x — VERDICT r01 weak #3).
+    samples = []
+    for _rep in range(reps):
+        before = rays_of(state)
+        t0 = time.time()
+        state = frame.render_samples(scene, uniforms, state, static, bench_spp)
+        after = rays_of(state)
+        elapsed = time.time() - t0
+        samples.append(((after - before) / elapsed / 1e6, elapsed))
 
-    mrays = (rays_after - rays_before) / elapsed / 1e6
+    rates = sorted(r for r, _ in samples)
+    mrays = rates[len(rates) // 2]
+    elapsed = sorted(e for _, e in samples)[len(samples) // 2]
     target = 200.0  # BASELINE.md driver-set target, Mrays/s/chip
     result = {
         "metric": f"mrays_per_sec_per_chip_{scene_name}_{width}x{height}",
@@ -93,8 +104,10 @@ def main():
         "vs_baseline": round(mrays / target, 4),
     }
     print(json.dumps(result))
-    print(f"# device={jax.devices()[0].device_kind} spp={bench_spp} "
-          f"elapsed={elapsed:.2f}s spp_per_min={60.0 * bench_spp / elapsed:.1f}",
+    print(f"# device={jax.devices()[0].device_kind} spp={bench_spp} x{reps} "
+          f"median_elapsed={elapsed:.2f}s "
+          f"spread=[{rates[0]:.2f},{rates[-1]:.2f}] Mrays/s "
+          f"spp_per_min={60.0 * bench_spp / elapsed:.1f}",
           file=sys.stderr)
 
 

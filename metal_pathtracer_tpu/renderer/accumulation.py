@@ -61,8 +61,13 @@ class RenderState:
         avg = self.radiance_sum / count[..., None]
         return jnp.where((self.sample_count > 0)[..., None], avg, 0.0)
 
-    def save(self, path: str) -> None:
-        """Checkpoint to .npz — resume is `RenderState.load(path)`."""
+    def save(self, path: str, digest: str = "") -> None:
+        """Checkpoint to .npz — resume is `RenderState.load(path)`.
+
+        `digest` identifies the (scene, settings) the accumulation belongs
+        to; `load` refuses to resume under a different digest so unrelated
+        accumulations can never be silently blended (ADVICE r01).
+        """
         parent = os.path.dirname(path)
         if parent:
             os.makedirs(parent, exist_ok=True)
@@ -71,6 +76,7 @@ class RenderState:
         with open(path, "wb") as fh:
             np.savez(
                 fh,
+                digest=np.asarray(digest),
                 radiance_sum=np.asarray(self.radiance_sum),
                 sample_count=np.asarray(self.sample_count),
                 albedo=np.asarray(self.albedo),
@@ -85,7 +91,14 @@ class RenderState:
             )
 
     @classmethod
-    def load(cls, path: str) -> "RenderState":
+    def load(cls, path: str, expect_digest: str = None,
+             expect_size: tuple = None) -> "RenderState":
+        """Load a checkpoint; validates resolution and scene/settings digest.
+
+        expect_size is (width, height); expect_digest the digest the caller
+        would save with today. Either mismatch raises CheckpointError
+        instead of silently resuming the wrong accumulation (ADVICE r01).
+        """
         try:
             data = np.load(path)
             data["radiance_sum"]  # force header validation
@@ -93,6 +106,19 @@ class RenderState:
             raise CheckpointError(
                 f"could not load render-state checkpoint {path!r}: {exc}"
             ) from exc
+        h, w = data["radiance_sum"].shape[:2]
+        if expect_size is not None and (w, h) != tuple(expect_size):
+            raise CheckpointError(
+                f"checkpoint {path!r} is {w}x{h} but this render is "
+                f"{expect_size[0]}x{expect_size[1]}; delete the checkpoint "
+                "or match the resolution")
+        if expect_digest:
+            stored = str(data["digest"]) if "digest" in data else ""
+            if stored and stored != expect_digest:
+                raise CheckpointError(
+                    f"checkpoint {path!r} was rendered with a different "
+                    "scene/settings (digest mismatch); delete it to start "
+                    "fresh")
         return cls(
             radiance_sum=jnp.asarray(data["radiance_sum"]),
             sample_count=jnp.asarray(data["sample_count"]),

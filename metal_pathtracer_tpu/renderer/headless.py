@@ -45,6 +45,22 @@ class HeadlessRenderOutput:
 DEFAULT_BATCH = 16
 
 
+def _scene_digest(scene, static, uniforms) -> str:
+    """sha256 over the static config + uniforms + scene arrays: identifies
+    what a checkpointed accumulation was rendered with."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    h.update(repr(static).encode())
+    for leaf in jax.tree_util.tree_leaves(uniforms):
+        h.update(np.asarray(leaf).tobytes())
+    for leaf in jax.tree_util.tree_leaves(scene):
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()
+
+
 class TpuBackend:
     """Progressive batch renderer on the default JAX device."""
 
@@ -73,8 +89,15 @@ class TpuBackend:
         # Render-state checkpoint/resume (capability the reference lacks,
         # SURVEY.md §5.4): a checkpointed accumulation continues exactly
         # where it stopped (deterministic via the per-sample seed recipe).
+        # The digest ties the checkpoint to this (scene, settings) so a
+        # resume can never blend unrelated accumulations (ADVICE r01).
+        digest = ""
+        if checkpoint_path:
+            digest = _scene_digest(scene, static,
+                                   settings_to_uniforms(settings, camera, 0, 0))
         if checkpoint_path and os.path.exists(checkpoint_path):
-            state = RenderState.load(checkpoint_path)
+            state = RenderState.load(checkpoint_path, expect_digest=digest,
+                                     expect_size=(width, height))
             if verbose:
                 done0 = int(np.asarray(state.frame_index))
                 print(f"[Headless] resumed {done0} spp from {checkpoint_path}")
@@ -92,6 +115,7 @@ class TpuBackend:
 
         start = time.time()
         last_report = start
+        last_ckpt = start
         done = int(np.asarray(state.frame_index))
         while done < spp_total:
             n = min(batch, spp_total - done)
@@ -101,6 +125,12 @@ class TpuBackend:
                 if verbose:
                     state.radiance_sum.block_until_ready()
             done += n
+            # Periodic saves so an interrupted run resumes from the last
+            # completed batch, not from nothing (ADVICE r01).
+            if checkpoint_path and done < spp_total \
+                    and time.time() - last_ckpt >= 30.0:
+                state.save(checkpoint_path, digest=digest)
+                last_ckpt = time.time()
             if verbose:
                 perf.update(
                     samples=n, seconds=bt.seconds, width=width, height=height,
@@ -115,7 +145,7 @@ class TpuBackend:
         total = time.time() - start
         self.last_stats = perf
         if checkpoint_path:
-            state.save(checkpoint_path)
+            state.save(checkpoint_path, digest=digest)
         img = np.asarray(state.present())
         return HeadlessRenderOutput(
             linear_rgb=img, width=width, height=height, samples=done,
@@ -184,6 +214,13 @@ def make_backend(name: str):
         from metal_pathtracer_tpu.renderer import oracle
         if oracle.oracle_available():
             return OracleBackend()
+        # Never silently swap renderers under the user (ADVICE r01): the
+        # oracle is the parity reference; the jax-CPU path is not it.
+        import sys
+        print(f"[Headless] warning: backend {name!r} requested but the "
+              "native CPU oracle is unavailable (build it with "
+              "native/build.sh); falling back to the jax-CPU backend",
+              file=sys.stderr)
         return CpuJaxBackend()
     if name == "cpu-jax":
         return CpuJaxBackend()

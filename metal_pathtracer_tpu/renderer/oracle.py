@@ -19,12 +19,13 @@ from metal_pathtracer_tpu import constants as C
 from metal_pathtracer_tpu.ops.camera import build_camera
 from metal_pathtracer_tpu.settings import BackgroundMode, RenderSettings
 
-_LIB_PATH = os.path.normpath(os.path.join(
-    os.path.dirname(__file__), "..", "..", "native", "libcpu_oracle.so"))
+from metal_pathtracer_tpu.utils.nativebuild import ensure_built, lib_path
+
+_LIB_PATH = lib_path("libcpu_oracle.so")
 
 
 def oracle_available() -> bool:
-    return os.path.exists(_LIB_PATH)
+    return ensure_built("libcpu_oracle.so") is not None
 
 
 def _load():

@@ -107,10 +107,9 @@ def build_triangle_arrays(meshes) -> Tuple[TrianglesSoA, BvhSoA]:
 # ---------------------------------------------------------------------------
 
 def _native_lib():
-    path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                        "libbvh_builder.so")
-    path = os.path.normpath(path)
-    if os.path.exists(path):
+    from metal_pathtracer_tpu.utils.nativebuild import ensure_built
+    path = ensure_built("libbvh_builder.so")
+    if path is not None:
         try:
             return ctypes.CDLL(path)
         except OSError:

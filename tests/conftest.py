@@ -6,15 +6,31 @@ TPU is exercised by bench.py and the driver's compile checks.
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
 
-# The image's sitecustomize pins JAX_PLATFORMS=axon during registration;
-# the config update below wins regardless of env ordering.
-import jax  # noqa: E402
+def _tpu_only_invocation() -> bool:
+    """True when every positional pytest arg targets tests/tpu.
 
-jax.config.update("jax_platforms", "cpu")
+    `python -m pytest tests/tpu/ -q` on a TPU host must run on the real
+    device; a mixed or whole-tree run pins CPU and the tpu tests skip.
+    """
+    paths = [a for a in sys.argv[1:] if not a.startswith("-")]
+    return bool(paths) and all(
+        "tpu" in p.replace("\\", "/").split("/") or "tests/tpu" in p
+        for p in paths)
+
+
+if os.environ.get("MPT_TEST_PLATFORM", "") not in ("tpu", "axon") \
+        and not _tpu_only_invocation():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
+
+    # The image's sitecustomize pins JAX_PLATFORMS=axon during registration;
+    # the config update below wins regardless of env ordering.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -56,3 +56,33 @@ def test_resume_noop_when_done(tmp_path):
     again = backend.render(res, settings, w, h, 8, checkpoint_path=ckpt)
     assert again.samples == 8
     np.testing.assert_array_equal(again.linear_rgb, first.linear_rgb)
+
+
+def test_resume_rejects_resolution_mismatch(tmp_path):
+    import pytest
+
+    from metal_pathtracer_tpu.renderer.accumulation import CheckpointError
+
+    settings, res = _scene()
+    backend = TpuBackend()
+    ckpt = str(tmp_path / "state.ckpt")
+    backend.render(res, settings, 16, 16, 2, checkpoint_path=ckpt)
+    with pytest.raises(CheckpointError, match="32x32"):
+        backend.render(res, settings, 32, 32, 4, checkpoint_path=ckpt)
+
+
+def test_resume_rejects_scene_mismatch(tmp_path):
+    import pytest
+
+    from metal_pathtracer_tpu.renderer.accumulation import CheckpointError
+
+    settings, res = _scene()
+    backend = TpuBackend()
+    ckpt = str(tmp_path / "state.ckpt")
+    backend.render(res, settings, 16, 16, 2, checkpoint_path=ckpt)
+
+    other_settings, other_res = _scene()
+    other_settings.maxDepth = 7  # radiometrically different render
+    with pytest.raises(CheckpointError, match="digest"):
+        backend.render(other_res, other_settings, 16, 16, 4,
+                       checkpoint_path=ckpt)
