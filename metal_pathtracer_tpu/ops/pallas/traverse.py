@@ -53,13 +53,14 @@ MAX_CAND = 2 * WAVE        # candidate children per wave (<= LANES)
 LEAF_QUEUE = WAVE          # leaf chunks processed per wave
 
 
-def _kernel(n_nodes: int, t_min: float, any_hit: bool,
+def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
             out_t, out_tri, out_u, out_v, out_stats,
             stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
-            bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem):
+            bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
+            presence_smem, counters):
     if _DEBUG_SKIP == "all":
         out_t[:] = tmax[:]
         out_tri[:] = jnp.full(tmax.shape, -1, jnp.int32)
@@ -82,6 +83,31 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool,
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
+    # --- octant-masked multi-pass setup ---------------------------------
+    # Divergent (bounce) packets pay the traversal union of all 1024 rays;
+    # splitting the packet into direction-octant passes bounds each pass's
+    # union to same-heading rays — per-ray results are unchanged (each ray
+    # participates in exactly one pass), no reordering, no gathers.
+    # Coherent packets are octant-pure: the other passes are skipped at the
+    # root via the batched presence verdict below.
+    alive = tmax[:] > t_min
+    if n_passes == 8:
+        octant = ((dx[:] < 0.0).astype(jnp.int32)
+                  + 2 * (dy[:] < 0.0).astype(jnp.int32)
+                  + 4 * (dz[:] < 0.0).astype(jnp.int32))
+        presence = jnp.full((1, LANES), -1.0, jnp.float32)
+        for k in range(8):
+            member = jnp.max(jnp.where(alive & (octant == k), 1.0, -1.0),
+                             keepdims=True).reshape(1, 1)
+            presence = jnp.where(lane_iota == k, member, presence)
+        verdict_vmem[0:1, :] = presence
+        pdma = pltpu.make_async_copy(verdict_vmem, verdict_smem, vsem)
+        pdma.start()
+        pdma.wait()
+        # SMEM copy: verdict_smem gets overwritten inside the pass loop
+        for k in range(8):
+            presence_smem[k] = jnp.where(verdict_smem[0, k] >= 0.0, 1, 0)
+
     def slab_test(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
         """-> (margin, entry): (1,1) vectors. margin = max over rays of
         (tfar - tnear) (>=0 means some ray hits); entry = min over hitting
@@ -97,7 +123,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool,
                             jnp.maximum(jnp.minimum(t0z, t1z), t_min))
         tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                        jnp.maximum(t0y, t1y)),
-                           jnp.minimum(jnp.maximum(t0z, t1z), bt_ref[:]))
+                           jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
         hit = tfar >= tnear
         margin = jnp.max(tfar - tnear, keepdims=True).reshape(1, 1)
         entry = jnp.min(jnp.where(hit, tnear, jnp.float32(3.0e38)),
@@ -161,7 +187,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool,
             take = ((jnp.abs(det) >= 1e-8)
                     & (u >= 0.0) & (u <= 1.0)
                     & (v >= 0.0) & (u + v <= 1.0)
-                    & (t >= t_min) & (t < bt_ref[:])
+                    & (t >= t_min) & (t < wt_ref[:])
                     & (valid_slot > 0.5)
                     & (tri_id != excl[:]))
             if any_hit:
@@ -170,9 +196,9 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool,
                 # from every later slab-test union, so shadow packets
                 # drain the stack early (reference anyHitOnly=true,
                 # pathtrace.metal shadow-early-exit stats).
-                bt_ref[:] = jnp.where(take, 0.0, bt_ref[:])
+                wt_ref[:] = jnp.where(take, 0.0, wt_ref[:])
             else:
-                bt_ref[:] = jnp.where(take, t, bt_ref[:])
+                wt_ref[:] = jnp.where(take, t, wt_ref[:])
             btri_ref[:] = jnp.where(take, tri_id, btri_ref[:])
             bu_ref[:] = jnp.where(take, u, bu_ref[:])
             bv_ref[:] = jnp.where(take, v, bv_ref[:])
@@ -278,9 +304,30 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool,
             n_leaves = jax.lax.fori_loop(0, popped, leaf_body, n_leaves)
         return sp, n_visited + popped, n_leaves
 
-    stack[0] = 0
-    _, n_visited, n_leaves = jax.lax.while_loop(
-        wave_cond, wave_body, (jnp.int32(1), jnp.int32(0), jnp.int32(0)))
+    counters[0] = 0
+    counters[1] = 0
+
+    def run_pass(window):
+        wt_ref[:] = window
+        stack[0] = 0
+        _, n_v, n_l = jax.lax.while_loop(
+            wave_cond, wave_body, (jnp.int32(1), jnp.int32(0), jnp.int32(0)))
+        counters[0] = counters[0] + n_v
+        counters[1] = counters[1] + n_l
+
+    if n_passes == 8:
+        # One traversal pass per direction octant present in the packet.
+        # Each ray belongs to exactly one pass; pass-absent lanes carry a
+        # zero window so they never enter a slab union or commit a hit.
+        for k in range(8):
+            @pl.when(presence_smem[k] == 1)
+            def _():
+                mask = alive & (octant == k)
+                run_pass(jnp.where(mask, bt_ref[:], 0.0))
+                bt_ref[:] = jnp.where(mask, wt_ref[:], bt_ref[:])
+    else:
+        run_pass(bt_ref[:])
+        bt_ref[:] = wt_ref[:]
 
     out_t[:] = bt_ref[:]
     out_tri[:] = btri_ref[:].astype(jnp.int32)
@@ -290,15 +337,16 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool,
     # would corrupt results; emit via a dedicated stats output instead
     stats_iota = jax.lax.broadcasted_iota(jnp.int32, tmax.shape, 1)
     stats = jnp.where(stats_iota == 0,
-                      n_visited.astype(jnp.float32), 0.0)
-    stats = jnp.where(stats_iota == 1, n_leaves.astype(jnp.float32), stats)
+                      counters[0].astype(jnp.float32), 0.0)
+    stats = jnp.where(stats_iota == 1,
+                      counters[1].astype(jnp.float32), stats)
     out_stats[:] = stats
 
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
-                                             "any_hit"))
+                                             "any_hit", "n_passes"))
 def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
-          n_nodes, n_chunks, t_min, any_hit=False):
+          n_nodes, n_chunks, t_min, any_hit=False, n_passes=1):
     rows = rays7[0].shape[0]
     grid = rows // SUBLANES
     # index maps receive (grid_idx, *scalar_prefetch_refs)
@@ -327,10 +375,13 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best u
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best v
             pltpu.VMEM((2, LANES), jnp.float32),         # verdict vectors (margin, entry)
+            pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # pass window (wt)
+            pltpu.SMEM((8,), jnp.int32),                 # octant presence
+            pltpu.SMEM((2,), jnp.int32),                 # stats counters
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, n_nodes, t_min, any_hit),
+        functools.partial(_kernel, n_nodes, t_min, any_hit, n_passes),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -404,9 +455,10 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
         excl = exclude_prim.astype(jnp.float32)
     excl2 = pad(excl, fill=-1.0)
 
+    n_passes = 8 if os.environ.get("MPT_OCTANT_PASSES", "1") == "1" else 1
     t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds, bvh.node_meta,
                                 bvh.chunk_tris, bvh.n_nodes, bvh.n_chunks,
-                                float(t_min), any_hit)
+                                float(t_min), any_hit, n_passes)
     flat = lambda x: x.reshape(-1)[:n]
     if return_stats:
         # per-packet counters (reference PathtraceStats nodesVisited /

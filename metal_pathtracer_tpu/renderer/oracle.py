@@ -199,6 +199,8 @@ def render_oracle(resources, settings: RenderSettings, width: int, height: int,
         ctypes.c_float(settings.environmentIntensity),
         firefly.ctypes.data_as(fp),
         ctypes.c_int(1 if settings.enableSpecularNee else 0),
+        ctypes.c_int(1 if settings.enableMnee else 0),
+        ctypes.c_int(1 if settings.enableMneeSecondary else 0),
         ctypes.c_int(int(settings.sssMode)),
         ctypes.c_int(int(settings.sssMaxSteps)),
         ctypes.c_int(n_threads),

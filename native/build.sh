@@ -13,3 +13,10 @@ if [[ -f cpu_oracle.cpp ]]; then
     $CXX $FLAGS -pthread cpu_oracle.cpp bvh_builder.cpp -o libcpu_oracle.so
     echo "built libcpu_oracle.so"
 fi
+
+CC=${CC:-gcc}
+if [[ -f mikktspace/mikktspace.c ]]; then
+    $CC -O2 -fPIC -shared tangentgen.c mikktspace/mikktspace.c \
+        -o libtangentgen.so -lm
+    echo "built libtangentgen.so"
+fi

@@ -1618,6 +1618,8 @@ struct Params {
     V3 bg_color;
     Clamps clamps;
     int enable_spec_nee;
+    int enable_mnee = 0;
+    int enable_mnee_secondary = 0;
     int sss_mode = 0;
     int sss_max_steps = 32;
 };
@@ -1634,6 +1636,7 @@ V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
     float last_pdf = 1.0f;
     bool last_delta = true;
     int exclude_tri = -1;
+    int spec_depth = 0;  // consecutive delta bounces (mnee eligibility)
     V3 medium[kMaxMedium];
     int medium_depth = 0;
     bool env_on = P.bg_mode == 2 && sc.env_pdf != nullptr;
@@ -1804,19 +1807,35 @@ V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
             next_o = offset_origin(rec, smp.dir);
         }
 
-        // specular NEE (reference :6843-6960), primary chain only
-        if (P.enable_spec_nee && smp.delta && smp.medium_event <= 0 &&
-            finite3(smp.dir) && dot(smp.dir, smp.dir) > 0) {
-            V3 nd = normalize(smp.dir);
+        // ---- specular-NEE / "MNEE" delta chains ----------------------
+        // Mirrors ops/specnee.py (reference :6770-7235 + mnee.metal):
+        // primary chain for spec- or mnee-eligible delta bounces, plus the
+        // 2-bounce secondary chain through a second delta surface.
+        int next_spec_depth = smp.delta ? spec_depth + 1 : 0;
+        bool dir_valid = finite3(smp.dir) && dot(smp.dir, smp.dir) > 0;
+        // didTransmission (reference :6727-6738): delta dielectric bounce
+        // that crossed the surface (shading normal == geometric for
+        // dielectrics on both sides of the parity gate)
+        float side = rec.front ? 1.0f : -1.0f;
+        bool did_trans = m.type == 2 && smp.delta && dot(n, smp.dir) * side < 0;
+        bool mnee_eligible = P.enable_mnee && smp.delta &&
+                             (smp.medium_event <= 0 || did_trans) &&
+                             m.type == 2 && next_spec_depth == 1 && dir_valid;
+        bool spec_eligible = P.enable_spec_nee && smp.delta &&
+                             smp.medium_event <= 0 && dir_valid && !mnee_eligible;
+
+        // one env + one rect estimator along a chain direction, MIS'd with
+        // the chain's combined bsdf pdf (ops/specnee.py env/rect_estimator)
+        auto chain_estimators = [&](V3 origin, V3 nd, V3 weight, float bpdf) {
             if (env_on) {
                 Hit sh;
-                bool occ = trace(sc, next_o, nd, kEpsilon, kInfinity, -1, sh);
+                bool occ = trace(sc, origin, nd, kEpsilon, kInfinity, -1, sh);
                 if (!occ) {
                     float ep = std::max(env_pdf_lookup(sc, nd), 1.0e-4f);
                     float inv = std::min(1.0f / ep, 1.0e4f);
-                    float bp = std::max(smp.dpdf, 1.0e-4f);
+                    float bp = std::max(bpdf, 1.0e-4f);
                     float wgt = std::clamp(ep / (ep + bp), kMisMin, kMisMax);
-                    V3 contrib = smp.weight * env_lookup(sc, nd) * (wgt * inv);
+                    V3 contrib = weight * env_lookup(sc, nd) * (wgt * inv);
                     if (finite3(contrib))
                         radiance = radiance +
                                    clamp_contribution(throughput, contrib, P.clamps);
@@ -1824,17 +1843,17 @@ V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
             }
             if (!sc.light_rects.empty()) {
                 Hit lh;
-                if (trace(sc, next_o, nd, kEpsilon, kInfinity, -1, lh) &&
+                if (trace(sc, origin, nd, kEpsilon, kInfinity, -1, lh) &&
                     lh.prim_type == 2) {
                     const Material& lm = sc.mats[sc.rect_mat[lh.prim]];
                     if (lm.type == 3 && (lh.front || lh.two_sided)) {
-                        float lp = rect_light_pdf_hit(sc, lh, next_o);
+                        float lp = rect_light_pdf_hit(sc, lh, origin);
                         if (lp > 0) {
                             lp = std::max(lp, 1.0e-4f);
                             float inv = std::min(1.0f / lp, 1.0e4f);
-                            float bp = std::max(smp.dpdf, 1.0e-4f);
+                            float bp = std::max(bpdf, 1.0e-4f);
                             float wgt = std::clamp(lp / (lp + bp), kMisMin, kMisMax);
-                            V3 contrib = smp.weight * lm.emission * (wgt * inv);
+                            V3 contrib = weight * lm.emission * (wgt * inv);
                             if (finite3(contrib))
                                 radiance = radiance + clamp_contribution(
                                                           throughput, contrib, P.clamps);
@@ -1842,7 +1861,55 @@ V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
                     }
                 }
             }
+        };
+
+        if (spec_eligible || mnee_eligible) {
+            V3 nd = normalize(smp.dir);
+            chain_estimators(next_o, nd, smp.weight, smp.dpdf);
+
+            // secondary chain (ops/specnee.py; reference :7060-7232):
+            // follow the delta direction through one more delta surface
+            if (mnee_eligible && P.enable_mnee_secondary) {
+                Hit ch;
+                if (trace(sc, next_o, nd, kEpsilon, kInfinity, -1, ch)) {
+                    bool hit_is_light = false;
+                    if (ch.prim_type == 2 && !sc.light_rects.empty()) {
+                        const Material& lm = sc.mats[sc.rect_mat[ch.prim]];
+                        hit_is_light =
+                            lm.type == 3 &&
+                            (lm.emission.x != 0 || lm.emission.y != 0 ||
+                             lm.emission.z != 0) &&
+                            (ch.front || ch.two_sided) &&
+                            rect_light_pdf_hit(sc, ch, next_o) > 0;
+                    }
+                    const Material& m2 =
+                        sc.mats[std::min(ch.mat, (int)sc.mats.size() - 1)];
+                    if (!hit_is_light && material_is_delta(m2)) {
+                        V3 cn = ch.normal;
+                        if (!(finite3(cn) && dot(cn, cn) > 0)) cn = {0, 1, 0};
+                        cn = normalize(cn);
+                        V3 c_in = normalize(nd);
+                        V3 c_wo = c_in * -1.0f;
+                        // reference samples with an RNG *copy* (:7113)
+                        uint32_t s2 = s;
+                        SampleResult cs = sample_bsdf(m2, ch.point, cn, c_wo,
+                                                      c_in, ch.front,
+                                                      P.sss_mode, s2);
+                        V3 cd = cs.dir;
+                        float cd2 = dot(cd, cd);
+                        if (cs.pdf > 0 && cs.delta && cs.medium_event <= 0 &&
+                            finite3(cd) && cd2 > 0) {
+                            cd = cd / std::sqrt(cd2);
+                            V3 c_origin = offset_origin(ch, cd);
+                            V3 cw = smp.weight * cs.weight;
+                            float cpdf = std::max(smp.dpdf * cs.dpdf, 1.0e-4f);
+                            chain_estimators(c_origin, cd, cw, cpdf);
+                        }
+                    }
+                }
+            }
         }
+        spec_depth = next_spec_depth;
 
         throughput = clamp_throughput(throughput * smp.weight, P.clamps);
         if (!finite3(throughput)) break;
@@ -1878,7 +1945,8 @@ extern "C" int render_oracle(
     const float* cond_thresh, const int* cond_alias, const float* env_pdf,
     float env_rotation, float env_intensity,
     const float* firefly,  // factor, floor, throughput, max_contrib, enabled
-    int enable_spec_nee, int sss_mode, int sss_max_steps, int n_threads,
+    int enable_spec_nee, int enable_mnee, int enable_mnee_secondary,
+    int sss_mode, int sss_max_steps, int n_threads,
     float* out_rgb) {
     Scene sc;
     sc.n_spheres = n_spheres;
@@ -1983,6 +2051,8 @@ extern "C" int render_oracle(
     P.bg_color = {bg_color[0], bg_color[1], bg_color[2]};
     P.clamps = {firefly[0], firefly[1], firefly[2], firefly[3], firefly[4]};
     P.enable_spec_nee = enable_spec_nee;
+    P.enable_mnee = enable_mnee;
+    P.enable_mnee_secondary = enable_mnee_secondary;
     P.sss_mode = sss_mode;
     P.sss_max_steps = sss_max_steps;
 

@@ -298,3 +298,43 @@ def test_env_scene_rmse():
     err = oracle.rmse(img_jax, img_oracle)
     assert err < 0.06, f"RMSE {err}"
     assert abs(img_jax.mean() - img_oracle.mean()) < 0.02
+
+
+MNEE = """\
+camera target=0,0.5,0 distance=3.2 yaw=0 pitch=0.15 vfov=45
+renderer maxDepth=8 seed=11 enableSpecularNee=1 enableMnee=1 enableMneeSecondary=1
+material type=lambert albedo=0.65,0.65,0.65
+material type=glass ior=1.5
+material type=light emit=24,22,18
+sphere center=0,-100,0 radius=100 material=0
+sphere center=0,0.55,0 radius=0.5 material=1
+rectangle x=-0.5,0.5 y=2.2 z=-0.5,0.5 normal=-1 material=2
+"""
+
+
+def test_mnee_chain_rmse():
+    """Delta-chain estimators vs the oracle: glass sphere under a rect
+    light with specular NEE + MNEE primary/secondary chains enabled
+    (reference behavior: EmbreeHeadlessRenderer.mm:2885-3096,
+    pathtrace.metal:6770-7235)."""
+    settings, res = scene_from(MNEE)
+    assert settings.enableMnee and settings.enableSpecularNee
+    w = h = 40
+    spp = 96
+    img_jax = render_jax(settings, res, w, h, spp)
+    img_oracle = oracle.render_oracle(res, settings, w, h, spp)
+    err = oracle.rmse(img_jax, img_oracle)
+    assert err < 0.15, f"RMSE {err}"
+    assert abs(img_jax.mean() - img_oracle.mean()) < 0.02
+
+    # sensitivity: the scene must actually exercise the chains — an oracle
+    # with the chains disabled must fail the same gate against the JAX
+    # image (VERDICT r01 #5: "disabling chains in one implementation makes
+    # it fail")
+    settings_off = scene_from(MNEE)[0]
+    settings_off.enableMnee = False
+    settings_off.enableSpecularNee = False
+    img_oracle_off = oracle.render_oracle(res, settings_off, w, h, spp)
+    err_off = oracle.rmse(img_jax, img_oracle_off)
+    assert err_off > max(2.0 * err, 0.02), (
+        f"chains contribute nothing: on={err} off={err_off}")

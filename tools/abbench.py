@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Interleaved A/B benchmark harness (the only trustworthy protocol on the
+shared axon tunnel: cross-process runs vary 2-3x; same-session interleaved
+medians are stable — BENCHMARKS.md).
+
+Benchmarks both full-frame variants (env-flag combinations, traced into
+separate jit wrappers) and kernel-only loads (coherent primaries /
+synthetic bounce wavefronts against the dragon-class BVH).
+
+Usage:
+  python tools/abbench.py frame  SORT=2,OCT=1  SORT=0,OCT=1 ...
+  python tools/abbench.py kernel OCT=0 OCT=1
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_variant(spec):
+    env = {}
+    for kv in spec.split(","):
+        k, v = kv.split("=")
+        env[{"SORT": "MPT_RAY_SORT", "OCT": "MPT_OCTANT_PASSES",
+             "DBG": "MPT_TRAVERSE_DEBUG"}.get(k, k)] = v
+    return env
+
+
+def set_env(env):
+    for k in ("MPT_RAY_SORT", "MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG"):
+        os.environ.pop(k, None)
+    os.environ.update(env)
+
+
+def build_bench_scene(width=1920, height=1080, depth=8):
+    from metal_pathtracer_tpu.ops.camera import build_camera
+    from metal_pathtracer_tpu.scene.resources import Material, SceneResources
+    from metal_pathtracer_tpu.schema import settings_to_static, settings_to_uniforms
+    from metal_pathtracer_tpu.settings import RenderSettings
+    from metal_pathtracer_tpu.utils.procgen import dragon_class_scene_mesh
+
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.0, 0.0)
+    settings.cameraDistance = 3.2
+    settings.cameraYaw = 0.4
+    settings.cameraPitch = 0.25
+    settings.cameraVerticalFov = 40.0
+    resources = SceneResources()
+    resources.add_material(Material(base_color=(0.7, 0.7, 0.7)))
+    resources.add_mesh(dragon_class_scene_mesh(7, material=0))
+    settings.maxDepth = depth
+    settings.fixedRngSeed = 1234
+    scene = resources.build_arrays()
+    static = settings_to_static(settings, width, height,
+                                resources.material_types_present())
+    camera = build_camera(settings, width, height)
+    uniforms = settings_to_uniforms(settings, camera, 0, 0)
+    return scene, uniforms, static
+
+
+def bench_frame(variants, spp=2, rounds=3):
+    import jax
+
+    from metal_pathtracer_tpu.renderer import frame
+    from metal_pathtracer_tpu.renderer.accumulation import RenderState
+
+    scene, uniforms, static = build_bench_scene()
+    width, height = static.width, static.height
+
+    fns = []
+    for spec in variants:
+        env = parse_variant(spec)
+        set_env(env)
+
+        # fresh jit wrapper per variant: env flags are read at trace time
+        @jax.jit
+        def run(scene, uniforms, state, _spec=spec):
+            return frame.render_rows(scene, uniforms, state, static, spp, 0)
+
+        state = RenderState.create(width, height)
+        t0 = time.time()
+        out = run(scene, uniforms, state)
+        np.asarray(out.radiance_sum)
+        print(f"compile+first {spec}: {time.time()-t0:.1f}s", flush=True)
+        fns.append((spec, run))
+
+    results = {spec: [] for spec, _ in fns}
+    for r in range(rounds):
+        for spec, run in fns:
+            set_env(parse_variant(spec))
+            state = RenderState.create(width, height)
+            state = run(scene, uniforms, state)  # warm rep (fresh state)
+            r0 = float(np.asarray(state.ray_count)) + float(
+                np.asarray(state.shadow_ray_count))
+            t0 = time.time()
+            state = run(scene, uniforms, state)
+            r1 = float(np.asarray(state.ray_count)) + float(
+                np.asarray(state.shadow_ray_count))
+            np.asarray(state.radiance_sum)
+            dt = time.time() - t0
+            results[spec].append(((r1 - r0) / dt / 1e6, dt))
+            print(f"  round {r} {spec}: {dt/spp*1000:.0f} ms/sample "
+                  f"{(r1-r0)/dt/1e6:.2f} Mrays/s", flush=True)
+
+    print("\n=== medians ===")
+    for spec, vals in results.items():
+        rates = sorted(v[0] for v in vals)
+        dts = sorted(v[1] for v in vals)
+        print(f"{spec:28s} {rates[len(rates)//2]:7.2f} Mrays/s   "
+              f"{dts[len(dts)//2]/spp*1000:8.0f} ms/sample")
+
+
+def make_kernel_loads(scene, static, uniforms):
+    """(label, origin, direction) wavefronts: coherent primaries and a
+    synthetic diffuse-bounce load (hit points + cosine hemisphere dirs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from metal_pathtracer_tpu.ops import camera as camera_ops
+    from metal_pathtracer_tpu.ops import rng as rng_ops
+
+    n = 1 << 20
+    # tile order (8x128), matching renderer/frame.py packet coherence
+    from metal_pathtracer_tpu.renderer.frame import _pixel_order
+    xs, ys, _ = _pixel_order(1024, 1024)
+    x = jnp.asarray(xs[:n])
+    y = jnp.asarray(ys[:n])
+    seed = rng_ops.make_seed(uniforms.fixed_rng_seed, uniforms.frame_index,
+                             x, y, uniforms.sample_count,
+                             jnp.zeros(n, jnp.uint32))
+    state, o, d = camera_ops.generate_primary_rays(
+        uniforms.camera, x, y, static.width, static.height, seed)
+
+    # synthetic bounce: random origins on the mesh bbox surface-ish with
+    # random unit directions — the measured worst case from round 1
+    rng = np.random.default_rng(7)
+    bo = rng.random((n, 3)).astype(np.float32) * 2.0 - 1.0
+    bd = rng.normal(size=(n, 3)).astype(np.float32)
+    bd /= np.linalg.norm(bd, axis=1, keepdims=True)
+    return [("primary", o, d),
+            ("bounce", jnp.asarray(bo), jnp.asarray(bd))]
+
+
+def bench_kernel(variants, rounds=3):
+    import jax
+    import jax.numpy as jnp
+
+    scene, uniforms, static = build_bench_scene()
+    loads = make_kernel_loads(scene, static, uniforms)
+    bvh = scene.tri_packet
+
+    fns = {}
+    for spec in variants:
+        set_env(parse_variant(spec))
+        from metal_pathtracer_tpu.ops.pallas import traverse
+
+        @jax.jit
+        def run(o, d, _spec=spec):
+            t, tri, u, v = traverse.packet_trace_unsorted(o, d, 1e-3, 3.0e38,
+                                                          bvh)
+            return tri
+        for label, o, d in loads:
+            t0 = time.time()
+            out = run(o, d)
+            hits = int((np.asarray(out) >= 0).sum())
+            print(f"compile {spec} {label}: {time.time()-t0:.1f}s "
+                  f"hits={hits}/{out.shape[0]}", flush=True)
+            fns[(spec, label)] = (run, o, d)
+
+    results = {k: [] for k in fns}
+    for r in range(rounds):
+        for (spec, label), (run, o, d) in fns.items():
+            set_env(parse_variant(spec))
+            np.asarray(run(o, d))  # warm
+            t0 = time.time()
+            out = run(o, d)
+            np.asarray(out)
+            dt = time.time() - t0
+            results[(spec, label)].append(o.shape[0] / dt / 1e6)
+            print(f"  round {r} {spec} {label}: {o.shape[0]/dt/1e6:.2f} Mrays/s",
+                  flush=True)
+
+    print("\n=== medians ===")
+    for (spec, label), vals in results.items():
+        v = sorted(vals)
+        print(f"{spec:20s} {label:10s} {v[len(v)//2]:7.2f} Mrays/s")
+
+    # cross-variant result parity (first two variants)
+    if len(variants) >= 2:
+        for label, o, d in loads:
+            a = np.asarray(fns[(variants[0], label)][0](o, d))
+            b = np.asarray(fns[(variants[1], label)][0](o, d))
+            eq = np.array_equal(a, b)
+            print(f"parity {label}: {'BIT-IDENTICAL' if eq else 'DIFFERS '} "
+                  f"({(a != b).sum()} mismatches)")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    variants = sys.argv[2:]
+    if mode == "frame":
+        bench_frame(variants)
+    else:
+        bench_kernel(variants)
