@@ -20,6 +20,8 @@ import numpy as np
 
 
 def main():
+    from metal_pathtracer_tpu.utils.compilecache import enable_cache
+    enable_cache()
     import jax
 
     from metal_pathtracer_tpu.ops.camera import build_camera

@@ -67,6 +67,9 @@ def default_output(scene_arg: str, width: int, height: int, fmt: str) -> str:
 
 
 def main(argv=None) -> int:
+    from metal_pathtracer_tpu.utils.compilecache import enable_cache
+
+    enable_cache()
     args = build_parser().parse_args(argv)
 
     settings = RenderSettings()

@@ -361,7 +361,21 @@ def gather_material(materials, index) -> MatLanes:
         cols.append(flat.astype(jnp.float32))
         off += width
     packed = jnp.concatenate(cols, axis=1)          # (M, K)
-    rows = packed[idx]                              # one gather
+    m_count = packed.shape[0]
+    if m_count == 1:
+        # single-material scene: a broadcast, not a gather
+        rows = jnp.broadcast_to(packed[0], index.shape + (packed.shape[1],))
+    elif m_count <= 32:
+        # small tables: one-hot matmul rides the MXU — the TPU gather unit
+        # measured ~15ns/row (tools/microbench_gather2.py), a (N,32)@(32,K)
+        # matmul is >100x faster for the same fetch. Selection by exact
+        # 0.0/1.0 factors is bit-exact for finite table values.
+        onehot = (idx[..., None] == jnp.arange(m_count)).astype(jnp.float32)
+        rows = jax.lax.dot_general(
+            onehot, packed, (((onehot.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        rows = packed[idx]                          # one gather
     out = {}
     for f, lo, width, dtype, tail in layout:
         v = rows[..., lo:lo + width].reshape(index.shape + tail)

@@ -176,11 +176,21 @@ def _sample_rect_light(scene: SceneArrays, rec, state, static: StaticConfig,
     return state, direction, distance, jnp.where(valid, pdf, 0.0), emission, valid
 
 
+#: per-bounce probe record fields (the TPU analogue of the reference's
+#: 512-entry PathtraceDebugBuffer ring, MetalShaderTypes.h:270-287)
+PROBE_FIELDS = ("hit", "t", "prim_type", "prim_index", "mesh_index",
+                "material", "throughput_r", "throughput_g", "throughput_b",
+                "radiance_r", "radiance_g", "radiance_b", "medium_depth",
+                "medium_event", "pdf", "is_delta")
+
+
 def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
-                state, ray_o, ray_d):
+                state, ray_o, ray_d, record_probe: bool = False):
     """Trace a wavefront of primary rays to completion.
 
-    Returns (state, radiance, aov_albedo, aov_normal).
+    Returns (state, radiance, aov_albedo, aov_normal[, probe_records]).
+    With record_probe=True a (max_depth, N, 16) per-bounce record array is
+    appended to the return — the debug ring buffer equivalent.
     """
     shape = ray_o.shape[:-1]
     clamp_p = bsdf_ops.make_clamp_params(uniforms)
@@ -219,7 +229,7 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
                                      shape),
     )
 
-    def body(depth, carry: PathCarry):
+    def body(depth, carry: PathCarry, records=None):
         cr = carry
         alive0 = cr.alive
         state0 = cr.state
@@ -582,7 +592,21 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             mask = keep.reshape(keep.shape + (1,) * (new.ndim - keep.ndim))
             return jnp.where(mask, new, old)
 
-        return PathCarry(
+        if records is not None:
+            # debug probe: one record per bounce (reference ring buffer,
+            # MetalShaderTypes.h:270-287 / pathtrace.metal:258-492)
+            f32 = lambda v: v.astype(jnp.float32)
+            row = jnp.stack([
+                f32(rec.hit), rec.t, f32(rec.prim_type), f32(rec.prim_index),
+                f32(rec.mesh_index), f32(rec.material),
+                throughput[..., 0], throughput[..., 1], throughput[..., 2],
+                radiance[..., 0], radiance[..., 1], radiance[..., 2],
+                f32(medium_depth), f32(smp.medium_event), smp.pdf,
+                f32(smp.is_delta)], axis=-1)
+            live = alive0.reshape(alive0.shape + (1,))
+            records = records.at[depth].set(jnp.where(live, row, 0.0))
+
+        new_carry = PathCarry(
             state=sel(state_rr, cr.state),
             ray_o=sel(next_origin, cr.ray_o),
             ray_d=sel(smp.direction, cr.ray_d),
@@ -609,9 +633,32 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             cone_width=sel(cone_width, cr.cone_width),
             cone_spread=sel(cone_spread, cr.cone_spread),
         )
+        if records is not None:
+            return new_carry, records
+        return new_carry
 
     # while-loop over depth: ends as soon as every lane has terminated
     # (the wavefront analogue of the megakernel's per-thread break)
+    if record_probe:
+        records0 = jnp.zeros((static.max_depth,) + shape + (len(PROBE_FIELDS),),
+                             jnp.float32)
+
+        def probe_cond(state):
+            depth, cr, _ = state
+            return jnp.logical_and(depth < static.max_depth,
+                                   jnp.any(cr.alive))
+
+        def probe_body(state):
+            depth, cr, records = state
+            cr, records = body(depth, cr, records)
+            return depth + 1, cr, records
+
+        _, carry, records = jax.lax.while_loop(
+            probe_cond, probe_body, (jnp.int32(0), carry, records0))
+        stats = {"rays": carry.n_rays, "shadow_rays": carry.n_shadow_rays}
+        return (carry.state, carry.radiance, carry.aov_albedo,
+                carry.aov_normal, stats, records)
+
     def loop_cond(state):
         depth, cr = state
         return jnp.logical_and(depth < static.max_depth, jnp.any(cr.alive))

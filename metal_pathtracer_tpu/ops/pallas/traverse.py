@@ -27,8 +27,10 @@ from __future__ import annotations
 import functools
 import os
 
-# dev bisection: "leaf" skips leaf tests, "verdict" pushes all children
-_DEBUG_SKIP = os.environ.get("MPT_TRAVERSE_DEBUG", "")
+# dev bisection: MPT_TRAVERSE_DEBUG="leaf" skips leaf tests, "all" stubs
+# the kernel. Read at CALL time and threaded into the jit cache key as a
+# static arg — a module-level read froze at import and silently no-op'd
+# (the round-2 "glue dominates" mismeasurement).
 
 import jax
 import jax.numpy as jnp
@@ -50,10 +52,12 @@ BLOCK = LANES * SUBLANES   # rays per packet
 STACK_DEPTH = 16384
 WAVE = 32                  # stack entries popped per wave
 MAX_CAND = 2 * WAVE        # candidate children per wave (<= LANES)
-LEAF_QUEUE = WAVE          # leaf chunks processed per wave
+LEAF_QUEUE = 64            # leaf chunks queued per wave (8-wide worst case)
+WIDE_WAVE = 8              # super-nodes popped per wave (8 children each)
 
 
 def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
+            wide: bool, _DEBUG_SKIP: str, group: int,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
@@ -63,12 +67,37 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             presence_smem, counters):
     if _DEBUG_SKIP == "all":
         out_t[:] = tmax[:]
-        out_tri[:] = jnp.full(tmax.shape, -1, jnp.int32)
+        out_tri[:] = jnp.full((group * SUBLANES, LANES), -1, jnp.int32)
         out_u[:] = tmax[:]
         out_v[:] = tmax[:]
-        out_stats[:] = jnp.zeros(tmax.shape, jnp.float32)
+        out_stats[:] = jnp.zeros((group * SUBLANES, LANES), jnp.float32)
         return
 
+    # Several packets per grid step: a no-op kernel call measured ~115us
+    # of per-grid-step overhead (8.5 Mrays/s floor at 1024 rays/step) —
+    # amortize it across `group` packets.
+    for g in range(group):
+        sl = slice(g * SUBLANES, (g + 1) * SUBLANES)
+        _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
+                     nb, nm,
+                     ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl],
+                     tmax[sl], excl[sl], chunks,
+                     out_t, out_tri, out_u, out_v, out_stats, sl,
+                     stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
+                     bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
+                     presence_smem, counters)
+
+
+def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
+                 nb, nm,
+                 ox, oy, oz, dx, dy, dz, tmax, excl,
+                 chunks,
+                 out_t, out_tri, out_u, out_v, out_stats, sl,
+                 stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
+                 bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
+                 presence_smem, counters):
+    """Trace ONE (8,128) packet; ray inputs are jnp values (pre-sliced),
+    outputs written to the `sl` rows of the out refs."""
     inv_dx = 1.0 / jnp.where(jnp.abs(dx[:]) < 1e-20,
                              jnp.where(dx[:] >= 0, 1e-20, -1e-20), dx[:])
     inv_dy = 1.0 / jnp.where(jnp.abs(dy[:]) < 1e-20,
@@ -139,36 +168,38 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
         dma.start()
         dma.wait()
 
-    def leaf_test(chunk_id):
-        dma = pltpu.make_async_copy(chunks.at[chunk_id], tri_buf, sem)
-        dma.start()
-        dma.wait()
+    def leaf_dma(i, slot):
+        cid = leafq[jnp.minimum(i, LEAF_QUEUE - 1)]
+        return pltpu.make_async_copy(chunks.at[cid], tri_buf.at[slot],
+                                     sem.at[slot])
 
+    def process_leaf(slot):
         group = CHUNK // SUBCHUNKS
 
         # batch the 8 sub-chunk verdicts exactly like node candidates
         acc = jnp.full((1, LANES), -1.0, jnp.float32)
         for k in range(SUBCHUNKS):
             base = k * 6
-            margin = slab_margin(tri_buf[9, base + 0], tri_buf[9, base + 1],
-                                 tri_buf[9, base + 2], tri_buf[9, base + 3],
-                                 tri_buf[9, base + 4], tri_buf[9, base + 5])
+            margin = slab_margin(
+                tri_buf[slot, 9, base + 0], tri_buf[slot, 9, base + 1],
+                tri_buf[slot, 9, base + 2], tri_buf[slot, 9, base + 3],
+                tri_buf[slot, 9, base + 4], tri_buf[slot, 9, base + 5])
             acc = jnp.where(lane_iota == k, margin, acc)
         verdict_vmem[0:1, :] = acc
         flush_verdicts()
 
         def tri_body(j, _):
-            v0x = tri_buf[0, j]
-            v0y = tri_buf[1, j]
-            v0z = tri_buf[2, j]
-            e1x = tri_buf[3, j]
-            e1y = tri_buf[4, j]
-            e1z = tri_buf[5, j]
-            e2x = tri_buf[6, j]
-            e2y = tri_buf[7, j]
-            e2z = tri_buf[8, j]
-            tri_id = tri_buf[10, j]
-            valid_slot = tri_buf[11, j]
+            v0x = tri_buf[slot, 0, j]
+            v0y = tri_buf[slot, 1, j]
+            v0z = tri_buf[slot, 2, j]
+            e1x = tri_buf[slot, 3, j]
+            e1y = tri_buf[slot, 4, j]
+            e1z = tri_buf[slot, 5, j]
+            e2x = tri_buf[slot, 6, j]
+            e2y = tri_buf[slot, 7, j]
+            e2z = tri_buf[slot, 8, j]
+            tri_id = tri_buf[slot, 10, j]
+            valid_slot = tri_buf[slot, 11, j]
 
             pvx = dy[:] * e2z - dz[:] * e2y
             pvy = dz[:] * e2x - dx[:] * e2z
@@ -208,9 +239,111 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             @pl.when(verdict_smem[0, k] >= 0.0)
             def _():
                 jax.lax.fori_loop(k * group, (k + 1) * group, tri_body, 0)
+                # leaf prim tests (reference avgLeafPrimTests,
+                # MetalRenderer.mm:1168-1347): slots actually MT-tested
+                counters[3] = counters[3] + group
+
+    def drain_leaves(n_leaf):
+        """Process the compacted leaf queue with a double-buffered chunk
+        DMA: leaf i+1's 16KB transfer overlaps leaf i's verdict + MT
+        (the serial start/wait pattern measured as the dominant leaf cost
+        on coherent loads)."""
+        @pl.when(n_leaf > 0)
+        def _():
+            leaf_dma(0, 0).start()
+
+            def body(i, _):
+                slot = jax.lax.rem(i, 2)
+
+                @pl.when(i + 1 < n_leaf)
+                def _():
+                    leaf_dma(i + 1, 1 - slot).start()
+
+                leaf_dma(i, slot).wait()
+                process_leaf(slot)
+                return 0
+
+            jax.lax.fori_loop(0, n_leaf, body, 0)
 
     def wave_cond(carry):
         return carry[0] > 0
+
+    def wave_body_wide(carry):
+        """8-wide wave: pop up to 8 super-nodes; each carries its 8
+        children's bounds inline (nb = (48,W) cbounds, nm = (8,W) child
+        ids) — no candidate indirection, ~4-7x fewer visits than the
+        binary tree for the same chunk leaves."""
+        sp, n_visited, n_leaves = carry
+        sp0 = sp
+        popped = jnp.minimum(sp0, WIDE_WAVE)
+
+        def pop_body(i, _):
+            idx = jnp.maximum(sp0 - 1 - i, 0)
+            cand[i] = jnp.where(i < popped, stack[idx], -1)
+            return 0
+
+        jax.lax.fori_loop(0, popped, pop_body, 0)
+        sp = sp0 - popped
+
+        # ---- vector phase: 8 child boxes per popped node ---------------
+        def cand_body(i, acc):
+            margins, entries = acc
+            node = cand[jnp.minimum(i, WIDE_WAVE - 1)]
+            valid = node >= 0
+            nodec = jnp.maximum(node, 0)
+            for j in range(8):
+                base = 6 * j
+                margin, entry = slab_test(
+                    nb[base + 0, nodec], nb[base + 1, nodec],
+                    nb[base + 2, nodec], nb[base + 3, nodec],
+                    nb[base + 4, nodec], nb[base + 5, nodec])
+                k = 8 * i + j
+                margin = jnp.where(valid, margin, -1.0)
+                margins = jnp.where(lane_iota == k, margin, margins)
+                entries = jnp.where(lane_iota == k, entry, entries)
+            return margins, entries
+
+        margins, entries = jax.lax.fori_loop(
+            0, popped, cand_body,
+            (jnp.full((1, LANES), -1.0, jnp.float32),
+             jnp.full((1, LANES), 3.0e38, jnp.float32)))
+        verdict_vmem[0:1, :] = margins
+        verdict_vmem[1:2, :] = entries
+        flush_verdicts()
+
+        # ---- scalar phase: push internal survivors, queue leaf chunks --
+        def push_body(p, carry):
+            sp, both, nl = carry
+            i = popped - 1 - p
+            node = cand[jnp.clip(i, 0, WIDE_WAVE - 1)]
+            nodec = jnp.maximum(node, 0)
+            n_desc = jnp.int32(0)
+            for j in range(7, -1, -1):
+                k = 8 * i + j
+                child = nm[j, nodec]
+                hit = verdict_smem[0, jnp.clip(k, 0, LANES - 1)] >= 0.0
+                ok = (node >= 0) & hit
+                stack[jnp.minimum(sp, STACK_DEPTH - 1)] = child
+                sp = sp + jnp.where(ok & (child >= 0), 1, 0)
+                n_desc = n_desc + jnp.where(ok & (child != -1), 1, 0)
+                # compacted leaf queue: unconditional write, counter
+                # advances only on real leaves (drain reads [0, nl))
+                leafq[jnp.minimum(nl, LEAF_QUEUE - 1)] = -child - 2
+                nl = nl + jnp.where(ok & (child <= -2), 1, 0)
+            # traversal coherence (reference bothChildrenVisited %): nodes
+            # where more than one child survived the packet's slab union
+            both = both + jnp.where(n_desc >= 2, 1, 0)
+            return sp, both, nl
+
+        sp, n_both, n_leaf = jax.lax.fori_loop(
+            0, popped, push_body, (sp, jnp.int32(0), jnp.int32(0)))
+        counters[2] = counters[2] + n_both
+
+        # ---- leaf phase -------------------------------------------------
+        if "leaf" not in _DEBUG_SKIP:
+            drain_leaves(n_leaf)
+            n_leaves = n_leaves + n_leaf
+        return sp, n_visited + popped, n_leaves
 
     def wave_body(carry):
         sp, n_visited, n_leaves = carry
@@ -222,23 +355,24 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
         sp0 = sp
         popped = jnp.minimum(sp0, WAVE)
 
-        def pop_body(i, _):
+        def pop_body(i, nl):
             idx = jnp.maximum(sp0 - 1 - i, 0)
             node = stack[idx]
             valid = i < popped
             is_leaf = nm[1, node] == 1
             meta = nm[0, node]
-            # leaves -> fixed leaf slot; internals -> fixed candidate pair
-            leafq[i] = jnp.where(valid & is_leaf, meta, -1)
+            # leaves -> compacted queue; internals -> fixed candidate pair
+            leafq[jnp.minimum(nl, LEAF_QUEUE - 1)] = meta
+            nl = nl + jnp.where(valid & is_leaf, 1, 0)
             internal_ok = valid & jnp.logical_not(is_leaf)
             cand[2 * i] = jnp.where(internal_ok, node + 1, -1)
             cand[2 * i + 1] = jnp.where(internal_ok, meta, -1)
-            return 0
+            return nl
 
         # Dynamic trip counts: a wave early in the descent has only a few
         # live nodes; fixed-size loops made every wave pay the full
         # 64-candidate cost (the measured ramp bottleneck).
-        jax.lax.fori_loop(0, popped, pop_body, 0)
+        n_leaf = jax.lax.fori_loop(0, popped, pop_body, jnp.int32(0))
         sp = sp0 - popped
         n_cand = 2 * popped
 
@@ -272,7 +406,8 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
         # ---- scalar phase 2: push survivors, near child last (popped
         # first). Writes are unconditional; sp advances iff hit — entries
         # past sp are dead so stale writes are harmless. ------------------
-        def push_body(p, sp):
+        def push_body(p, carry):
+            sp, both = carry
             pair = popped - 1 - p
             k0 = 2 * pair
             k1 = k0 + 1
@@ -289,29 +424,32 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             sp = sp + jnp.where(far_ok, 1, 0)
             stack[jnp.minimum(sp, STACK_DEPTH - 1)] = near
             sp = sp + jnp.where(near_ok, 1, 0)
-            return sp
+            # reference bothChildrenVisited % (MetalRenderer.mm:1168-1347)
+            both = both + jnp.where(far_ok & near_ok, 1, 0)
+            return sp, both
 
-        sp = jax.lax.fori_loop(0, popped, push_body, sp)
+        sp, n_both = jax.lax.fori_loop(0, popped, push_body,
+                                       (sp, jnp.int32(0)))
+        counters[2] = counters[2] + n_both
 
         # ---- leaf phase ------------------------------------------------
-        def leaf_body(i, n):
-            @pl.when(leafq[i] >= 0)
-            def _():
-                leaf_test(leafq[i])
-            return n + jnp.where(leafq[i] >= 0, 1, 0)
-
         if "leaf" not in _DEBUG_SKIP:
-            n_leaves = jax.lax.fori_loop(0, popped, leaf_body, n_leaves)
+            drain_leaves(n_leaf)
+            n_leaves = n_leaves + n_leaf
         return sp, n_visited + popped, n_leaves
 
-    counters[0] = 0
-    counters[1] = 0
+    counters[0] = 0   # node visits
+    counters[1] = 0   # leaf chunks tested
+    counters[2] = 0   # nodes with >=2 surviving children (coherence)
+    counters[3] = 0   # leaf prim slots MT-tested
+
+    body_fn = wave_body_wide if wide else wave_body
 
     def run_pass(window):
         wt_ref[:] = window
         stack[0] = 0
         _, n_v, n_l = jax.lax.while_loop(
-            wave_cond, wave_body, (jnp.int32(1), jnp.int32(0), jnp.int32(0)))
+            wave_cond, body_fn, (jnp.int32(1), jnp.int32(0), jnp.int32(0)))
         counters[0] = counters[0] + n_v
         counters[1] = counters[1] + n_l
 
@@ -329,10 +467,10 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
         run_pass(bt_ref[:])
         bt_ref[:] = wt_ref[:]
 
-    out_t[:] = bt_ref[:]
-    out_tri[:] = btri_ref[:].astype(jnp.int32)
-    out_u[:] = bu_ref[:]
-    out_v[:] = bv_ref[:]
+    out_t[sl] = bt_ref[:]
+    out_tri[sl] = btri_ref[:].astype(jnp.int32)
+    out_u[sl] = bu_ref[:]
+    out_v[sl] = bv_ref[:]
     # per-packet traversal counters in the u/v outputs' padding-free lanes
     # would corrupt results; emit via a dedicated stats output instead
     stats_iota = jax.lax.broadcasted_iota(jnp.int32, tmax.shape, 1)
@@ -340,17 +478,24 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
                       counters[0].astype(jnp.float32), 0.0)
     stats = jnp.where(stats_iota == 1,
                       counters[1].astype(jnp.float32), stats)
-    out_stats[:] = stats
+    stats = jnp.where(stats_iota == 2,
+                      counters[2].astype(jnp.float32), stats)
+    stats = jnp.where(stats_iota == 3,
+                      counters[3].astype(jnp.float32), stats)
+    out_stats[sl] = stats
 
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
-                                             "any_hit", "n_passes"))
+                                             "any_hit", "n_passes", "wide",
+                                             "debug", "group"))
 def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
-          n_nodes, n_chunks, t_min, any_hit=False, n_passes=1):
+          n_nodes, n_chunks, t_min, any_hit=False, n_passes=1, wide=False,
+          debug="", group=1):
     rows = rays7[0].shape[0]
-    grid = rows // SUBLANES
+    grid = rows // (group * SUBLANES)
     # index maps receive (grid_idx, *scalar_prefetch_refs)
-    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i, nb, nm: (i, 0),
+    ray_spec = pl.BlockSpec((group * SUBLANES, LANES),
+                            lambda i, nb, nm: (i, 0),
                             memory_space=pltpu.VMEM)
     # Node arrays ride as scalar-prefetch: uploaded to SMEM ONCE per kernel
     # launch. As plain SMEM inputs they were re-copied on EVERY grid step —
@@ -367,8 +512,8 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             pltpu.SMEM((MAX_CAND,), jnp.int32),         # candidate children
             pltpu.SMEM((LEAF_QUEUE,), jnp.int32),       # leaf chunk queue
             pltpu.SMEM((2, LANES), jnp.float32),        # verdict landing (margin, entry)
-            pltpu.SMEM((PLANES, CHUNK), jnp.float32),   # chunk triangle data
-            pltpu.SemaphoreType.DMA,                     # chunk DMA
+            pltpu.SMEM((2, PLANES, CHUNK), jnp.float32),  # chunk tris (2 buf)
+            pltpu.SemaphoreType.DMA((2,)),               # chunk DMA (2 buf)
             pltpu.SemaphoreType.DMA,                     # verdict DMA
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best t
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best tri (as f32)
@@ -377,11 +522,12 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             pltpu.VMEM((2, LANES), jnp.float32),         # verdict vectors (margin, entry)
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # pass window (wt)
             pltpu.SMEM((8,), jnp.int32),                 # octant presence
-            pltpu.SMEM((2,), jnp.int32),                 # stats counters
+            pltpu.SMEM((4,), jnp.int32),                 # stats counters
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, n_nodes, t_min, any_hit, n_passes),
+        functools.partial(_kernel, n_nodes, t_min, any_hit, n_passes, wide,
+                          debug, group),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -408,7 +554,10 @@ def packet_trace(origin, direction, t_min, t_max, bvh: PacketBvh,
     """
     n = origin.shape[0]
 
-    sort_mode = os.environ.get("MPT_RAY_SORT", "2")
+    # Default off: with the wide kernel the partition's XLA gather cost
+    # (~5ms per 64K-lane trace) exceeds its dead-lane savings — measured
+    # frame A/B 1.25 vs 0.91 Mrays/s (tools/abbench.py, r02).
+    sort_mode = os.environ.get("MPT_RAY_SORT", "0")
     if sort_mode != "0" and n >= BLOCK:
         from metal_pathtracer_tpu.ops.pallas import raysort
         t_max_full = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -439,7 +588,10 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
                           exclude_prim=None, any_hit: bool = False,
                           return_stats: bool = False):
     n = origin.shape[0]
-    rows = ((n + BLOCK - 1) // BLOCK) * SUBLANES
+    # packets per grid step (fixed per-step overhead measured ~115us;
+    # grouping amortizes it ~`group`x for cheap/dead packets)
+    group = int(os.environ.get("MPT_GROUP", "4"))
+    rows = ((n + group * BLOCK - 1) // (group * BLOCK)) * group * SUBLANES
     padded = rows * LANES
 
     def pad(v, fill=0.0):
@@ -455,10 +607,26 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
         excl = exclude_prim.astype(jnp.float32)
     excl2 = pad(excl, fill=-1.0)
 
-    n_passes = 8 if os.environ.get("MPT_OCTANT_PASSES", "1") == "1" else 1
-    t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds, bvh.node_meta,
-                                bvh.chunk_tris, bvh.n_nodes, bvh.n_chunks,
-                                float(t_min), any_hit, n_passes)
+    # Octant-masked passes: measured on-chip (tools/abbench.py): random-
+    # soup loads +30% with the wide tree, but REAL bounce wavefronts
+    # (tile-local origins) ran 1.7x FASTER without the 8-pass overhead —
+    # so passes are opt-in (MPT_OCTANT_PASSES=1), not the default.
+    n_passes = 8 if os.environ.get("MPT_OCTANT_PASSES", "0") == "1" else 1
+    wide = (os.environ.get("MPT_WIDE", "1") == "1"
+            and bvh.wnode_child is not None and bvh.n_wnodes > 0)
+    debug = os.environ.get("MPT_TRAVERSE_DEBUG", "")
+    if wide:
+        t, tri, u, v, stats = _call(rays7, excl2, bvh.wnode_cbounds,
+                                    bvh.wnode_child, bvh.chunk_tris,
+                                    bvh.n_wnodes, bvh.n_chunks,
+                                    float(t_min), any_hit, n_passes, True,
+                                    debug, group)
+    else:
+        t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds,
+                                    bvh.node_meta, bvh.chunk_tris,
+                                    bvh.n_nodes, bvh.n_chunks,
+                                    float(t_min), any_hit, n_passes,
+                                    debug=debug, group=group)
     flat = lambda x: x.reshape(-1)[:n]
     if return_stats:
         # per-packet counters (reference PathtraceStats nodesVisited /
@@ -468,7 +636,14 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
         totals = {
             "nodes_visited": jnp.sum(per_packet[:, 0]),
             "leaf_chunks_tested": jnp.sum(per_packet[:, 1]),
+            "both_children_visited": jnp.sum(per_packet[:, 2]),
+            "leaf_prim_tests": jnp.sum(per_packet[:, 3]),
             "packets": jnp.float32(per_packet.shape[0]),
         }
+        if any_hit:
+            # shadow-ray early-exit % (reference PerformanceStats): a lane
+            # whose window collapsed found occlusion before draining
+            totals["shadow_occluded_lanes"] = jnp.sum(
+                (tri.reshape(-1)[:n] >= 0).astype(jnp.float32))
         return flat(t), flat(tri), flat(u), flat(v), totals
     return flat(t), flat(tri), flat(u), flat(v)

@@ -67,6 +67,8 @@ def render_rows(scene: SceneArrays, uniforms: Uniforms, state: RenderState,
     """Advance a slab of rows by n_samples. `state` covers the slab; pixel
     coordinates are global (slab row 0 is image row `row_offset`), so the
     result is invariant to how the image is sliced across devices."""
+    if n_samples <= 0:
+        return state
     slab_h, width = state.height, state.width
     total = slab_h * width
     chunk = min(chunk, total)
@@ -81,48 +83,66 @@ def render_rows(scene: SceneArrays, uniforms: Uniforms, state: RenderState,
     inverse_perm = jnp.asarray(inverse_np)
     n_chunks = xs.shape[0]
 
-    def one_sample(_, st: RenderState) -> RenderState:
+    # Per-lane prev counts and running radiance, fetched ONCE per call
+    # (gathers measured ~15ns/element on this TPU — per-sample perm/unperm
+    # gathers were a large fixed cost at 2M lanes; see
+    # tools/microbench_gather2.py). Seeding the lane accumulator from the
+    # existing sum keeps the per-pixel float addition sequence identical
+    # to per-sample accumulation, so checkpoint resume stays bit-exact.
+    lane_idx = jnp.minimum(
+        jnp.asarray(y_np.astype(np.int64) * width + x_np.astype(np.int64)),
+        total - 1)
+    prev_lane0 = state.sample_count.reshape(-1)[lane_idx].reshape(-1, chunk)
+    lane_rad0 = state.radiance_sum.reshape(-1, 3)[lane_idx]
+
+    def one_sample(i, carry):
         # Per-dispatch uniforms: frameIndex == sampleCount == dispatch index
         # (reference: Accumulation.h incrementFrame:54-57, UniformBuilder.mm:31-33).
-        u = uniforms.replace(frame_index=st.frame_index,
-                             sample_count=st.frame_index)
-        prev_count_flat = st.sample_count.reshape(-1)
+        lane_rad, lane_alb, lane_nrm, frame_idx, n_rays, n_shadow = carry
+        u = uniforms.replace(frame_index=frame_idx, sample_count=frame_idx)
 
         def do_chunk(coords):
-            x, y_local = coords
-            prev = prev_count_flat[jnp.minimum(y_local * width + x, total - 1)]
+            x, y_local, prev = coords
             y = y_local + jnp.uint32(row_offset)
-            return integrator.integrate_pixels(scene, u, static, x, y, prev)
+            return integrator.integrate_pixels(scene, u, static, x, y,
+                                               prev + i.astype(jnp.uint32))
 
         if n_chunks == 1:
-            sample, albedo, normal, stats = do_chunk((xs[0], ys_local[0]))
+            sample, albedo, normal, stats = do_chunk(
+                (xs[0], ys_local[0], prev_lane0[0]))
             sample, albedo, normal = sample[None], albedo[None], normal[None]
             stats = jax.tree_util.tree_map(lambda v: v[None], stats)
         else:
             sample, albedo, normal, stats = jax.lax.map(
-                do_chunk, (xs, ys_local))
+                do_chunk, (xs, ys_local, prev_lane0))
 
-        # Lanes are in tile order; the static inverse permutation restores
-        # scan-order pixels (a pure gather — no duplicate writes).
-        def unperm(v):
-            return v.reshape(-1, 3)[:total][inverse_perm].reshape(
-                slab_h, width, 3)
+        return (lane_rad + sample.reshape(-1, 3),
+                albedo.reshape(-1, 3), normal.reshape(-1, 3),
+                frame_idx + jnp.uint32(1),
+                n_rays + jnp.sum(stats["rays"]),
+                n_shadow + jnp.sum(stats["shadow_rays"]))
 
-        sample = unperm(sample)
-        albedo = unperm(albedo)
-        normal = unperm(normal)
+    z_lane = jnp.zeros((padded, 3), jnp.float32)
+    lane_rad, lane_alb, lane_nrm, frame_idx, n_rays, n_shadow = \
+        jax.lax.fori_loop(
+            0, n_samples, one_sample,
+            (lane_rad0, z_lane, z_lane, state.frame_index,
+             state.ray_count, state.shadow_ray_count))
 
-        return st.replace(
-            radiance_sum=st.radiance_sum + sample,
-            sample_count=st.sample_count + jnp.uint32(1),
-            albedo=albedo,
-            normal=normal,
-            frame_index=st.frame_index + jnp.uint32(1),
-            ray_count=st.ray_count + jnp.sum(stats["rays"]),
-            shadow_ray_count=st.shadow_ray_count + jnp.sum(stats["shadow_rays"]),
-        )
+    # Lanes are in tile order; the static inverse permutation restores
+    # scan-order pixels ONCE per call (a pure gather — no duplicate writes).
+    def unperm(v):
+        return v[:total][inverse_perm].reshape(slab_h, width, 3)
 
-    return jax.lax.fori_loop(0, n_samples, one_sample, state)
+    return state.replace(
+        radiance_sum=unperm(lane_rad),
+        sample_count=state.sample_count + jnp.uint32(n_samples),
+        albedo=unperm(lane_alb),
+        normal=unperm(lane_nrm),
+        frame_index=frame_idx,
+        ray_count=n_rays,
+        shadow_ray_count=n_shadow,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("static", "n_samples", "chunk"))

@@ -1,0 +1,29 @@
+"""Persistent XLA compilation cache.
+
+The shared axon tunnel's compile times vary wildly (20s-3min for the same
+Pallas kernel); caching serialized executables on disk makes every entry
+point after the first run pay ~0. Must be called BEFORE the first jit
+trace (importing jax is fine).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_cache(cache_dir: str | None = None) -> None:
+    cache_dir = cache_dir or os.environ.get(
+        "MPT_COMPILE_CACHE_DIR", _DEFAULT_DIR)
+    if cache_dir in ("", "0", "off"):
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax: env-var path only
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)

@@ -157,3 +157,49 @@ class BatchTimer:
     def __exit__(self, *exc):
         self.seconds = time.time() - self.start
         return False
+
+
+def traversal_profile(origin, direction, bvh, t_min=1e-3, t_max=3.0e38,
+                      any_hit: bool = False) -> dict:
+    """Instrumented trace of a wavefront -> the reference's traversal
+    metric set (reference: src/MetalRenderer.mm:1168-1347,
+    include/renderer/PerformanceStats.h:12-114):
+
+      nodes_per_ray, leaf_chunks_per_ray, leaf_prim_tests_per_ray,
+      both_children_visited_pct (traversal coherence),
+      shadow_early_exit_pct (any_hit mode), hit_pct,
+      hit_t_histogram (32 bins over hit distances — the miss-distance
+      histogram analogue; TPU SW traversal has no HWRT rejections).
+    """
+    import numpy as np
+
+    from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace_unsorted
+
+    n = origin.shape[0]
+    t, tri, _, _, totals = packet_trace_unsorted(
+        origin, direction, t_min, t_max, bvh, any_hit=any_hit,
+        return_stats=True)
+    totals = {k: float(np.asarray(v)) for k, v in totals.items()}
+    tri_np = np.asarray(tri)
+    hits = tri_np >= 0
+    out = {
+        "rays": float(n),
+        "nodes_per_ray": totals["nodes_visited"] / n,
+        "leaf_chunks_per_ray": totals["leaf_chunks_tested"] / n,
+        "leaf_prim_tests_per_ray": totals["leaf_prim_tests"] / n,
+        "both_children_visited_pct":
+            100.0 * totals["both_children_visited"]
+            / max(totals["nodes_visited"], 1.0),
+        "hit_pct": 100.0 * float(hits.sum()) / n,
+        "packets": totals["packets"],
+    }
+    if any_hit:
+        out["shadow_early_exit_pct"] = (
+            100.0 * totals.get("shadow_occluded_lanes", 0.0) / n)
+    else:
+        t_np = np.asarray(t)[hits]
+        if t_np.size:
+            hist, edges = np.histogram(t_np, bins=32)
+            out["hit_t_histogram"] = hist.tolist()
+            out["hit_t_range"] = (float(edges[0]), float(edges[-1]))
+    return out

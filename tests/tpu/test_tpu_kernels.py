@@ -14,6 +14,10 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+from metal_pathtracer_tpu.utils.compilecache import enable_cache  # noqa: E402
+
+enable_cache()
+
 
 def _tpu():
     import jax
@@ -238,7 +242,70 @@ def test_traversal_stats_counters():
     nodes = float(np.asarray(stats["nodes_visited"]))
     leaves = float(np.asarray(stats["leaf_chunks_tested"]))
     assert nodes > 0 and leaves > 0
-    assert leaves <= nodes
+    # wide tree: each popped super-node can queue up to 8 leaf chunks
+    assert leaves <= 8 * nodes
     # results identical to the plain call
     t2, tri2, _, _ = packet_trace_unsorted(oj, dj, 1e-3, 3e38, bvh, None)
     np.testing.assert_array_equal(np.asarray(tri), np.asarray(tri2))
+
+
+def test_wide_kernel_matches_narrow():
+    """8-wide collapsed-tree kernel vs the binary-tree kernel: per-ray
+    results must be bit-identical (same chunk leaves, same MT math; only
+    the traversal schedule differs)."""
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.ops.pallas import traverse
+    from metal_pathtracer_tpu.scene.packetbvh import build_packet_bvh
+
+    rng = np.random.default_rng(5)
+    n = 30000
+    c = (rng.random((n, 3)) * 4 - 2).astype(np.float32)
+    v0 = c
+    v1 = (c + rng.random((n, 3)) * 0.2).astype(np.float32)
+    v2 = (c + rng.random((n, 3)) * 0.2).astype(np.float32)
+    bvh = build_packet_bvh(v0, v1, v2)
+    assert bvh.n_wnodes > 1
+
+    N = 4096
+    o = (rng.random((N, 3)) * 6 - 3).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    os.environ["MPT_WIDE"] = "0"
+    t0, i0, u0, v0_ = traverse.packet_trace_unsorted(o, d, 1e-3, 3.0e38, bvh)
+    os.environ["MPT_WIDE"] = "1"
+    t1, i1, u1, v1_ = traverse.packet_trace_unsorted(o, d, 1e-3, 3.0e38, bvh)
+    del os.environ["MPT_WIDE"]
+    assert (np.asarray(i0) >= 0).sum() > 100  # the load actually hits
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+    np.testing.assert_array_equal(np.asarray(v0_), np.asarray(v1_))
+
+
+def test_octant_passes_match_single_pass():
+    """Octant-masked multi-pass traversal is an exact schedule change."""
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.ops.pallas import traverse
+    from metal_pathtracer_tpu.scene.packetbvh import build_packet_bvh
+
+    rng = np.random.default_rng(6)
+    n = 20000
+    c = (rng.random((n, 3)) * 4 - 2).astype(np.float32)
+    bvh = build_packet_bvh(
+        c, (c + rng.random((n, 3)) * 0.2).astype(np.float32),
+        (c + rng.random((n, 3)) * 0.2).astype(np.float32))
+    N = 2048
+    o = (rng.random((N, 3)) * 6 - 3).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    os.environ["MPT_OCTANT_PASSES"] = "0"
+    t0, i0, _, _ = traverse.packet_trace_unsorted(o, d, 1e-3, 3.0e38, bvh)
+    os.environ["MPT_OCTANT_PASSES"] = "1"
+    t1, i1, _, _ = traverse.packet_trace_unsorted(o, d, 1e-3, 3.0e38, bvh)
+    del os.environ["MPT_OCTANT_PASSES"]
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))

@@ -20,55 +20,79 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from metal_pathtracer_tpu.utils.compilecache import enable_cache
+
+enable_cache()
+
 
 def parse_variant(spec):
     env = {}
     for kv in spec.split(","):
         k, v = kv.split("=")
         env[{"SORT": "MPT_RAY_SORT", "OCT": "MPT_OCTANT_PASSES",
-             "DBG": "MPT_TRAVERSE_DEBUG"}.get(k, k)] = v
+             "DBG": "MPT_TRAVERSE_DEBUG", "WIDE": "MPT_WIDE",
+             "GROUP": "MPT_GROUP"}.get(k, k)] = v
     return env
 
 
 def set_env(env):
-    for k in ("MPT_RAY_SORT", "MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG"):
+    for k in ("MPT_RAY_SORT", "MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG",
+              "MPT_WIDE", "MPT_GROUP"):
         os.environ.pop(k, None)
     os.environ.update(env)
 
 
 def build_bench_scene(width=1920, height=1080, depth=8):
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
     from metal_pathtracer_tpu.ops.camera import build_camera
     from metal_pathtracer_tpu.scene.resources import Material, SceneResources
     from metal_pathtracer_tpu.schema import settings_to_static, settings_to_uniforms
     from metal_pathtracer_tpu.settings import RenderSettings
     from metal_pathtracer_tpu.utils.procgen import dragon_class_scene_mesh
 
+    cache = "/tmp/mpt_bench_scene.pkl"
     settings = RenderSettings()
     settings.cameraTarget = (0.0, 0.0, 0.0)
     settings.cameraDistance = 3.2
     settings.cameraYaw = 0.4
     settings.cameraPitch = 0.25
     settings.cameraVerticalFov = 40.0
-    resources = SceneResources()
-    resources.add_material(Material(base_color=(0.7, 0.7, 0.7)))
-    resources.add_mesh(dragon_class_scene_mesh(7, material=0))
     settings.maxDepth = depth
     settings.fixedRngSeed = 1234
-    scene = resources.build_arrays()
-    static = settings_to_static(settings, width, height,
-                                resources.material_types_present())
+    material_types = (0,)  # lambert only
+    if os.path.exists(cache):
+        with open(cache, "rb") as fh:
+            scene_np = pickle.load(fh)
+        scene = jax.tree_util.tree_map(jnp.asarray, scene_np)
+    else:
+        resources = SceneResources()
+        resources.add_material(Material(base_color=(0.7, 0.7, 0.7)))
+        resources.add_mesh(dragon_class_scene_mesh(7, material=0))
+        scene = resources.build_arrays()
+        material_types = resources.material_types_present()
+        with open(cache, "wb") as fh:
+            pickle.dump(jax.tree_util.tree_map(np.asarray, scene), fh)
+    static = settings_to_static(settings, width, height, material_types)
     camera = build_camera(settings, width, height)
     uniforms = settings_to_uniforms(settings, camera, 0, 0)
     return scene, uniforms, static
 
 
-def bench_frame(variants, spp=2, rounds=3):
+def bench_frame(variants, spp=None, rounds=None):
     import jax
 
     from metal_pathtracer_tpu.renderer import frame
     from metal_pathtracer_tpu.renderer.accumulation import RenderState
 
-    scene, uniforms, static = build_bench_scene()
+    spp = spp or int(os.environ.get("AB_SPP", "2"))
+    rounds = rounds or int(os.environ.get("AB_ROUNDS", "3"))
+    scene, uniforms, static = build_bench_scene(
+        int(os.environ.get("AB_W", "1920")),
+        int(os.environ.get("AB_H", "1080")))
     width, height = static.width, static.height
 
     fns = []
@@ -76,10 +100,14 @@ def bench_frame(variants, spp=2, rounds=3):
         env = parse_variant(spec)
         set_env(env)
 
+        chunk = int(env.pop("CHUNK", os.environ.get("AB_CHUNK", "65536")))
+        set_env(env)
+
         # fresh jit wrapper per variant: env flags are read at trace time
         @jax.jit
-        def run(scene, uniforms, state, _spec=spec):
-            return frame.render_rows(scene, uniforms, state, static, spp, 0)
+        def run(scene, uniforms, state, _spec=spec, _chunk=chunk):
+            return frame.render_rows(scene, uniforms, state, static, spp, 0,
+                                     chunk=_chunk)
 
         state = RenderState.create(width, height)
         t0 = time.time()
@@ -123,10 +151,10 @@ def make_kernel_loads(scene, static, uniforms):
     from metal_pathtracer_tpu.ops import camera as camera_ops
     from metal_pathtracer_tpu.ops import rng as rng_ops
 
-    n = 1 << 20
-    # tile order (8x128), matching renderer/frame.py packet coherence
+    # full-frame tile order (8x128), matching renderer/frame.py coherence
     from metal_pathtracer_tpu.renderer.frame import _pixel_order
-    xs, ys, _ = _pixel_order(1024, 1024)
+    n = static.width * static.height
+    xs, ys, _ = _pixel_order(static.height, static.width)
     x = jnp.asarray(xs[:n])
     y = jnp.asarray(ys[:n])
     seed = rng_ops.make_seed(uniforms.fixed_rng_seed, uniforms.frame_index,
@@ -141,7 +169,33 @@ def make_kernel_loads(scene, static, uniforms):
     bo = rng.random((n, 3)).astype(np.float32) * 2.0 - 1.0
     bd = rng.normal(size=(n, 3)).astype(np.float32)
     bd /= np.linalg.norm(bd, axis=1, keepdims=True)
+
+    # REAL bounce load: trace the primaries, bounce lambert-cosine at the
+    # hit points (tile-local origins + random hemisphere directions) —
+    # what the integrator's depth-1 wavefront actually looks like
+    from metal_pathtracer_tpu.ops import intersect
+    rec = intersect.trace_scene(o, d, scene, 1e-3, 3.0e38)
+    hitm = np.asarray(rec.hit)
+    hp = np.asarray(rec.point)
+    hn = np.asarray(rec.normal)
+    u1 = rng.random(n).astype(np.float32)
+    u2 = rng.random(n).astype(np.float32)
+    r = np.sqrt(u1)
+    phi = 2 * np.pi * u2
+    t0 = np.cross(hn, np.where(np.abs(hn[:, 0:1]) < 0.9,
+                               [1.0, 0, 0], [0, 1.0, 0]))
+    t0 /= np.maximum(np.linalg.norm(t0, axis=1, keepdims=True), 1e-9)
+    t1 = np.cross(hn, t0)
+    bdr = (t0 * (r * np.cos(phi))[:, None] + t1 * (r * np.sin(phi))[:, None]
+           + hn * np.sqrt(np.maximum(1 - u1, 0))[:, None]).astype(np.float32)
+    # miss lanes: continue past the scene (root slab fails — the real
+    # integrator kills them via tmax=0, this is the cheap analogue)
+    o_np, d_np = np.asarray(o), np.asarray(d)
+    ro = np.where(hitm[:, None], hp + hn * 1e-4, o_np + d_np * 50.0)
+    rd = np.where(hitm[:, None], bdr, d_np)
+    print(f"bounce-real: {hitm.sum()}/{n} lanes alive", flush=True)
     return [("primary", o, d),
+            ("bounce-real", jnp.asarray(ro), jnp.asarray(rd)),
             ("bounce", jnp.asarray(bo), jnp.asarray(bd))]
 
 
