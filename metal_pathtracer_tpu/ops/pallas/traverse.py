@@ -52,12 +52,11 @@ BLOCK = LANES * SUBLANES   # rays per packet
 STACK_DEPTH = 16384
 WAVE = 32                  # stack entries popped per wave
 MAX_CAND = 2 * WAVE        # candidate children per wave (<= LANES)
-LEAF_QUEUE = 64            # leaf chunks queued per wave (8-wide worst case)
-WIDE_WAVE = 8              # super-nodes popped per wave (8 children each)
+LEAF_QUEUE = 128           # leaf chunks queued per wave (8-wide worst case)
 
 
 def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
-            wide: bool, _DEBUG_SKIP: str, group: int,
+            wide: bool, _DEBUG_SKIP: str, group: int, wwave: int,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
@@ -72,6 +71,17 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
         out_v[:] = tmax[:]
         out_stats[:] = jnp.zeros((group * SUBLANES, LANES), jnp.float32)
         return
+    if _DEBUG_SKIP == "fakehit":
+        # every alive lane reports a synthetic hit on tri 0 at t=1: keeps
+        # the integrator's bounce loop fully populated with ~zero kernel
+        # cost — isolates shading/glue cost from traversal cost
+        alive = tmax[:] > t_min
+        out_t[:] = jnp.where(alive, 1.0, tmax[:])
+        out_tri[:] = jnp.where(alive, 0, -1)
+        out_u[:] = jnp.full(tmax.shape, 0.3, jnp.float32)
+        out_v[:] = jnp.full(tmax.shape, 0.3, jnp.float32)
+        out_stats[:] = jnp.zeros(tmax.shape, jnp.float32)
+        return
 
     # Several packets per grid step: a no-op kernel call measured ~115us
     # of per-grid-step overhead (8.5 Mrays/s floor at 1024 rays/step) —
@@ -79,6 +89,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
     for g in range(group):
         sl = slice(g * SUBLANES, (g + 1) * SUBLANES)
         _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
+                     wwave,
                      nb, nm,
                      ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl],
                      tmax[sl], excl[sl], chunks,
@@ -89,7 +100,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
 
 
 def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                 nb, nm,
+                 wwave, nb, nm,
                  ox, oy, oz, dx, dy, dz, tmax, excl,
                  chunks,
                  out_t, out_tri, out_u, out_v, out_stats, sl,
@@ -176,7 +187,11 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
     def process_leaf(slot):
         group = CHUNK // SUBCHUNKS
 
-        # batch the 8 sub-chunk verdicts exactly like node candidates
+        # batch the 8 sub-chunk verdicts exactly like node candidates.
+        # Empty groups are gated by the explicit valid flag (plane 9 lane
+        # 48+k): an "inverted box" does NOT fail this slab test — the
+        # per-axis min/max re-sorts the interval — so without the flag
+        # every empty group was MT-tested (measured 61% wasted MT work).
         acc = jnp.full((1, LANES), -1.0, jnp.float32)
         for k in range(SUBCHUNKS):
             base = k * 6
@@ -184,6 +199,8 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                 tri_buf[slot, 9, base + 0], tri_buf[slot, 9, base + 1],
                 tri_buf[slot, 9, base + 2], tri_buf[slot, 9, base + 3],
                 tri_buf[slot, 9, base + 4], tri_buf[slot, 9, base + 5])
+            margin = jnp.where(
+                tri_buf[slot, 9, 6 * SUBCHUNKS + k] > 0.5, margin, -1.0)
             acc = jnp.where(lane_iota == k, margin, acc)
         verdict_vmem[0:1, :] = acc
         flush_verdicts()
@@ -275,7 +292,7 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         binary tree for the same chunk leaves."""
         sp, n_visited, n_leaves = carry
         sp0 = sp
-        popped = jnp.minimum(sp0, WIDE_WAVE)
+        popped = jnp.minimum(sp0, wwave)
 
         def pop_body(i, _):
             idx = jnp.maximum(sp0 - 1 - i, 0)
@@ -288,7 +305,7 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         # ---- vector phase: 8 child boxes per popped node ---------------
         def cand_body(i, acc):
             margins, entries = acc
-            node = cand[jnp.minimum(i, WIDE_WAVE - 1)]
+            node = cand[jnp.minimum(i, wwave - 1)]
             valid = node >= 0
             nodec = jnp.maximum(node, 0)
             for j in range(8):
@@ -315,7 +332,7 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         def push_body(p, carry):
             sp, both, nl = carry
             i = popped - 1 - p
-            node = cand[jnp.clip(i, 0, WIDE_WAVE - 1)]
+            node = cand[jnp.clip(i, 0, wwave - 1)]
             nodec = jnp.maximum(node, 0)
             n_desc = jnp.int32(0)
             for j in range(7, -1, -1):
@@ -487,10 +504,10 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
                                              "any_hit", "n_passes", "wide",
-                                             "debug", "group"))
+                                             "debug", "group", "wwave"))
 def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
           n_nodes, n_chunks, t_min, any_hit=False, n_passes=1, wide=False,
-          debug="", group=1):
+          debug="", group=1, wwave=8):
     rows = rays7[0].shape[0]
     grid = rows // (group * SUBLANES)
     # index maps receive (grid_idx, *scalar_prefetch_refs)
@@ -525,10 +542,18 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             pltpu.SMEM((4,), jnp.int32),                 # stats counters
         ],
     )
+    # Grid steps (packets) are independent: PARALLEL semantics lets
+    # Mosaic overlap the per-step block copies with compute instead of
+    # serializing them (the measured ~65us/step stub floor).
+    compiler_params = None
+    if os.environ.get("MPT_PARSEM", "1") == "1":
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
     return pl.pallas_call(
         functools.partial(_kernel, n_nodes, t_min, any_hit, n_passes, wide,
-                          debug, group),
+                          debug, group, wwave),
         grid_spec=grid_spec,
+        compiler_params=compiler_params,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
@@ -590,7 +615,7 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
     n = origin.shape[0]
     # packets per grid step (fixed per-step overhead measured ~115us;
     # grouping amortizes it ~`group`x for cheap/dead packets)
-    group = int(os.environ.get("MPT_GROUP", "4"))
+    group = int(os.environ.get("MPT_GROUP", "1"))
     rows = ((n + group * BLOCK - 1) // (group * BLOCK)) * group * SUBLANES
     padded = rows * LANES
 
@@ -615,18 +640,19 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
     wide = (os.environ.get("MPT_WIDE", "1") == "1"
             and bvh.wnode_child is not None and bvh.n_wnodes > 0)
     debug = os.environ.get("MPT_TRAVERSE_DEBUG", "")
+    wwave = int(os.environ.get("MPT_WWAVE", "8"))  # 8 children each; <=16
     if wide:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.wnode_cbounds,
                                     bvh.wnode_child, bvh.chunk_tris,
                                     bvh.n_wnodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes, True,
-                                    debug, group)
+                                    debug, group, wwave)
     else:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds,
                                     bvh.node_meta, bvh.chunk_tris,
                                     bvh.n_nodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes,
-                                    debug=debug, group=group)
+                                    debug=debug, group=group, wwave=wwave)
     flat = lambda x: x.reshape(-1)[:n]
     if return_stats:
         # per-packet counters (reference PathtraceStats nodesVisited /

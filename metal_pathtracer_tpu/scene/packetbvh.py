@@ -54,7 +54,8 @@ def build_packet_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     import jax.numpy as jnp
 
     n = v0.shape[0]
-    max_leaf = chunk // 2  # builder emits leaves in (max_leaf/2, max_leaf]
+    max_leaf = chunk  # fill the 256-slot chunks (leaves land in (128, 256];
+    # half-sized leaves measured ~35% slot fill — most MT work was padding)
     nodes = _build_nodes(v0, v1, v2, max_leaf)
     while len(nodes["prim_offset"]) > NODE_BUDGET:
         max_leaf *= 2
@@ -84,6 +85,16 @@ def build_packet_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         off = prim_offset[leaf]
         cnt = prim_count[leaf]
         ids = prim_indices[off:off + cnt]
+        # Morton-order slots within the chunk: sub-chunk AABBs gate runs of
+        # consecutive slots, so spatially sorted slots give tight sub-boxes
+        # (the builder's partition order leaves them loose).
+        cent = (v0[ids] + v1[ids] + v2[ids]) / 3.0
+        span = np.maximum(cent.max(0) - cent.min(0), 1e-12)
+        q = np.clip(((cent - cent.min(0)) / span * 1023.0), 0, 1023
+                    ).astype(np.uint64)
+        key = _morton3(q[:, 0]) | (_morton3(q[:, 1]) << 1) \
+            | (_morton3(q[:, 2]) << 2)
+        ids = ids[np.argsort(key, kind="stable")]
         tv0 = v0[ids]
         e1 = v1[ids] - tv0
         e2 = v2[ids] - tv0
@@ -94,7 +105,12 @@ def build_packet_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         chunk_tris[ci, 11, :cnt] = 1.0
         chunk_of_leaf[leaf] = ci
         # Sub-chunk AABBs for in-chunk packet culling: row 9 lanes
-        # [k*6, k*6+6) = (minx,miny,minz,maxx,maxy,maxz) of slot group k.
+        # [k*6, k*6+6) = (minx,miny,minz,maxx,maxy,maxz) of slot group k,
+        # lane 48+k = group-valid flag. The flag, not an "inverted box",
+        # gates empty groups: the slab test's per-axis min/max re-sorts the
+        # interval, so an inverted box PASSES for every ray — empty groups
+        # were silently MT-tested (measured 7.2/8 groups passing at 35%
+        # chunk fill: ~61% of all triangle tests were empty slots).
         group = chunk // SUBCHUNKS
         tv1 = v1[ids]
         tv2 = v2[ids]
@@ -102,13 +118,12 @@ def build_packet_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
             lo = k * group
             hi = min(lo + group, cnt)
             if lo >= cnt:
-                # empty group: inverted box that never passes the slab test
-                chunk_tris[ci, 9, k * 6:k * 6 + 3] = 3.0e37
-                chunk_tris[ci, 9, k * 6 + 3:k * 6 + 6] = -3.0e37
+                chunk_tris[ci, 9, k * 6:k * 6 + 6] = 0.0
                 continue
             pts = np.concatenate([tv0[lo:hi], tv1[lo:hi], tv2[lo:hi]], 0)
             chunk_tris[ci, 9, k * 6:k * 6 + 3] = pts.min(0)
             chunk_tris[ci, 9, k * 6 + 3:k * 6 + 6] = pts.max(0)
+            chunk_tris[ci, 9, 6 * SUBCHUNKS + k] = 1.0
 
     meta = np.zeros((2, n_nodes), np.int32)
     meta[0] = np.where(is_leaf, chunk_of_leaf, right_child)
@@ -141,6 +156,16 @@ def build_packet_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         n_chunks=int(n_chunks),
         n_wnodes=int(wchild.shape[1]),
     )
+
+
+def _morton3(x):
+    """Spread 10-bit ints so bits land every 3rd position (uint64)."""
+    x = x.astype(np.uint64)
+    x = (x | (x << 16)) & np.uint64(0x30000FF)
+    x = (x | (x << 8)) & np.uint64(0x300F00F)
+    x = (x | (x << 4)) & np.uint64(0x30C30C3)
+    x = (x | (x << 2)) & np.uint64(0x9249249)
+    return x
 
 
 def _collapse_wide(bmin, bmax, is_leaf, right_child, chunk_of_leaf,

@@ -31,13 +31,13 @@ def parse_variant(spec):
         k, v = kv.split("=")
         env[{"SORT": "MPT_RAY_SORT", "OCT": "MPT_OCTANT_PASSES",
              "DBG": "MPT_TRAVERSE_DEBUG", "WIDE": "MPT_WIDE",
-             "GROUP": "MPT_GROUP"}.get(k, k)] = v
+             "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE"}.get(k, k)] = v
     return env
 
 
 def set_env(env):
     for k in ("MPT_RAY_SORT", "MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG",
-              "MPT_WIDE", "MPT_GROUP"):
+              "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE"):
         os.environ.pop(k, None)
     os.environ.update(env)
 
@@ -194,9 +194,14 @@ def make_kernel_loads(scene, static, uniforms):
     ro = np.where(hitm[:, None], hp + hn * 1e-4, o_np + d_np * 50.0)
     rd = np.where(hitm[:, None], bdr, d_np)
     print(f"bounce-real: {hitm.sum()}/{n} lanes alive", flush=True)
-    return [("primary", o, d),
-            ("bounce-real", jnp.asarray(ro), jnp.asarray(rd)),
-            ("bounce", jnp.asarray(bo), jnp.asarray(bd))]
+    loads = [("primary", o, d),
+             ("bounce-real", jnp.asarray(ro), jnp.asarray(rd)),
+             ("bounce", jnp.asarray(bo), jnp.asarray(bd))]
+    want = os.environ.get("AB_LOADS", "")
+    if want:
+        keep = set(want.split(","))
+        loads = [l for l in loads if l[0] in keep]
+    return loads
 
 
 def bench_kernel(variants, rounds=3):
@@ -217,22 +222,31 @@ def bench_kernel(variants, rounds=3):
             t, tri, u, v = traverse.packet_trace_unsorted(o, d, 1e-3, 3.0e38,
                                                           bvh)
             return tri
+
+        # Timing fetches a SCALAR only: np.asarray of the full (N,) result
+        # measured ~270ms for 8MB over the tunnel (~35MB/s) — it swamped
+        # the kernel and tracked shared-tunnel load, not the kernel.
+        @jax.jit
+        def run_scalar(o, d, _spec=spec):
+            t, tri, u, v = traverse.packet_trace_unsorted(o, d, 1e-3, 3.0e38,
+                                                          bvh)
+            return jnp.sum(tri)
         for label, o, d in loads:
             t0 = time.time()
             out = run(o, d)
             hits = int((np.asarray(out) >= 0).sum())
             print(f"compile {spec} {label}: {time.time()-t0:.1f}s "
                   f"hits={hits}/{out.shape[0]}", flush=True)
-            fns[(spec, label)] = (run, o, d)
+            np.asarray(run_scalar(o, d))
+            fns[(spec, label)] = (run, run_scalar, o, d)
 
     results = {k: [] for k in fns}
     for r in range(rounds):
-        for (spec, label), (run, o, d) in fns.items():
+        for (spec, label), (run, run_scalar, o, d) in fns.items():
             set_env(parse_variant(spec))
-            np.asarray(run(o, d))  # warm
+            np.asarray(run_scalar(o, d))  # warm
             t0 = time.time()
-            out = run(o, d)
-            np.asarray(out)
+            np.asarray(run_scalar(o, d))
             dt = time.time() - t0
             results[(spec, label)].append(o.shape[0] / dt / 1e6)
             print(f"  round {r} {spec} {label}: {o.shape[0]/dt/1e6:.2f} Mrays/s",
@@ -246,7 +260,9 @@ def bench_kernel(variants, rounds=3):
     # cross-variant result parity (first two variants)
     if len(variants) >= 2:
         for label, o, d in loads:
+            set_env(parse_variant(variants[0]))
             a = np.asarray(fns[(variants[0], label)][0](o, d))
+            set_env(parse_variant(variants[1]))
             b = np.asarray(fns[(variants[1], label)][0](o, d))
             eq = np.array_equal(a, b)
             print(f"parity {label}: {'BIT-IDENTICAL' if eq else 'DIFFERS '} "

@@ -65,7 +65,7 @@ def main():
                 r = f(o, d, s)
                 return o + r * 1e-12, s
             out, _ = jax.lax.fori_loop(0, k, body, (o, s))
-            return out
+            return jnp.sum(out)  # scalar fetch: tunnel is ~35MB/s
         return jax.jit(g)
 
     # 1. full trace_scene (kernel + record construction)
@@ -147,7 +147,7 @@ def main_2m():
                 r = f(o, d, s)
                 return o + r * 1e-12, s
             out, _ = jax.lax.fori_loop(0, k, body, (o, s))
-            return out
+            return jnp.sum(out)  # scalar fetch: tunnel is ~35MB/s
         return jax.jit(g)
 
     def f_trace(o, d, s):
