@@ -26,7 +26,9 @@ from metal_pathtracer_tpu.schema import SceneArrays, StaticConfig, Uniforms
 
 # Lanes per chunk; chosen so brute-force (lanes x prims) buffers stay well
 # under HBM while keeping the VPU saturated.
-DEFAULT_CHUNK = 1 << 16
+DEFAULT_CHUNK = 262144  # lanes per integrator chunk: A/B'd 64K/128K/256K/512K/2M
+# on-chip — 256K minimizes (64K pays ~12ms/chunk fixed cost x32, full-frame
+# loses per-chunk early exit; 771/842/403/418/451 ms per 1080p sample)
 
 # Pixel tile matched to the packet kernel's ray blocks: 8 rows x 128 cols
 # = 1024 pixels = one traversal packet (ops/pallas/traverse.py). Tile
