@@ -141,7 +141,8 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                              keepdims=True).reshape(1, 1)
             presence = jnp.where(lane_iota == k, member, presence)
         verdict_vmem[0:1, :] = presence
-        pdma = pltpu.make_async_copy(verdict_vmem, verdict_smem, vsem)
+        pdma = pltpu.make_async_copy(verdict_vmem,
+                                     verdict_smem.at[pl.ds(0, 2)], vsem)
         pdma.start()
         pdma.wait()
         # SMEM copy: verdict_smem gets overwritten inside the pass loop
@@ -174,8 +175,10 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         return slab_test(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz)[0]
 
     def flush_verdicts():
-        """verdict_vmem lanes -> verdict_smem scalars (single DMA)."""
-        dma = pltpu.make_async_copy(verdict_vmem, verdict_smem, vsem)
+        """verdict_vmem lanes -> verdict_smem rows 0-1 (single DMA; rows
+        2-3 are the pipelined leaf-drain banks)."""
+        dma = pltpu.make_async_copy(verdict_vmem,
+                                    verdict_smem.at[pl.ds(0, 2)], vsem)
         dma.start()
         dma.wait()
 
@@ -184,14 +187,16 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         return pltpu.make_async_copy(chunks.at[cid], tri_buf.at[slot],
                                      sem.at[slot])
 
-    def process_leaf(slot):
-        group = CHUNK // SUBCHUNKS
+    def leaf_verdicts(slot, bank):
+        """Sub-chunk verdicts for the chunk in tri_buf[slot] -> START a
+        flush into verdict_smem row `bank` (NOT waited — the caller
+        overlaps the previous chunk's triangle tests with this DMA).
 
-        # batch the 8 sub-chunk verdicts exactly like node candidates.
-        # Empty groups are gated by the explicit valid flag (plane 9 lane
-        # 48+k): an "inverted box" does NOT fail this slab test — the
-        # per-axis min/max re-sorts the interval — so without the flag
-        # every empty group was MT-tested (measured 61% wasted MT work).
+        Empty groups are gated by the explicit valid flag (plane 9 lane
+        48+k): an "inverted box" does NOT fail this slab test — the
+        per-axis min/max re-sorts the interval — so without the flag
+        every empty group was MT-tested (measured 61% wasted MT work).
+        """
         acc = jnp.full((1, LANES), -1.0, jnp.float32)
         for k in range(SUBCHUNKS):
             base = k * 6
@@ -203,7 +208,13 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                 tri_buf[slot, 9, 6 * SUBCHUNKS + k] > 0.5, margin, -1.0)
             acc = jnp.where(lane_iota == k, margin, acc)
         verdict_vmem[0:1, :] = acc
-        flush_verdicts()
+        dma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
+                                    verdict_smem.at[pl.ds(bank, 1)], vsem)
+        dma.start()
+        return dma
+
+    def process_leaf(slot, bank):
+        group = CHUNK // SUBCHUNKS
 
         def tri_body(j, _):
             v0x = tri_buf[slot, 0, j]
@@ -253,7 +264,7 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             return 0
 
         for k in range(SUBCHUNKS):
-            @pl.when(verdict_smem[0, k] >= 0.0)
+            @pl.when(verdict_smem[bank, k] >= 0.0)
             def _():
                 jax.lax.fori_loop(k * group, (k + 1) * group, tri_body, 0)
                 # leaf prim tests (reference avgLeafPrimTests,
@@ -261,26 +272,47 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                 counters[3] = counters[3] + group
 
     def drain_leaves(n_leaf):
-        """Process the compacted leaf queue with a double-buffered chunk
-        DMA: leaf i+1's 16KB transfer overlaps leaf i's verdict + MT
-        (the serial start/wait pattern measured as the dominant leaf cost
-        on coherent loads)."""
+        """Two-deep pipelined leaf drain. At step i three things overlap:
+        chunk i+1's 16KB HBM->SMEM DMA (3-slot tri_buf), chunk i's verdict
+        flush (banks = verdict_smem rows 2/3), and chunk i-1's triangle
+        tests — both DMA latencies hide behind the MT work (the serial
+        start/wait chain measured as the dominant leaf-phase cost).
+        Chunk i's verdicts use the hit window BEFORE chunk i-1's commits —
+        purely conservative (a group can only pass extra, never be
+        missed); MT commits themselves stay in queue order, so per-ray
+        results are bit-identical to the serial drain."""
         @pl.when(n_leaf > 0)
         def _():
             leaf_dma(0, 0).start()
 
             def body(i, _):
-                slot = jax.lax.rem(i, 2)
-
-                @pl.when(i + 1 < n_leaf)
+                @pl.when(i < n_leaf)
                 def _():
-                    leaf_dma(i + 1, 1 - slot).start()
+                    @pl.when(i + 1 < n_leaf)
+                    def _():
+                        leaf_dma(i + 1, jax.lax.rem(i + 1, 3)).start()
 
-                leaf_dma(i, slot).wait()
-                process_leaf(slot)
+                    leaf_dma(i, jax.lax.rem(i, 3)).wait()
+                    leaf_verdicts(jax.lax.rem(i, 3),
+                                  2 + jax.lax.rem(i, 2))
+
+                @pl.when(i > 0)
+                def _():
+                    process_leaf(jax.lax.rem(i + 2, 3),
+                                 2 + jax.lax.rem(i + 1, 2))
+
+                # the flush started above lands while the previous chunk's
+                # triangles were testing; wait before the next step reuses
+                # verdict_vmem row 0 / this bank
+                @pl.when(i < n_leaf)
+                def _():
+                    pltpu.make_async_copy(
+                        verdict_vmem.at[pl.ds(0, 1)],
+                        verdict_smem.at[pl.ds(2 + jax.lax.rem(i, 2), 1)],
+                        vsem).wait()
                 return 0
 
-            jax.lax.fori_loop(0, n_leaf, body, 0)
+            jax.lax.fori_loop(0, n_leaf + 1, body, 0)
 
     def wave_cond(carry):
         return carry[0] > 0
@@ -528,9 +560,10 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),      # traversal stack
             pltpu.SMEM((MAX_CAND,), jnp.int32),         # candidate children
             pltpu.SMEM((LEAF_QUEUE,), jnp.int32),       # leaf chunk queue
-            pltpu.SMEM((2, LANES), jnp.float32),        # verdict landing (margin, entry)
-            pltpu.SMEM((2, PLANES, CHUNK), jnp.float32),  # chunk tris (2 buf)
-            pltpu.SemaphoreType.DMA((2,)),               # chunk DMA (2 buf)
+            pltpu.SMEM((4, LANES), jnp.float32),        # verdicts: rows 0-1
+            # wave (margin, entry); rows 2-3 leaf-drain banks
+            pltpu.SMEM((3, PLANES, CHUNK), jnp.float32),  # chunk tris (3 buf)
+            pltpu.SemaphoreType.DMA((3,)),               # chunk DMA (3 buf)
             pltpu.SemaphoreType.DMA,                     # verdict DMA
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best t
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best tri (as f32)

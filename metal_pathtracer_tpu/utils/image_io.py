@@ -102,21 +102,25 @@ def write_png(path: str, linear_rgb: np.ndarray,
     write_png_u8(path, ldr)
 
 
-def write_png_u8(path: str, rgb_u8: np.ndarray) -> None:
+def encode_png_u8(rgb_u8: np.ndarray, level: int = 6) -> bytes:
+    """In-memory PNG encode (true-color 8-bit) — the live viewer streams
+    these without touching disk."""
     h, w = rgb_u8.shape[:2]
     raw = b"".join(b"\x00" + rgb_u8[y].tobytes() for y in range(h))
-    compressed = zlib.compress(raw, 6)
+    compressed = zlib.compress(raw, level)
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         return (_struct.pack(">I", len(payload)) + tag + payload
                 + _struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
     ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", compressed) + chunk(b"IEND", b""))
+
+
+def write_png_u8(path: str, rgb_u8: np.ndarray) -> None:
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", compressed))
-        f.write(chunk(b"IEND", b""))
+        f.write(encode_png_u8(rgb_u8))
 
 
 # ---------------------------------------------------------------------------

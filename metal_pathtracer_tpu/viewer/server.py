@@ -1,0 +1,307 @@
+"""Live progressive viewer — the TPU-native analogue of the reference's
+interactive window + UI overlay (reference: src/main.mm event loop,
+src/renderer/UIOverlay.mm perf panel / live settings editor).
+
+A GUI toolkit makes no sense for a renderer running on a TPU pod, so the
+"window" is a browser page served by a stdlib HTTP server:
+
+- a background thread runs the progressive accumulation loop through the
+  same ``Renderer`` facade the headless path uses;
+- ``/frame.png`` streams the current tonemapped accumulation (in-memory
+  PNG, ~30ms encode at 720p);
+- ``/set?...`` edits any RenderSettings field live; radiometric changes
+  reset accumulation through ``detect_radiometric_change`` exactly like
+  the reference's UI edits (MetalRenderer.mm applySettings);
+- ``/stats`` exposes the PerformanceStats counters the reference draws in
+  its overlay (spp, samples/s, Mrays/s, reset reason log).
+
+Orbit camera controls (drag = yaw/pitch, wheel = dolly) mirror the
+reference's mouse bindings (main.mm:163-258).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from metal_pathtracer_tpu.renderer.display import display_to_u8
+from metal_pathtracer_tpu.renderer.renderer import Renderer
+from metal_pathtracer_tpu.utils.image_io import encode_png_u8
+
+_BOOL_FIELDS = None  # computed lazily from RenderSettings annotations
+
+
+def _coerce(settings, key: str, raw: str):
+    cur = getattr(settings, key)
+    if isinstance(cur, bool):
+        return raw.lower() in ("1", "true", "on", "yes")
+    if isinstance(cur, int):
+        return int(float(raw))
+    if isinstance(cur, float):
+        return float(raw)
+    if isinstance(cur, tuple):
+        vals = [float(v) for v in raw.split(",")]
+        return tuple(vals)
+    return raw
+
+
+_PAGE = """<!doctype html>
+<html><head><title>metal-pathtracer-tpu</title>
+<style>
+ body { background:#111; color:#ddd; font:13px monospace; margin:0; }
+ #wrap { display:flex; }
+ #img { image-rendering:auto; cursor:grab; }
+ #panel { padding:10px 14px; min-width:260px; }
+ .stat { color:#9c9; } input { width:70px; }
+ h3 { margin:8px 0 4px; color:#fff; }
+</style></head><body>
+<div id="wrap">
+ <img id="img" draggable="false">
+ <div id="panel">
+  <h3>metal-pathtracer-tpu</h3>
+  <div>scene: <span class="stat" id="scene"></span></div>
+  <div>spp: <span class="stat" id="spp"></span></div>
+  <div>samples/s: <span class="stat" id="sps"></span></div>
+  <div>Mrays/s: <span class="stat" id="mrays"></span></div>
+  <div>last reset: <span class="stat" id="reset"></span></div>
+  <h3>camera</h3>
+  <div>drag to orbit &middot; wheel to dolly</div>
+  <h3>settings</h3>
+  <div>exposure <input id="exposure" type="number" step="0.25" value="0"></div>
+  <div>maxDepth <input id="maxDepth" type="number" step="1"></div>
+  <div>denoise <input id="denoiseEnabled" type="checkbox"></div>
+  <div>tonemap <select id="tonemapMode"><option value="1">Linear</option>
+   <option value="2">ACES</option><option value="3">Reinhard</option>
+   <option value="4">Hable</option></select></div>
+  <div><button onclick="send('paused=toggle')">pause/resume</button>
+       <button onclick="send('reset=1')">reset</button></div>
+ </div>
+</div>
+<script>
+const img = document.getElementById('img');
+let inflight = false;
+async function refresh() {
+  if (!inflight) {
+    inflight = true;
+    img.src = '/frame.png?' + Date.now();
+    img.onload = img.onerror = () => { inflight = false; };
+  }
+  const s = await (await fetch('/stats')).json();
+  for (const k of ['scene','spp','sps','mrays','reset'])
+    document.getElementById(k).textContent = s[k];
+}
+setInterval(refresh, 500);
+function send(q) { fetch('/set?' + q); }
+for (const id of ['exposure','maxDepth','tonemapMode'])
+  document.getElementById(id).addEventListener('change',
+    e => send(id + '=' + e.target.value));
+document.getElementById('denoiseEnabled').addEventListener('change',
+  e => send('denoiseEnabled=' + (e.target.checked ? 1 : 0)));
+let drag = null;
+img.addEventListener('mousedown', e => drag = [e.clientX, e.clientY]);
+window.addEventListener('mouseup', () => drag = null);
+window.addEventListener('mousemove', e => {
+  if (!drag) return;
+  const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+  drag = [e.clientX, e.clientY];
+  send(`orbit=${dx * 0.01},${dy * 0.01}`);
+});
+img.addEventListener('wheel', e => {
+  e.preventDefault();
+  send('dolly=' + (e.deltaY > 0 ? 1.1 : 0.9));
+});
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Progressive render loop + HTTP endpoints over a Renderer facade."""
+
+    def __init__(self, renderer: Renderer, host: str = "127.0.0.1",
+                 port: int = 8650, spp_per_pass: int = 1):
+        self.renderer = renderer
+        self.spp_per_pass = spp_per_pass
+        self.paused = False
+        self.last_reset = ""
+        self._lock = threading.Lock()
+        self._frame_png = b""
+        self._stats = {"spp": 0, "sps": 0.0, "mrays": 0.0}
+        self._stop = threading.Event()
+
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, body, ctype="application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                try:
+                    url = urlparse(self.path)
+                    if url.path == "/":
+                        self._send(200, _PAGE.encode(), "text/html")
+                    elif url.path == "/frame.png":
+                        png = viewer.frame_png()
+                        self._send(200, png, "image/png")
+                    elif url.path == "/stats":
+                        self._send(200, json.dumps(viewer.stats()).encode())
+                    elif url.path == "/set":
+                        out = viewer.apply_query(parse_qs(url.query))
+                        self._send(200, json.dumps(out).encode())
+                    else:
+                        self._send(404, b"{}")
+                except BrokenPipeError:
+                    pass
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._http_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._render_thread = threading.Thread(
+            target=self._render_loop, daemon=True)
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self):
+        self._http_thread.start()
+        self._render_thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._httpd.shutdown()
+        self._render_thread.join(timeout=30)
+
+    # -- render loop (reference: main.mm drawInMTKView loop) -------------
+
+    def _render_loop(self):
+        while not self._stop.is_set():
+            try:
+                self._render_pass()
+            except Exception:  # keep the loop alive across scene edits
+                import traceback
+                traceback.print_exc()
+                time.sleep(0.5)
+
+    def _render_pass(self):
+            with self._lock:
+                # checked under the lock: once /set?paused=1 returns, no
+                # further pass can slip in (the test relies on this)
+                if self.paused:
+                    time.sleep(0.05)
+                    return
+                t0 = time.time()
+                state = self.renderer.draw_frame(self.spp_per_pass)
+                rays = float(np.asarray(state.ray_count)) \
+                    + float(np.asarray(state.shadow_ray_count))
+                dt = max(time.time() - t0, 1e-6)
+                u8 = display_to_u8(state, self.renderer.settings)
+                self._frame_png = encode_png_u8(u8)
+                prev_rays = getattr(self, "_prev_rays", 0.0)
+                self._prev_rays = rays
+                self._stats = {
+                    "spp": self.renderer.sample_count(),
+                    "sps": round(self.spp_per_pass / dt, 2),
+                    "mrays": round((rays - prev_rays) / dt / 1e6, 2),
+                }
+
+    # -- endpoints -------------------------------------------------------
+
+    def frame_png(self) -> bytes:
+        if not self._frame_png:
+            # before the first pass finishes: a 1x1 placeholder
+            return encode_png_u8(np.zeros((1, 1, 3), np.uint8))
+        return self._frame_png
+
+    def stats(self) -> dict:
+        s = dict(self._stats)
+        s["scene"] = self.renderer.active_scene
+        s["reset"] = self.last_reset
+        s["paused"] = self.paused
+        s["width"], s["height"] = self.renderer.render_size
+        return s
+
+    def apply_query(self, q: dict) -> dict:
+        """Apply /set parameters. Camera verbs (orbit/dolly) mirror the
+        reference's mouse bindings; everything else is a RenderSettings
+        field edit routed through apply_settings (radiometric-change
+        detection decides whether accumulation resets)."""
+        with self._lock:
+            s = self.renderer.settings.copy()
+            reset_reason = None
+            for key, vals in q.items():
+                raw = vals[-1]
+                if key == "orbit":
+                    dyaw, dpitch = (float(x) for x in raw.split(","))
+                    s.cameraYaw += dyaw
+                    s.cameraPitch = float(np.clip(
+                        s.cameraPitch + dpitch, -1.55, 1.55))
+                elif key == "dolly":
+                    s.cameraDistance = max(s.cameraDistance * float(raw),
+                                           1e-3)
+                elif key == "paused":
+                    self.paused = (not self.paused if raw == "toggle"
+                                   else raw == "1")
+                elif key == "reset":
+                    self.renderer.reset_accumulation()
+                    reset_reason = "MANUAL"
+                elif hasattr(s, key):
+                    setattr(s, key, _coerce(s, key, raw))
+                else:
+                    return {"error": f"unknown setting {key!r}"}
+            reason = self.renderer.apply_settings(s)
+            if reason or reset_reason:
+                self.last_reset = reason or reset_reason
+                # reflect the restart immediately — _stats otherwise holds
+                # the pre-reset sample count until the next pass completes
+                self._stats = dict(self._stats,
+                                   spp=self.renderer.sample_count())
+            return {"ok": True, "reset": reason or reset_reason,
+                    "paused": self.paused}
+
+
+def main(argv=None):
+    import argparse
+
+    from metal_pathtracer_tpu.utils.compilecache import enable_cache
+
+    enable_cache()
+    ap = argparse.ArgumentParser(description="live progressive viewer")
+    ap.add_argument("--scene", default="")
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--height", type=int, default=540)
+    ap.add_argument("--port", type=int, default=8650)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--sppPerPass", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    r = Renderer(args.width, args.height)
+    if args.scene:
+        r.load_scene_from_path(args.scene)
+    else:
+        r.init()
+    server = ViewerServer(r, args.host, args.port,
+                          spp_per_pass=args.sppPerPass).start()
+    print(f"[Viewer] http://{args.host}:{server.port}/  "
+          f"scene={r.active_scene}")
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

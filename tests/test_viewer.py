@@ -1,0 +1,94 @@
+"""Live viewer server: progressive loop, PNG endpoint, live edits with
+radiometric reset (the reference's interactive window analogue —
+src/main.mm / UIOverlay.mm)."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from metal_pathtracer_tpu.renderer.renderer import Renderer
+from metal_pathtracer_tpu.viewer.server import ViewerServer
+
+
+@pytest.fixture(scope="module")
+def viewer():
+    r = Renderer(32, 24)
+    r.set_default_scene()
+    s = r.settings.copy()
+    s.maxDepth = 3
+    r.apply_settings(s)
+    server = ViewerServer(r, port=0).start()
+    yield server
+    server.stop()
+
+
+def _get(server, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}{path}", timeout=30) as resp:
+        return resp.read()
+
+
+def _wait_spp(server, minimum, timeout=120.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        stats = json.loads(_get(server, "/stats"))
+        if stats["spp"] >= minimum:
+            return stats
+        time.sleep(0.2)
+    raise AssertionError(f"spp never reached {minimum}")
+
+
+def test_progressive_loop_and_png(viewer):
+    stats = _wait_spp(viewer, 2)
+    assert stats["width"] == 32 and stats["height"] == 24
+    png = _get(viewer, "/frame.png")
+    assert png.startswith(b"\x89PNG\r\n\x1a\n")
+    assert len(png) > 100
+
+
+def test_index_page(viewer):
+    page = _get(viewer, "/")
+    assert b"metal-pathtracer-tpu" in page
+    assert b"/frame.png" in page
+
+
+def test_radiometric_edit_resets_accumulation(viewer):
+    _wait_spp(viewer, 3)
+    # pause so the restart is observable (the loop would re-accumulate
+    # past the old count between two polls otherwise), then edit the
+    # camera — radiometric, but StaticConfig-stable so no recompile stall
+    json.loads(_get(viewer, "/set?paused=1"))
+    pre = viewer.renderer.sample_count()
+    assert pre >= 3
+    out = json.loads(_get(viewer, "/set?cameraYaw=0.9"))
+    assert out["ok"] and out["reset"] == "CAMERA"
+    assert json.loads(_get(viewer, "/stats"))["reset"]
+    assert viewer.renderer.sample_count() == 0  # accumulation restarted
+    json.loads(_get(viewer, "/set?paused=0"))
+    _wait_spp(viewer, 1)
+
+
+def test_non_radiometric_edit_keeps_accumulation(viewer):
+    before = _wait_spp(viewer, 2)["spp"]
+    out = json.loads(_get(viewer, "/set?exposure=1.0"))
+    assert out["ok"] and not out["reset"]  # exposure is display-only
+    after = json.loads(_get(viewer, "/stats"))["spp"]
+    assert after >= before
+
+
+def test_orbit_and_pause(viewer):
+    yaw0 = viewer.renderer.settings.cameraYaw
+    out = json.loads(_get(viewer, "/set?orbit=0.1,0.05"))
+    assert out["reset"]  # camera move is radiometric
+    assert viewer.renderer.settings.cameraYaw != yaw0
+    json.loads(_get(viewer, "/set?paused=1"))
+    assert json.loads(_get(viewer, "/stats"))["paused"]
+    json.loads(_get(viewer, "/set?paused=0"))
+
+
+def test_unknown_setting_rejected(viewer):
+    out = json.loads(_get(viewer, "/set?nonsenseKey=1"))
+    assert "error" in out
