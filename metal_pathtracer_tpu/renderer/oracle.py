@@ -93,7 +93,9 @@ def pack_materials(resources) -> np.ndarray:
             float(m.sss_method),
             1.0 if m.sss_coat else 0.0,
             1.0 if m.sss_sigma_override else 0.0,
-            0.0, 0.0, 0.0,  # pad to 64
+            # base-color texture id (slot 0 of texture_indices; -1 = none)
+            float(m.texture_indices[0]) if m.texture_indices else -1.0,
+            0.0, 0.0,  # pad to 64
         ]
     return out
 
@@ -129,20 +131,45 @@ def render_oracle(resources, settings: RenderSettings, width: int, height: int,
 
     tris_list = []
     tri_mat_list = []
+    tri_uv_list = []
     for mesh in resources.meshes:
         idx = mesh.indices
         v = mesh.vertices
         t9 = np.concatenate([v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]]], 1)
         tris_list.append(t9)
         tri_mat_list.append(np.full(len(idx), mesh.material, np.int32))
+        uv = mesh.uv0 if mesh.uv0 is not None and len(mesh.uv0) == len(v) \
+            else np.zeros((len(v), 2), np.float32)
+        tri_uv_list.append(np.concatenate(
+            [uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]]], 1))
     if tris_list:
         tris = np.ascontiguousarray(np.concatenate(tris_list), np.float32)
         tri_mat = np.ascontiguousarray(np.concatenate(tri_mat_list))
+        tri_uv = np.ascontiguousarray(np.concatenate(tri_uv_list), np.float32)
         n_tris = len(tris)
     else:
         tris = np.zeros((1, 9), np.float32)
         tri_mat = np.zeros(1, np.int32)
+        tri_uv = np.zeros((1, 6), np.float32)
         n_tris = 0
+
+    # base-color texture pool: the same resampled linear pool the TPU
+    # samples (ops/textures.build_texture_arrays), level 0 only
+    n_textures = tex_size = 0
+    tex_data = np.zeros(1, np.float32)
+    tex_wrap = np.zeros(2, np.int32)
+    if resources.texture_images:
+        from metal_pathtracer_tpu.ops.textures import build_texture_arrays
+        wraps = resources.texture_wrap \
+            if len(resources.texture_wrap) == len(resources.texture_images) \
+            else None
+        ta = build_texture_arrays(resources.texture_images,
+                                  resources.texture_srgb, wraps)
+        tex_data = np.ascontiguousarray(
+            np.asarray(ta.levels[0])[..., :3], np.float32)
+        tex_wrap = np.ascontiguousarray(np.asarray(ta.wrap_mode), np.int32)
+        n_textures = tex_data.shape[0]
+        tex_size = tex_data.shape[1]
 
     mats = pack_materials(resources)
 
@@ -189,6 +216,9 @@ def render_oracle(resources, settings: RenderSettings, width: int, height: int,
         rect_two.ctypes.data_as(ip),
         ctypes.c_int(n_tris), tris.ctypes.data_as(fp),
         tri_mat.ctypes.data_as(ip),
+        tri_uv.ctypes.data_as(fp),
+        ctypes.c_int(n_textures), ctypes.c_int(tex_size),
+        tex_data.ctypes.data_as(fp), tex_wrap.ctypes.data_as(ip),
         ctypes.c_int(len(mats)), mats.ctypes.data_as(fp),
         ctypes.c_int(env_w), ctypes.c_int(env_h),
         env_texels.ctypes.data_as(fp),

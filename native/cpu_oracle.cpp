@@ -142,6 +142,7 @@ struct Material {
     // Subsurface (ops/sss.py; reference pathtrace.metal:3912-4310)
     V3 ss_a, ss_s;
     float ss_mfp, ss_g, ss_method, ss_coat, ss_override;
+    int base_tex = -1;  // base-color texture id (-1 = none)
 };
 
 struct Scene {
@@ -166,6 +167,12 @@ struct Scene {
     const int* cond_alias = nullptr;
     const float* env_pdf = nullptr;
     float env_rotation = 0.0f, env_intensity = 1.0f;
+    // base-color textures (uniform tex_size^2 RGB linear — the TPU side's
+    // ops/textures.py resampled pool; oracle samples bilinear at LOD 0)
+    const float* tri_uv = nullptr;   // (T,6) uv per corner
+    int n_textures = 0, tex_size = 0;
+    const float* tex_data = nullptr;  // (n, ts, ts, 3)
+    const int* tex_wrap = nullptr;    // (n,2) 0=repeat 1=clamp 2=mirror
     // tri BVH (exit-link layout, built on the fly)
     std::vector<float> bvh_min, bvh_max;
     std::vector<int> bvh_exit, bvh_off, bvh_cnt, bvh_prims;
@@ -179,11 +186,59 @@ struct Hit {
     int mat = 0;
     int prim_type = 0;  // 1 sphere 2 rect 3 tri
     int prim = -1;
+    float bu = 0, bv = 0;  // triangle barycentrics (MT u,v)
 };
 
 struct Clamps {
     float factor, floor_, throughput, max_contribution, enabled;
 };
+
+// ---- base-color texture sampling (matches ops/textures.py _bilinear:
+// pixel-center -0.5 offset, repeat/clamp/mirror addressing, LOD 0) ------
+static inline int tex_addr(int coord, int size, int mode) {
+    if (mode == 1) return std::min(std::max(coord, 0), size - 1);
+    if (mode == 2) {
+        int p = 2 * size;
+        int m = ((coord % p) + p) % p;
+        return m < size ? m : p - 1 - m;
+    }
+    int m = coord % size;
+    return m < 0 ? m + size : m;
+}
+
+static V3 sample_base_tex(const Scene& sc, int tid, float u, float v) {
+    int ts = sc.tex_size;
+    float x = u * ts - 0.5f, y = v * ts - 0.5f;
+    float x0f = std::floor(x), y0f = std::floor(y);
+    float fx = x - x0f, fy = y - y0f;
+    int ws = sc.tex_wrap ? sc.tex_wrap[2 * tid] : 0;
+    int wt = sc.tex_wrap ? sc.tex_wrap[2 * tid + 1] : 0;
+    int x0 = tex_addr((int)x0f, ts, ws), x1 = tex_addr((int)x0f + 1, ts, ws);
+    int y0 = tex_addr((int)y0f, ts, wt), y1 = tex_addr((int)y0f + 1, ts, wt);
+    const float* T = sc.tex_data + (size_t)tid * ts * ts * 3;
+    auto texel = [&](int yy, int xx) {
+        const float* q = T + ((size_t)yy * ts + xx) * 3;
+        return V3{q[0], q[1], q[2]};
+    };
+    V3 top = texel(y0, x0) * (1 - fx) + texel(y0, x1) * fx;
+    V3 bot = texel(y1, x0) * (1 - fx) + texel(y1, x1) * fx;
+    return top * (1 - fy) + bot * fy;
+}
+
+// Base-color texturing applies to PBR materials only (the TPU side gates
+// textures on the pbr lane — ops/pbr_textures.py:331)
+static Material textured_material(const Scene& sc, const Hit& rec) {
+    Material m = sc.mats[std::min(rec.mat, (int)sc.mats.size() - 1)];
+    if (m.type == 7 && m.base_tex >= 0 && rec.prim_type == 3 &&
+        sc.tri_uv && sc.tex_data && m.base_tex < sc.n_textures) {
+        const float* uv = sc.tri_uv + 6 * rec.prim;
+        float w0 = 1.0f - rec.bu - rec.bv;
+        float uu = w0 * uv[0] + rec.bu * uv[2] + rec.bv * uv[4];
+        float vv = w0 * uv[1] + rec.bu * uv[3] + rec.bv * uv[5];
+        m.base_color = m.base_color * sample_base_tex(sc, m.base_tex, uu, vv);
+    }
+    return m;
+}
 
 // ---- intersection (reference math: pathtrace.metal:1239-1319, 544-592) --
 bool hit_spheres(const Scene& sc, V3 o, V3 d, float tmin, float tmax, Hit& out) {
@@ -305,6 +360,8 @@ bool hit_tris(const Scene& sc, V3 o, V3 d, float tmin, float tmax,
                 out.mat = sc.tri_mat[ti];
                 out.prim_type = 3;
                 out.prim = ti;
+                out.bu = u;
+                out.bv = v;
                 any = true;
             }
             node = sc.bvh_exit[node];
@@ -1666,7 +1723,7 @@ V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
                 throughput = throughput * vexp(sg * -std::max(rec.t, 0.0f));
         }
 
-        const Material& m = sc.mats[std::min(rec.mat, (int)sc.mats.size() - 1)];
+        const Material m = textured_material(sc, rec);
         V3 incident = normalize(rd);
         V3 wo = incident * -1.0f;
         V3 n = rec.normal;
@@ -1939,6 +1996,8 @@ extern "C" int render_oracle(
     int n_spheres, const float* sph, const int* sph_mat,
     int n_rects, const float* rect, const int* rect_mat, const int* rect_two_sided,
     int n_tris, const float* tri, const int* tri_mat,
+    const float* tri_uv,  // (T,6) per-corner uv0 (null = untextured)
+    int n_textures, int tex_size, const float* tex_data, const int* tex_wrap,
     int n_mats, const float* mat_data,  // (M, 64)
     int env_w, int env_h, const float* env_texels,
     const float* marg_thresh, const int* marg_alias,
@@ -1959,6 +2018,11 @@ extern "C" int render_oracle(
     sc.n_tris = n_tris;
     sc.tri = tri;
     sc.tri_mat = tri_mat;
+    sc.tri_uv = tri_uv;
+    sc.n_textures = n_textures;
+    sc.tex_size = tex_size;
+    sc.tex_data = tex_data;
+    sc.tex_wrap = tex_wrap;
     sc.env_w = env_w;
     sc.env_h = env_h;
     sc.env_texels = env_texels;
@@ -2014,6 +2078,7 @@ extern "C" int render_oracle(
         m.ss_method = d[58];
         m.ss_coat = d[59];
         m.ss_override = d[60];
+        m.base_tex = (int)d[61];
     }
     for (int i = 0; i < n_rects; ++i) {
         const Material& m = sc.mats[std::min(rect_mat[i], n_mats - 1)];

@@ -338,3 +338,61 @@ def test_mnee_chain_rmse():
     err_off = oracle.rmse(img_jax, img_oracle_off)
     assert err_off > max(2.0 * err, 0.02), (
         f"chains contribute nothing: on={err} off={err_off}")
+
+
+def test_textured_pbr_base_color_rmse():
+    """Base-color texture sampling parity: a textured PBR quad rendered by
+    the TPU path (ops/pbr_textures.py slot 0 + ops/textures.py bilinear
+    pool) vs the oracle's independent C++ sampler (cpu_oracle.cpp
+    sample_base_tex). A smooth gradient texture keeps the TPU's mip/LOD
+    selection and the oracle's LOD-0 bilinear within the RMSE gate
+    (box-filtered mips preserve linear ramps)."""
+    from metal_pathtracer_tpu import constants as C
+    from metal_pathtracer_tpu.scene.resources import Material, Mesh
+
+    settings = RenderSettings()
+    settings.maxDepth = 4
+    settings.fixedRngSeed = 21
+    settings.backgroundColor = (0.7, 0.8, 1.0)
+    settings.backgroundMode = 1
+    settings.cameraTarget = (0.0, 0.0, -1.0)
+    settings.cameraDistance = 2.4
+    settings.cameraVerticalFov = 50.0
+
+    res = SceneResources()
+    # smooth linear gradient, clamp wrap (mips of a ramp stay a ramp);
+    # texture_images are uint8 RGBA (ops/textures.build_texture_arrays)
+    g = np.linspace(0.05, 0.95, 64, dtype=np.float32)
+    rgb = (g[None, :, None] * np.asarray([1.0, 0, 0])
+           + g[:, None, None] * np.asarray([0, 1.0, 0])
+           + 0.25 * np.ones(3))
+    img = np.concatenate([np.clip(rgb, 0, 1) * 255,
+                          np.full((64, 64, 1), 255.0)], -1)
+    res.texture_images.append(img.astype(np.uint8))
+    res.texture_srgb.append(False)
+    res.texture_wrap.append((1, 1))  # clamp
+
+    mat = res.add_material(Material(
+        base_color=(0.9, 0.9, 0.9), roughness=0.7,
+        mat_type=C.MATERIAL_PBR, pbr_metallic=0.0,
+        texture_indices=(0, -1, -1, -1, -1, -1)))
+    verts = np.array([[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1]],
+                     np.float32)
+    uvs = np.array([[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9]],
+                   np.float32)
+    nrm = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    res.add_mesh(Mesh(
+        name="quad", vertices=verts, normals=nrm, uv0=uvs, uv1=uvs,
+        tangents=np.tile(np.array([[1, 0, 0, 1]], np.float32), (4, 1)),
+        indices=np.array([[0, 1, 2], [0, 2, 3]], np.int32), material=mat))
+
+    w = h = 40
+    spp = 48
+    img_jax = render_jax(settings, res, w, h, spp)
+    img_oracle = oracle.render_oracle(res, settings, w, h, spp)
+    err = oracle.rmse(img_jax, img_oracle)
+    assert err < 0.04, f"textured PBR RMSE {err}"
+    # the texture actually matters: an untextured render must differ
+    res.materials[mat].texture_indices = (-1, -1, -1, -1, -1, -1)
+    img_flat = render_jax(settings, res, w, h, spp)
+    assert oracle.rmse(img_jax, img_flat) > 0.05
