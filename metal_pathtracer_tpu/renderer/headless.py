@@ -209,6 +209,21 @@ class OracleBackend:
 def make_backend(name: str):
     """(reference: main_headless.mm --backend=metal|embree)"""
     if name in ("tpu", "metal"):  # accept the reference's flag value
+        # Failure fallback (SURVEY §5.4; the reference's HWRT->SWRT
+        # graceful degrade, SceneAccel.mm:628-649): if the accelerator
+        # runtime cannot initialize (libtpu mismatch, no device, stale
+        # tunnel), degrade to the jax-CPU backend with a visible warning
+        # instead of dying at first trace.
+        try:
+            import jax
+            jax.devices()
+        except Exception as exc:  # noqa: BLE001 — any init failure
+            import sys
+            print("[Headless] warning: accelerator backend failed to "
+                  f"initialize ({type(exc).__name__}: {exc}); falling "
+                  "back to the jax-CPU backend", file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
+            return CpuJaxBackend()
         return TpuBackend()
     if name in ("cpu", "oracle", "embree"):
         from metal_pathtracer_tpu.renderer import oracle

@@ -80,6 +80,11 @@ _PAGE = """<!doctype html>
    <option value="4">Hable</option></select></div>
   <div><button onclick="send('paused=toggle')">pause/resume</button>
        <button onclick="send('reset=1')">reset</button></div>
+  <h3>material</h3>
+  <div><select id="matsel"></select></div>
+  <div>base <input id="m_base" style="width:110px" placeholder="r,g,b"></div>
+  <div>rough <input id="m_rough" type="number" step="0.05" min="0" max="1"></div>
+  <div><button onclick="applyMat()">apply</button></div>
  </div>
 </div>
 <script>
@@ -97,6 +102,21 @@ async function refresh() {
 }
 setInterval(refresh, 500);
 function send(q) { fetch('/set?' + q); }
+async function loadMats() {
+  const ms = await (await fetch('/materials')).json();
+  const sel = document.getElementById('matsel');
+  sel.innerHTML = ms.map(m => `<option value="${m.index}">${m.name}</option>`).join('');
+}
+loadMats();
+function applyMat() {
+  const i = document.getElementById('matsel').value;
+  const b = document.getElementById('m_base').value;
+  const r = document.getElementById('m_rough').value;
+  let q = `index=${i}`;
+  if (b) q += `&base_color=${b}`;
+  if (r) q += `&roughness=${r}`;
+  fetch('/material?' + q);
+}
 for (const id of ['exposure','maxDepth','tonemapMode'])
   document.getElementById(id).addEventListener('change',
     e => send(id + '=' + e.target.value));
@@ -158,6 +178,12 @@ class ViewerServer:
                         self._send(200, json.dumps(viewer.stats()).encode())
                     elif url.path == "/set":
                         out = viewer.apply_query(parse_qs(url.query))
+                        self._send(200, json.dumps(out).encode())
+                    elif url.path == "/materials":
+                        self._send(200,
+                                   json.dumps(viewer.materials()).encode())
+                    elif url.path == "/material":
+                        out = viewer.edit_material(parse_qs(url.query))
                         self._send(200, json.dumps(out).encode())
                     else:
                         self._send(404, b"{}")
@@ -232,6 +258,48 @@ class ViewerServer:
         s["width"], s["height"] = self.renderer.render_size
         return s
 
+    # -- live material editor (reference: UIOverlay.mm Scene panel) ------
+
+    def materials(self) -> list:
+        res = self.renderer.resources
+        names = {v: k for k, v in res.material_names.items()}
+        return [dict(index=i, name=names.get(i, f"material_{i}"),
+                     **_mat_fields(m))
+                for i, m in enumerate(res.materials)]
+
+    def edit_material(self, q: dict) -> dict:
+        """Edit one material in place and restart accumulation — the
+        reference's live material editor semantics (every material field
+        is radiometric; UIOverlay.mm Scene panel + MATERIAL_EDIT reset)."""
+        import dataclasses
+
+        with self._lock:
+            res = self.renderer.resources
+            try:
+                idx = int(q.pop("index")[-1])
+                m = res.materials[idx]
+            except (KeyError, ValueError, IndexError):
+                return {"error": "bad or missing material index"}
+            valid = {f.name for f in dataclasses.fields(m)}
+            for key, vals in q.items():
+                if key not in valid:
+                    return {"error": f"unknown material field {key!r}"}
+                cur = getattr(m, key)
+                raw = vals[-1]
+                if isinstance(cur, tuple):
+                    setattr(m, key, tuple(float(x) for x in raw.split(",")))
+                elif isinstance(cur, bool):
+                    setattr(m, key, raw.lower() in ("1", "true", "on"))
+                elif isinstance(cur, int):
+                    setattr(m, key, int(float(raw)))
+                else:
+                    setattr(m, key, float(raw))
+            self.renderer._scene_dirty = True
+            self.renderer.reset_accumulation()
+            self.last_reset = "MATERIAL_EDIT"
+            self._stats = dict(self._stats, spp=0)
+            return {"ok": True, "reset": "MATERIAL_EDIT", "index": idx}
+
     def apply_query(self, q: dict) -> dict:
         """Apply /set parameters. Camera verbs (orbit/dolly) mirror the
         reference's mouse bindings; everything else is a RenderSettings
@@ -269,6 +337,18 @@ class ViewerServer:
                                    spp=self.renderer.sample_count())
             return {"ok": True, "reset": reason or reset_reason,
                     "paused": self.paused}
+
+
+def _mat_fields(m):
+    import dataclasses
+    out = {}
+    for f in dataclasses.fields(m):
+        v = getattr(m, f.name)
+        if isinstance(v, (int, float, bool)):
+            out[f.name] = v
+        elif isinstance(v, tuple) and v and isinstance(v[0], (int, float)):
+            out[f.name] = list(v)
+    return out
 
 
 def main(argv=None):

@@ -98,3 +98,19 @@ def test_display_and_denoise(renderer):
     def local_var(img):
         return np.var(np.diff(img, axis=0)) + np.var(np.diff(img, axis=1))
     assert local_var(den) <= local_var(noisy) * 1.05
+
+
+def test_tpu_backend_falls_back_on_init_failure(monkeypatch, capsys):
+    """SURVEY §5.3 failure fallback (the reference's HWRT->SWRT graceful
+    degrade): accelerator init failure degrades to jax-CPU, loudly."""
+    import jax
+
+    from metal_pathtracer_tpu.renderer import headless
+
+    def boom():
+        raise RuntimeError("libtpu version mismatch")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    backend = headless.make_backend("tpu")
+    assert isinstance(backend, headless.CpuJaxBackend)
+    assert "falling back" in capsys.readouterr().err

@@ -92,3 +92,28 @@ def test_orbit_and_pause(viewer):
 def test_unknown_setting_rejected(viewer):
     out = json.loads(_get(viewer, "/set?nonsenseKey=1"))
     assert "error" in out
+
+
+def test_material_editor(viewer):
+    """Live material edit — the reference's UIOverlay Scene panel role:
+    edits land in SceneResources, rebuild the scene, and restart
+    accumulation with a MATERIAL_EDIT reset reason."""
+    mats = json.loads(_get(viewer, "/materials"))
+    assert mats and "base_color" in mats[0]
+    _wait_spp(viewer, 1)
+    out = json.loads(_get(viewer,
+                          "/material?index=0&base_color=0.9,0.1,0.1"
+                          "&roughness=0.25"))
+    assert out["ok"] and out["reset"] == "MATERIAL_EDIT"
+    m = viewer.renderer.resources.materials[0]
+    assert m.base_color == (0.9, 0.1, 0.1)
+    assert m.roughness == 0.25
+    assert json.loads(_get(viewer, "/stats"))["reset"] == "MATERIAL_EDIT"
+    _wait_spp(viewer, 1)  # renders again with the rebuilt scene
+
+
+def test_material_editor_rejects_bad_input(viewer):
+    out = json.loads(_get(viewer, "/material?index=999&roughness=0.5"))
+    assert "error" in out
+    out = json.loads(_get(viewer, "/material?index=0&bogus=1"))
+    assert "error" in out
