@@ -79,8 +79,12 @@ def main():
             float(np.asarray(state.shadow_ray_count))
 
     state = RenderState.create(width, height)
-    # Warmup/compile
+    # Warmup/compile BOTH jit variants: n_samples is a static arg, so a
+    # 1-spp warmup alone left the bench_spp compile inside timed rep 0
+    # (measured as a 2.6 vs 7.6 Mrays/s first-rep outlier).
     state = frame.render_samples(scene, uniforms, state, static, warmup_spp)
+    _ = rays_of(state)
+    state = frame.render_samples(scene, uniforms, state, static, bench_spp)
     _ = rays_of(state)
 
     # Median of `reps` timed repetitions: single-shot numbers on the shared
