@@ -25,7 +25,7 @@ from flax import struct
 from metal_pathtracer_tpu.scene import meshbuild
 
 CHUNK = 256          # triangle slots per leaf chunk (DMA granularity)
-SUBCHUNKS = 8        # sub-AABB groups per chunk (in-chunk packet culling)
+SUBCHUNKS = 32       # sub-AABB groups per chunk (in-chunk packet culling)
 NODE_BUDGET = 15000  # SMEM node cap (~8 * 4B * budget < 512 KB)
 PLANES = 16          # v0(3) e1(3) e2(3) + subAABBs(row 9) + tri-id(10) + valid(11)
 
