@@ -18,8 +18,10 @@ One grid step traces a 1024-ray packet through the chunked SAH tree
   with precomputed edges; reference math: pathtrace.metal:544-592).
 
 Packets inherit ray coherence from the renderer's 8x128 pixel tiles
-(renderer/frame.py); incoherent bounce packets degrade toward brute
-force — bounce-ray sorting is the documented next lever.
+(renderer/frame.py). The kernel is triangle-test bound (~40ns per
+gated slot group tested against all 1024 lanes); XLA-side bounce-ray
+sorting and octant-masked passes were both measured LOSSES with honest
+timing (BENCHMARKS.md) — the next lever is in-kernel ray->chunk binning.
 """
 
 from __future__ import annotations
@@ -83,9 +85,10 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
         out_stats[:] = jnp.zeros(tmax.shape, jnp.float32)
         return
 
-    # Several packets per grid step: a no-op kernel call measured ~115us
-    # of per-grid-step overhead (8.5 Mrays/s floor at 1024 rays/step) —
-    # amortize it across `group` packets.
+    # Several packets per grid step (MPT_GROUP). Honest timing showed
+    # per-grid-step overhead is ~0 (a stubbed kernel measures exactly the
+    # host dispatch floor), so the default is 1 — larger groups only
+    # multiply Mosaic compile time.
     for g in range(group):
         sl = slice(g * SUBLANES, (g + 1) * SUBLANES)
         _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
