@@ -269,7 +269,11 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         for k in range(SUBCHUNKS):
             @pl.when(verdict_smem[bank, k] >= 0.0)
             def _():
-                jax.lax.fori_loop(k * group, (k + 1) * group, tri_body, 0)
+                # static unroll: the 8 slots' scalar load chains are
+                # independent, so Mosaic pipelines them instead of paying
+                # fori trip management per slot
+                for r in range(group):
+                    tri_body(k * group + r, 0)
                 # leaf prim tests (reference avgLeafPrimTests,
                 # MetalRenderer.mm:1168-1347): slots actually MT-tested
                 counters[3] = counters[3] + group
