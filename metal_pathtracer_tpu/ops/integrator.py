@@ -198,6 +198,13 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
                      if scene.light_rect_indices is not None else 0)
     env_sampling = (static.background_mode == 2 and scene.environment is not None)
     types = set(static.material_types)
+    # Medium events (refraction into/out of absorbing volumes) only occur
+    # for these types; without them the 8-deep sigma stack is statically
+    # empty — compiling it out removes ~25% of the loop's carried HBM
+    # traffic (the integrator is bandwidth-bound: 17.9 GB per 262K-lane
+    # call measured via XLA cost analysis).
+    has_medium = bool(types & {C.MATERIAL_DIELECTRIC, C.MATERIAL_PBR,
+                               C.MATERIAL_SUBSURFACE})
 
     z3 = jnp.zeros(shape + (3,), jnp.float32)
     carry = PathCarry(
@@ -212,7 +219,9 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
         prev_valid=jnp.zeros(shape, bool),
         prev_mesh=jnp.full(shape, -1, jnp.int32),
         prev_prim=jnp.full(shape, -1, jnp.int32),
-        medium_stack=jnp.zeros(shape + (C.MAX_MEDIUM_STACK, 3), jnp.float32),
+        medium_stack=jnp.zeros(
+            shape + (C.MAX_MEDIUM_STACK if has_medium else 1, 3),
+            jnp.float32),
         medium_depth=jnp.zeros(shape, jnp.int32),
         is_first_hit=jnp.ones(shape, bool),
         aov_albedo=z3,
@@ -282,16 +291,19 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
 
         # ---- medium absorption (Beer–Lambert, 8-deep stack)
         #      (reference: pathtrace.metal:5869-5876) --------------------
-        in_medium = jnp.logical_and(active, cr.medium_depth > 0)
-        top = jnp.clip(cr.medium_depth - 1, 0, C.MAX_MEDIUM_STACK - 1)
-        top_onehot = (jnp.arange(C.MAX_MEDIUM_STACK) == top[..., None])
-        sigma = jnp.sum(cr.medium_stack * top_onehot[..., None], axis=-2)
-        segment = jnp.maximum(rec.t, 0.0)
-        attenuation = jnp.exp(-sigma * segment[..., None])
-        has_sigma = jnp.any(sigma > 0.0, -1)
-        apply_att = jnp.logical_and(in_medium, has_sigma)
-        throughput = jnp.where(apply_att[..., None],
-                               cr.throughput * attenuation, cr.throughput)
+        if has_medium:
+            in_medium = jnp.logical_and(active, cr.medium_depth > 0)
+            top = jnp.clip(cr.medium_depth - 1, 0, C.MAX_MEDIUM_STACK - 1)
+            top_onehot = (jnp.arange(C.MAX_MEDIUM_STACK) == top[..., None])
+            sigma = jnp.sum(cr.medium_stack * top_onehot[..., None], axis=-2)
+            segment = jnp.maximum(rec.t, 0.0)
+            attenuation = jnp.exp(-sigma * segment[..., None])
+            has_sigma = jnp.any(sigma > 0.0, -1)
+            apply_att = jnp.logical_and(in_medium, has_sigma)
+            throughput = jnp.where(apply_att[..., None],
+                                   cr.throughput * attenuation, cr.throughput)
+        else:
+            throughput = cr.throughput
 
         # ---- material fetch & shading normal ---------------------------
         mat_idx = jnp.clip(rec.material, 0, scene.materials.count - 1)
@@ -491,19 +503,24 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
         active = jnp.logical_and(active, smp.pdf > 0.0)
 
         # ---- medium stack push/pop (reference: pathtrace.metal:6694-6708)
-        push = jnp.logical_and(active, smp.medium_event == 1)
-        pop = jnp.logical_and(active, smp.medium_event == -1)
-        sigma_in = jnp.maximum(m.dielectric_sigma_a, 0.0)
-        slot = jnp.clip(cr.medium_depth, 0, C.MAX_MEDIUM_STACK - 1)
-        onehot = (jnp.arange(C.MAX_MEDIUM_STACK) == slot[..., None])
-        write = jnp.logical_and(push[..., None], onehot)
-        medium_stack = jnp.where(write[..., None], sigma_in[..., None, :],
-                                 cr.medium_stack)
-        medium_depth = cr.medium_depth
-        medium_depth = jnp.where(
-            push, jnp.minimum(medium_depth + 1, C.MAX_MEDIUM_STACK), medium_depth)
-        medium_depth = jnp.where(
-            pop, jnp.maximum(medium_depth - 1, 0), medium_depth)
+        if has_medium:
+            push = jnp.logical_and(active, smp.medium_event == 1)
+            pop = jnp.logical_and(active, smp.medium_event == -1)
+            sigma_in = jnp.maximum(m.dielectric_sigma_a, 0.0)
+            slot = jnp.clip(cr.medium_depth, 0, C.MAX_MEDIUM_STACK - 1)
+            onehot = (jnp.arange(C.MAX_MEDIUM_STACK) == slot[..., None])
+            write = jnp.logical_and(push[..., None], onehot)
+            medium_stack = jnp.where(write[..., None], sigma_in[..., None, :],
+                                     cr.medium_stack)
+            medium_depth = cr.medium_depth
+            medium_depth = jnp.where(
+                push, jnp.minimum(medium_depth + 1, C.MAX_MEDIUM_STACK),
+                medium_depth)
+            medium_depth = jnp.where(
+                pop, jnp.maximum(medium_depth - 1, 0), medium_depth)
+        else:
+            medium_stack = cr.medium_stack
+            medium_depth = cr.medium_depth
 
         # ---- next ray origin (reference: pathtrace.metal:6740-6768) ----
         next_origin = intersect.offset_ray_origin(rec, smp.direction)
