@@ -7,6 +7,8 @@ RMSE < 0.01. The oracle is an independent C++ implementation
 (native/cpu_oracle.cpp) sharing only the behavioral spec and RNG recipe.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -396,3 +398,35 @@ def test_textured_pbr_base_color_rmse():
     res.materials[mat].texture_indices = (-1, -1, -1, -1, -1, -1)
     img_flat = render_jax(settings, res, w, h, spp)
     assert oracle.rmse(img_jax, img_flat) > 0.05
+
+
+@pytest.mark.skipif(os.environ.get("MPT_SLOW_TESTS", "") != "1",
+                    reason="nightly-tier parity (MPT_SLOW_TESTS=1)")
+def test_carpaint_flakes_statistical_tight():
+    """Nightly-tier tightening of the statistical flakes gate: 4x the spp
+    shrinks the Monte-Carlo noise floor, so the RMSE bound tightens from
+    0.08 to 0.04 and the mean bound from 0.005 to 0.002 (VERDICT r01
+    weak #7)."""
+    settings, res = scene_from(CARPAINT)
+    w = h = 40
+    spp = 256
+    img_jax = render_jax(settings, res, w, h, spp)
+    img_oracle = oracle.render_oracle(res, settings, w, h, spp)
+    assert abs(img_jax.mean() - img_oracle.mean()) < 0.002
+    assert oracle.rmse(img_jax, img_oracle) < 0.04
+
+
+@pytest.mark.skipif(os.environ.get("MPT_SLOW_TESTS", "") != "1",
+                    reason="nightly-tier parity (MPT_SLOW_TESTS=1)")
+def test_sss_random_walk_statistical_tight():
+    """Nightly-tier random-walk SSS gate at 4x spp (grazing-angle TIR ULP
+    chaos makes per-path agreement statistical; higher spp tightens the
+    global gate)."""
+    settings, res = scene_from(
+        SSS_SCENE.format(mode="randomwalk", method="randomwalk"))
+    w = h = 40
+    spp = 256
+    img_jax = render_jax(settings, res, w, h, spp)
+    img_oracle = oracle.render_oracle(res, settings, w, h, spp)
+    assert abs(img_jax.mean() - img_oracle.mean()) < 0.002
+    assert oracle.rmse(img_jax, img_oracle) < 0.05
