@@ -370,9 +370,13 @@ def gather_material(materials, index) -> MatLanes:
         # measured ~15ns/row (tools/microbench_gather2.py), a (N,32)@(32,K)
         # matmul is >100x faster for the same fetch. Selection by exact
         # 0.0/1.0 factors is bit-exact for finite table values.
+        # Precision.HIGHEST keeps the MXU in f32 passes: default precision
+        # rounds BOTH operands to bf16, perturbing every gathered parameter
+        # ~2^-9 relative (and corrupting int fields > 256).
         onehot = (idx[..., None] == jnp.arange(m_count)).astype(jnp.float32)
         rows = jax.lax.dot_general(
             onehot, packed, (((onehot.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
     else:
         rows = packed[idx]                          # one gather

@@ -680,7 +680,9 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
     wide = (os.environ.get("MPT_WIDE", "1") == "1"
             and bvh.wnode_child is not None and bvh.n_wnodes > 0)
     debug = os.environ.get("MPT_TRAVERSE_DEBUG", "")
-    wwave = int(os.environ.get("MPT_WWAVE", "8"))  # 8 children each; <=16
+    # 8 children per wide node; >16 waves could queue more than LEAF_QUEUE
+    # chunks and the clamp at the leafq write would silently drop hits.
+    wwave = min(max(int(os.environ.get("MPT_WWAVE", "8")), 1), LEAF_QUEUE // 8)
     if wide:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.wnode_cbounds,
                                     bvh.wnode_child, bvh.chunk_tris,

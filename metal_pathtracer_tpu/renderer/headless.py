@@ -214,6 +214,7 @@ def make_backend(name: str):
         # runtime cannot initialize (libtpu mismatch, no device, stale
         # tunnel), degrade to the jax-CPU backend with a visible warning
         # instead of dying at first trace.
+        jax = None
         try:
             import jax
             jax.devices()
@@ -222,6 +223,8 @@ def make_backend(name: str):
             print("[Headless] warning: accelerator backend failed to "
                   f"initialize ({type(exc).__name__}: {exc}); falling "
                   "back to the jax-CPU backend", file=sys.stderr)
+            if jax is None:  # the import itself failed: nothing to degrade to
+                raise
             jax.config.update("jax_platforms", "cpu")
             return CpuJaxBackend()
         return TpuBackend()

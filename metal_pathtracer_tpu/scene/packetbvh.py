@@ -58,10 +58,21 @@ def build_packet_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     # half-sized leaves measured ~35% slot fill — most MT work was padding)
     nodes = _build_nodes(v0, v1, v2, max_leaf)
     while len(nodes["prim_offset"]) > NODE_BUDGET:
+        # Node-budget fallback: bigger SAH leaves shrink the *internal* tree;
+        # oversized leaves are then re-split into multiple full 256-slot
+        # chunks below (the kernel's CHUNK DMA/tile shape is fixed — growing
+        # the chunk would mismatch tri_buf and the sub-chunk group size).
         max_leaf *= 2
         nodes = _build_nodes(v0, v1, v2, max_leaf)
+        if max_leaf > 64 * chunk:
+            break
     if max_leaf > chunk:
-        chunk = max_leaf
+        nodes = _split_oversized_leaves(nodes, v0, v1, v2, chunk)
+        if len(nodes["prim_offset"]) > 4 * NODE_BUDGET:
+            raise ValueError(
+                f"scene needs {len(nodes['prim_offset'])} BVH nodes "
+                f"(> {4 * NODE_BUDGET}); the SMEM-resident tree caps out "
+                f"around {4 * NODE_BUDGET // 2 * chunk} triangles")
 
     n_nodes = len(nodes["prim_offset"])
     prim_count = nodes["prim_count"]
@@ -156,6 +167,98 @@ def build_packet_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         n_chunks=int(n_chunks),
         n_wnodes=int(wchild.shape[1]),
     )
+
+
+def _split_oversized_leaves(nodes, v0, v1, v2, chunk):
+    """Re-flatten the tree with every leaf holding <= chunk triangles.
+
+    Oversized SAH leaves (from the node-budget fallback) become balanced
+    binary subtrees over Morton-sorted runs of <= chunk prims — each run
+    lands ~100% full in its 256-slot chunk, and stays spatially coherent
+    for the sub-chunk AABB gates. Preserves the DFS left=i+1 / exit-link
+    layout the rest of build_packet_bvh assumes.
+    """
+    bmin, bmax = nodes["bounds_min"], nodes["bounds_max"]
+    p_off, p_cnt = nodes["prim_offset"], nodes["prim_count"]
+    exit_idx, prims = nodes["exit_index"], nodes["prim_indices"]
+
+    out = {k: [] for k in ("bounds_min", "bounds_max", "prim_count")}
+    out_prims = []
+
+    def emit(bmn, bmx, cnt):
+        out["bounds_min"].append(bmn)
+        out["bounds_max"].append(bmx)
+        out["prim_count"].append(cnt)
+        return len(out["prim_count"]) - 1
+
+    def emit_groups(ids):
+        """Balanced subtree over sequential <=chunk runs of ids (Morton
+        order). Returns this subtree's root index."""
+        m = (len(ids) + chunk - 1) // chunk
+        if m == 1:
+            pts = np.concatenate([v0[ids], v1[ids], v2[ids]], 0)
+            me = emit(pts.min(0), pts.max(0), len(ids))
+            out_prims.append(ids)
+            return me
+        pts = np.concatenate([v0[ids], v1[ids], v2[ids]], 0)
+        me = emit(pts.min(0), pts.max(0), 0)
+        cut = ((m + 1) // 2) * chunk
+        emit_groups(ids[:cut])
+        right_of[me] = emit_groups(ids[cut:])
+        return me
+
+    right_of = {}
+
+    def walk(i):
+        if p_cnt[i] > 0:
+            ids = prims[p_off[i]:p_off[i] + p_cnt[i]]
+            if len(ids) > chunk:
+                cent = (v0[ids] + v1[ids] + v2[ids]) / 3.0
+                span = np.maximum(cent.max(0) - cent.min(0), 1e-12)
+                q = np.clip((cent - cent.min(0)) / span * 1023.0,
+                            0, 1023).astype(np.uint64)
+                key = (_morton3(q[:, 0]) | (_morton3(q[:, 1]) << 1)
+                       | (_morton3(q[:, 2]) << 2))
+                return emit_groups(ids[np.argsort(key, kind="stable")])
+            me = emit(bmin[i], bmax[i], len(ids))
+            out_prims.append(ids)
+            return me
+        me = emit(bmin[i], bmax[i], 0)
+        walk(i + 1)
+        right_of[me] = walk(exit_idx[i + 1])
+        return me
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 200000))
+    try:
+        walk(0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    n_new = len(out["prim_count"])
+    prim_count = np.asarray(out["prim_count"], np.int32)
+    prim_offset = np.zeros(n_new, np.int32)
+    off = 0
+    for leaf in np.nonzero(prim_count > 0)[0]:
+        prim_offset[leaf] = off
+        off += prim_count[leaf]
+    prim_indices = (np.concatenate(out_prims).astype(np.int32)
+                    if out_prims else np.zeros(0, np.int32))
+    # rebuild exit links from right_of: exit(subtree of i) follows from
+    # right siblings; build_packet_bvh only reads exit_index[i+1] for
+    # internals, i.e. the right child of i — store exactly that contract.
+    exit_index = np.zeros(n_new, np.int32)
+    for parent, rc in right_of.items():
+        exit_index[parent + 1] = rc
+    return {
+        "bounds_min": np.asarray(out["bounds_min"], np.float32),
+        "bounds_max": np.asarray(out["bounds_max"], np.float32),
+        "prim_offset": prim_offset,
+        "prim_count": prim_count,
+        "exit_index": exit_index,
+        "prim_indices": prim_indices,
+    }
 
 
 def _morton3(x):

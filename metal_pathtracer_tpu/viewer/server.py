@@ -101,7 +101,7 @@ async function refresh() {
     document.getElementById(k).textContent = s[k];
 }
 setInterval(refresh, 500);
-function send(q) { fetch('/set?' + q); }
+function send(q) { fetch('/set?' + q, {method: 'POST'}); }
 async function loadMats() {
   const ms = await (await fetch('/materials')).json();
   const sel = document.getElementById('matsel');
@@ -115,7 +115,7 @@ function applyMat() {
   let q = `index=${i}`;
   if (b) q += `&base_color=${b}`;
   if (r) q += `&roughness=${r}`;
-  fetch('/material?' + q);
+  fetch('/material?' + q, {method: 'POST'});
 }
 for (const id of ['exposure','maxDepth','tonemapMode'])
   document.getElementById(id).addEventListener('change',
@@ -166,6 +166,17 @@ class ViewerServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _same_origin(self):
+                # CSRF guard for state-mutating endpoints: any web page can
+                # fire requests at localhost, so require the browser-set
+                # Origin (sent on all cross-origin POSTs) to match the page
+                # we served, or be absent (curl and same-origin fetches).
+                origin = self.headers.get("Origin")
+                if origin is None:
+                    return True
+                host = self.headers.get("Host", "")
+                return origin in (f"http://{host}", f"https://{host}")
+
             def do_GET(self):
                 try:
                     url = urlparse(self.path)
@@ -176,12 +187,22 @@ class ViewerServer:
                         self._send(200, png, "image/png")
                     elif url.path == "/stats":
                         self._send(200, json.dumps(viewer.stats()).encode())
-                    elif url.path == "/set":
-                        out = viewer.apply_query(parse_qs(url.query))
-                        self._send(200, json.dumps(out).encode())
                     elif url.path == "/materials":
                         self._send(200,
                                    json.dumps(viewer.materials()).encode())
+                    else:
+                        self._send(404, b"{}")
+                except BrokenPipeError:
+                    pass
+
+            def do_POST(self):
+                try:
+                    url = urlparse(self.path)
+                    if not self._same_origin():
+                        self._send(403, b"{}")
+                    elif url.path == "/set":
+                        out = viewer.apply_query(parse_qs(url.query))
+                        self._send(200, json.dumps(out).encode())
                     elif url.path == "/material":
                         out = viewer.edit_material(parse_qs(url.query))
                         self._send(200, json.dumps(out).encode())

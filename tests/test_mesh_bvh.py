@@ -274,3 +274,91 @@ mesh path={obj} material=0
     # Looking down at a red floor: center pixel clearly red-dominant
     assert center[0] > center[2]
     assert center[0] > 0.05
+
+
+def test_packet_bvh_node_budget_split(monkeypatch):
+    """Node-budget fallback: oversized SAH leaves split into multiple
+    256-slot chunks — the kernel's CHUNK/PLANES tile shape must never
+    grow (ADVICE r02), and every triangle lands in exactly one slot."""
+    from metal_pathtracer_tpu.scene import packetbvh
+
+    v0, v1, v2 = random_tris(3000, seed=11)
+    monkeypatch.setattr(packetbvh, "NODE_BUDGET", 16)
+    bvh = packetbvh.build_packet_bvh(v0, v1, v2)
+
+    assert bvh.chunk_tris.shape[1:] == (packetbvh.PLANES, packetbvh.CHUNK)
+    tris = np.asarray(bvh.chunk_tris)
+    valid = tris[:, 11, :] > 0.5
+    ids = tris[:, 10, :][valid].astype(np.int64)
+    assert sorted(ids.tolist()) == list(range(3000))
+    # binary tree references every chunk exactly once via its leaves
+    meta = np.asarray(bvh.node_meta)
+    leaf_chunks = meta[0][meta[1] > 0]
+    assert sorted(leaf_chunks.tolist()) == list(range(bvh.n_chunks))
+    # wide tree references every chunk exactly once too
+    wchild = np.asarray(bvh.wnode_child)
+    wide_chunks = (-wchild[wchild <= -2] - 2).tolist()
+    assert sorted(wide_chunks) == list(range(bvh.n_chunks))
+    # chunk triangles sit inside the referencing leaf's bounds
+    bounds = np.asarray(bvh.node_bounds)
+    for leaf in np.nonzero(meta[1] > 0)[0]:
+        ci = meta[0][leaf]
+        m = valid[ci]
+        pts = np.concatenate([
+            tris[ci, 0:3, m >= 1].reshape(-1, 3),
+            (tris[ci, 0:3] + tris[ci, 3:6])[:, m].T,
+            (tris[ci, 0:3] + tris[ci, 6:9])[:, m].T])
+        assert (pts.min(0) >= bounds[0:3, leaf] - 1e-3).all()
+        assert (pts.max(0) <= bounds[3:6, leaf] + 1e-3).all()
+
+
+def test_packet_bvh_split_hits_match_unsplit(monkeypatch):
+    """Brute-force closest-hit equality between the budget-split tree and
+    the default tree, via the XLA reference traversal over chunks."""
+    from metal_pathtracer_tpu.scene import packetbvh
+
+    v0, v1, v2 = random_tris(1200, seed=13)
+    ref = packetbvh.build_packet_bvh(v0, v1, v2)
+    monkeypatch.setattr(packetbvh, "NODE_BUDGET", 8)
+    calls = []
+    real_split = packetbvh._split_oversized_leaves
+    monkeypatch.setattr(
+        packetbvh, "_split_oversized_leaves",
+        lambda *a: calls.append(1) or real_split(*a))
+    split = packetbvh.build_packet_bvh(v0, v1, v2)
+    assert calls  # the budget fallback + re-split actually engaged
+
+    rng = np.random.default_rng(17)
+    o = rng.uniform(-12, 12, size=(64, 3)).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    def closest(bvh):
+        tris = np.asarray(bvh.chunk_tris)
+        tv0 = tris[:, 0:3].transpose(0, 2, 1).reshape(-1, 3)
+        e1 = tris[:, 3:6].transpose(0, 2, 1).reshape(-1, 3)
+        e2 = tris[:, 6:9].transpose(0, 2, 1).reshape(-1, 3)
+        tid = tris[:, 10].reshape(-1)
+        ok = tris[:, 11].reshape(-1) > 0.5
+        best_t = np.full(len(o), np.inf)
+        best_id = np.full(len(o), -1)
+        for i in range(len(o)):
+            p = np.cross(np.broadcast_to(d[i], e2.shape), e2)
+            det = (e1 * p).sum(1)
+            s = o[i] - tv0
+            u = (s * p).sum(1) / np.where(np.abs(det) < 1e-12, 1, det)
+            q = np.cross(s, e1)
+            vv = (d[i] * q).sum(1) / np.where(np.abs(det) < 1e-12, 1, det)
+            t = (e2 * q).sum(1) / np.where(np.abs(det) < 1e-12, 1, det)
+            hit = (ok & (np.abs(det) > 1e-12) & (u >= 0) & (vv >= 0)
+                   & (u + vv <= 1) & (t > 1e-4))
+            if hit.any():
+                j = np.nonzero(hit)[0][np.argmin(t[hit])]
+                best_t[i] = t[j]
+                best_id[i] = tid[j]
+        return best_t, best_id
+
+    t_ref, id_ref = closest(ref)
+    t_split, id_split = closest(split)
+    np.testing.assert_allclose(t_split, t_ref, rtol=1e-5)
+    np.testing.assert_array_equal(id_split, id_ref)

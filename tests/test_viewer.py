@@ -26,8 +26,11 @@ def viewer():
 
 
 def _get(server, path):
-    with urllib.request.urlopen(
-            f"http://127.0.0.1:{server.port}{path}", timeout=30) as resp:
+    # mutating endpoints are POST-only (CSRF hardening); reads stay GET
+    method = "POST" if path.startswith(("/set", "/material?")) else "GET"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}", method=method)
+    with urllib.request.urlopen(req, timeout=30) as resp:
         return resp.read()
 
 
@@ -110,6 +113,26 @@ def test_material_editor(viewer):
     assert m.roughness == 0.25
     assert json.loads(_get(viewer, "/stats"))["reset"] == "MATERIAL_EDIT"
     _wait_spp(viewer, 1)  # renders again with the rebuilt scene
+
+
+def test_mutation_requires_post_and_same_origin(viewer):
+    """CSRF hardening: GET cannot mutate, and a cross-origin POST (the
+    browser stamps Origin on those) is refused."""
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as err:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{viewer.port}/set?paused=1",
+                timeout=30):
+            pass
+    assert err.value.code in (404, 405)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{viewer.port}/set?paused=1", method="POST",
+        headers={"Origin": "http://evil.example"})
+    with pytest.raises(urllib.error.HTTPError) as err:
+        with urllib.request.urlopen(req, timeout=30):
+            pass
+    assert err.value.code == 403
+    assert not json.loads(_get(viewer, "/stats"))["paused"]
 
 
 def test_material_editor_rejects_bad_input(viewer):

@@ -309,3 +309,41 @@ def test_octant_passes_match_single_pass():
     del os.environ["MPT_OCTANT_PASSES"]
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_gather_material_exact_on_tpu():
+    """The one-hot-matmul material fetch must return table rows EXACTLY:
+    default TPU matmul precision rounds operands to bf16 and perturbs
+    every parameter ~2^-9 (ADVICE r02 high). Uses awkward f32 values and
+    int fields > 256 that bf16 cannot represent."""
+    import jax
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu import constants as C
+    from metal_pathtracer_tpu.ops.bsdf import gather_material
+    from metal_pathtracer_tpu.scene.resources import Material, SceneResources
+
+    res = SceneResources()
+    rng = np.random.default_rng(5)
+    M = 9
+    for i in range(M):
+        res.add_material(Material(
+            mat_type=C.MATERIAL_PBR,
+            base_color=tuple(rng.uniform(0.01, 1, 3).tolist()),
+            roughness=float(rng.uniform(0, 1)), ior=1.0 + 1e-3 * i))
+    mats = res.build_materials_soa()
+    # poison with values bf16 rounds: odd ints > 256 and near-1 floats
+    mats = mats.replace(
+        material_flags=jnp.arange(M, dtype=jnp.int32) * 257 + 3,
+        roughness=jnp.asarray(
+            1.0 + np.arange(M, dtype=np.float32) * (2.0 ** -12)))
+    idx = jnp.asarray(rng.integers(0, M, 2048, dtype=np.int32))
+    lanes = jax.jit(gather_material)(mats, idx)
+    np.testing.assert_array_equal(
+        np.asarray(lanes.material_flags),
+        np.asarray(mats.material_flags)[np.asarray(idx)])
+    np.testing.assert_array_equal(
+        np.asarray(lanes.roughness),
+        np.asarray(mats.roughness)[np.asarray(idx)])
+    np.testing.assert_array_equal(
+        np.asarray(lanes.base_color),
+        np.asarray(mats.base_color)[np.asarray(idx)])

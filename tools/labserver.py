@@ -1,0 +1,61 @@
+"""Persistent TPU experiment server.
+
+Keeping one process alive amortizes jax/libtpu init (~20s) and keeps
+compiled kernels + device arrays in shared globals across experiments —
+measured ~20x faster iteration than one-process-per-measurement.
+
+Run:    python tools/labserver.py &
+Submit: write a python file to /tmp/lab_jobs/<name>.py; the server execs
+        it into a SHARED globals dict (so jobs can stash arrays/compiled
+        fns for later jobs), captures stdout/stderr + traceback, and
+        writes <name>.out next to it, then renames the job to <name>.done.
+Stop:   write /tmp/lab_jobs/STOP
+"""
+
+import io
+import os
+import sys
+import time
+import traceback
+from contextlib import redirect_stderr, redirect_stdout
+
+JOBS = "/tmp/lab_jobs"
+os.makedirs(JOBS, exist_ok=True)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from metal_pathtracer_tpu.utils.compilecache import enable_cache  # noqa: E402
+
+enable_cache()
+
+import jax  # noqa: E402
+
+G = {"jax": jax, "__name__": "__lab__"}
+print(f"[lab] ready devices={jax.devices()}", flush=True)
+
+while True:
+    if os.path.exists(os.path.join(JOBS, "STOP")):
+        os.remove(os.path.join(JOBS, "STOP"))
+        print("[lab] stopping", flush=True)
+        break
+    jobs = sorted(f for f in os.listdir(JOBS) if f.endswith(".py"))
+    if not jobs:
+        time.sleep(0.25)
+        continue
+    name = jobs[0]
+    path = os.path.join(JOBS, name)
+    with open(path) as f:
+        src = f.read()
+    buf = io.StringIO()
+    t0 = time.time()
+    try:
+        with redirect_stdout(buf), redirect_stderr(buf):
+            exec(compile(src, name, "exec"), G)
+        status = "ok"
+    except Exception:
+        buf.write(traceback.format_exc())
+        status = "error"
+    out = buf.getvalue()
+    with open(path[:-3] + ".out", "w") as f:
+        f.write(f"# status={status} elapsed={time.time() - t0:.2f}s\n" + out)
+    os.rename(path, path[:-3] + ".done")
+    print(f"[lab] {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
