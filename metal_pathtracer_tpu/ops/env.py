@@ -192,6 +192,14 @@ def build_distribution(texels: np.ndarray):
 
 
 def load_environment(path: str, to_device: bool = True) -> EnvironmentSoA:
+    return environment_from_texels(load_hdr_image(path), to_device)
+
+
+def environment_from_texels(texels: np.ndarray,
+                            to_device: bool = True) -> EnvironmentSoA:
+    """Build the full EnvironmentSoA (mips + alias tables + pdf) from an
+    in-memory (H,W,3) linear-radiance array — the load_environment core,
+    split out for procedural environments (bench.py's HDR sky)."""
     if to_device:
         import jax.numpy as jnp
         f = jnp.asarray
@@ -199,7 +207,7 @@ def load_environment(path: str, to_device: bool = True) -> EnvironmentSoA:
         # pure-numpy consumers (CPU oracle) must not touch the device
         f = np.asarray
 
-    texels = load_hdr_image(path).astype(np.float32)
+    texels = np.asarray(texels, np.float32)
     mips = build_mips(texels)
     (marg_alias, marg_thresh, cond_alias, cond_thresh, pdf) = \
         build_distribution(texels)
@@ -362,13 +370,24 @@ def sample_environment(env: EnvironmentSoA, state, uniforms, static,
 
     Returns (state, direction, radiance, pdf, valid).
     """
-    import jax.numpy as jnp
-
-    w, h = env.width, env.height
     state, u_marginal = rng_ops.rand_uniform(state)
     state, u_conditional = rng_ops.rand_uniform(state)
     state, u_jitter = rng_ops.rand_uniform(state)
+    out = sample_environment_from_uniforms(
+        env, u_marginal, u_conditional, u_jitter, uniforms, static,
+        lighting_roughness)
+    return (state,) + out
 
+
+def sample_environment_from_uniforms(env: EnvironmentSoA, u_marginal,
+                                     u_conditional, u_jitter, uniforms,
+                                     static, lighting_roughness):
+    """Deterministic alias-sample core given the three pre-drawn uniforms
+    (the fused shading kernel draws them in VMEM and hands them off here
+    for the table gathers). Returns (direction, radiance, pdf, valid)."""
+    import jax.numpy as jnp
+
+    w, h = env.width, env.height
     row_choice = u_marginal * h
     row_floor = jnp.floor(row_choice)
     row = jnp.minimum(row_floor.astype(jnp.int32), h - 1)
@@ -429,4 +448,4 @@ def sample_environment(env: EnvironmentSoA, state, uniforms, static,
 
     valid = jnp.isfinite(pdf) & (pdf > 0.0) & jnp.all(jnp.isfinite(radiance), -1)
     radiance = jnp.maximum(radiance, 0.0)
-    return state, world_dir, radiance, jnp.where(valid, pdf, 0.0), valid
+    return world_dir, radiance, jnp.where(valid, pdf, 0.0), valid

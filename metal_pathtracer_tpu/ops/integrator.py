@@ -193,6 +193,14 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
     appended to the return — the debug ring buffer equivalent.
     """
     shape = ray_o.shape[:-1]
+    if not record_probe and len(shape) == 1:
+        # Fused shading megakernel: the whole per-depth shade stage in one
+        # Pallas kernel (VMEM-resident intermediates) on supported configs;
+        # this XLA body below remains the reference implementation.
+        from metal_pathtracer_tpu.ops.pallas import shade
+        if shade.fused_supported(scene, static):
+            return shade.trace_paths_fused(scene, uniforms, static,
+                                           state, ray_o, ray_d)
     clamp_p = bsdf_ops.make_clamp_params(uniforms)
     n_rect_lights = (scene.light_rect_indices.shape[0]
                      if scene.light_rect_indices is not None else 0)
@@ -316,10 +324,6 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             jnp.logical_not(jnp.all(jnp.isfinite(shading_normal), -1)),
             dot(shading_normal, shading_normal) <= 0.0)
         shading_normal = where3(bad_sn, rec.normal, shading_normal)
-        # Dielectric: force geometric normal (reference: pathtrace.metal:5910-5917)
-        if C.MATERIAL_DIELECTRIC in types:
-            is_dielectric = m.mat_type == C.MATERIAL_DIELECTRIC
-            shading_normal = where3(is_dielectric, rec.normal, shading_normal)
 
         state = state0
 
@@ -342,6 +346,14 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
             pbr_emissive = texd.emissive
             passthrough = jnp.logical_and(active, texd.passthrough)
             state = jnp.where(active, texd.state, state)
+        # Dielectric: force geometric normal (reference: pathtrace.metal
+        # :5910-5917). Applied AFTER the texture stage: normal maps touch
+        # PBR lanes only, and texd.shading_normal passes non-PBR lanes
+        # through from the pre-force interpolated normal — applying the
+        # force here keeps dielectric lanes geometric either way.
+        if C.MATERIAL_DIELECTRIC in types:
+            is_dielectric = m.mat_type == C.MATERIAL_DIELECTRIC
+            shading_normal = where3(is_dielectric, rec.normal, shading_normal)
         rec = rec.replace(
             shading_normal=shading_normal,
             two_sided=rec.two_sided | ((m.mat_type == C.MATERIAL_PBR)

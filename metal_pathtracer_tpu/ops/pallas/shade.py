@@ -1,0 +1,1889 @@
+"""Fused per-depth shading megakernel.
+
+The wavefront integrator's XLA shade stage measured ~24 ms/depth at 2M
+lanes — ~59 separate fusions, each paying an HBM round-trip for every
+intermediate (BENCHMARKS.md "Where the time goes"). This kernel runs the
+ENTIRE per-depth shade stage (hit reconstruction, miss/background, medium
+absorption, material fetch, BSDF sampling, clamps, Russian roulette,
+carry commit) in ONE Pallas kernel whose intermediates never leave VMEM:
+per depth the path state is read from HBM once and written once.
+
+Data layout: the path carry lives as a single (P, N) f32 plane stack
+(vectors stored as 3 scalar planes — the VPU is 8x128 lanes; (N,3) arrays
+waste the lane axis) plus one u32 RNG plane. Plane indices in `Layout`.
+
+Semantics are the wavefront integrator's, one-for-one
+(ops/integrator.py body(); reference: pathtrace.metal
+trace_path_software:5717-7284). The XLA path stays the reference
+implementation: `fused_supported` gates this kernel to the configs it
+covers and tests/tpu assert agreement.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metal_pathtracer_tpu import constants as C
+
+Array = Any
+
+LANES = 128
+ROWS = 32                 # sublane rows per block => 4096 lanes/block
+BLOCK = ROWS * LANES
+
+U32 = jnp.uint32
+# python float (weak-typed) so constants fold exactly like the XLA path's
+# (bsdf.py PI); a jnp scalar here would be captured as a pallas_call
+# constant, which Pallas rejects
+PI = 3.14159265358979323846
+
+
+# ---------------------------------------------------------------------------
+# Component-form vec3 (planes of (R,128) lanes)
+# ---------------------------------------------------------------------------
+
+class V3(NamedTuple):
+    x: Array
+    y: Array
+    z: Array
+
+    def __add__(self, o):
+        if isinstance(o, V3):
+            return V3(self.x + o.x, self.y + o.y, self.z + o.z)
+        return V3(self.x + o, self.y + o, self.z + o)
+
+    def __radd__(self, o):
+        return self.__add__(o)
+
+    def __sub__(self, o):
+        if isinstance(o, V3):
+            return V3(self.x - o.x, self.y - o.y, self.z - o.z)
+        return V3(self.x - o, self.y - o, self.z - o)
+
+    def __rsub__(self, o):
+        return V3(o - self.x, o - self.y, o - self.z)
+
+    def __mul__(self, o):
+        if isinstance(o, V3):
+            return V3(self.x * o.x, self.y * o.y, self.z * o.z)
+        return V3(self.x * o, self.y * o, self.z * o)
+
+    def __rmul__(self, o):
+        return self.__mul__(o)
+
+    def __truediv__(self, o):
+        if isinstance(o, V3):
+            return V3(self.x / o.x, self.y / o.y, self.z / o.z)
+        return V3(self.x / o, self.y / o, self.z / o)
+
+    def __neg__(self):
+        return V3(-self.x, -self.y, -self.z)
+
+
+def vdot(a: V3, b: V3):
+    return a.x * b.x + a.y * b.y + a.z * b.z
+
+
+def vcross(a: V3, b: V3) -> V3:
+    return V3(a.y * b.z - a.z * b.y,
+              a.z * b.x - a.x * b.z,
+              a.x * b.y - a.y * b.x)
+
+
+def vnormalize(a: V3) -> V3:
+    # division (not rsqrt): bit-matches vecmath.normalize
+    return a / jnp.sqrt(jnp.maximum(vdot(a, a), 1e-38))
+
+
+def vsafe_normalize(a: V3) -> V3:
+    len2 = vdot(a, a)
+    inv = jnp.where(len2 > 0.0,
+                    1.0 / jnp.sqrt(jnp.maximum(len2, 1e-38)), 0.0)
+    return a * inv
+
+
+def vwhere(m, a: V3, b: V3) -> V3:
+    return V3(jnp.where(m, a.x, b.x), jnp.where(m, a.y, b.y),
+              jnp.where(m, a.z, b.z))
+
+
+def vfinite(a: V3):
+    return (jnp.isfinite(a.x) & jnp.isfinite(a.y) & jnp.isfinite(a.z))
+
+
+def vmax(a: V3):
+    return jnp.maximum(jnp.maximum(a.x, a.y), a.z)
+
+
+def vmaximum(a: V3, s) -> V3:
+    return V3(jnp.maximum(a.x, s), jnp.maximum(a.y, s), jnp.maximum(a.z, s))
+
+
+def vluminance(a: V3):
+    w = C.LUMINANCE_WEIGHTS
+    return a.x * w[0] + a.y * w[1] + a.z * w[2]
+
+
+def vfull(like, x, y, z) -> V3:
+    one = jnp.ones_like(like)
+    return V3(one * x, one * y, one * z)
+
+
+def vreflect(v: V3, n: V3) -> V3:
+    return v - n * (2.0 * vdot(v, n))
+
+
+def to_acescg(c: V3) -> V3:
+    """(reference: pathtrace.metal:93-99)"""
+    return V3(0.613097 * c.x + 0.339523 * c.y + 0.047380 * c.z,
+              0.070194 * c.x + 0.916354 * c.y + 0.013452 * c.z,
+              0.020616 * c.x + 0.109570 * c.y + 0.869815 * c.z)
+
+
+# ---------------------------------------------------------------------------
+# RNG (bit-compatible with ops/rng.py)
+# ---------------------------------------------------------------------------
+
+def _pcg_hash(state):
+    state = state.astype(U32) * U32(747796405) + U32(2891336453)
+    word = ((state >> ((state >> U32(28)) + U32(4))) ^ state) * U32(277803737)
+    return (word >> U32(22)) ^ word
+
+
+def _u32_to_f32(u):
+    """Round-to-nearest u32 -> f32, bit-identical to XLA's astype(f32).
+
+    Mosaic has no u32->f32 cast; split into high 24 bits (exact i32->f32,
+    exact *256) + low 8 bits — the mathematical sum is the integer, so the
+    single f32 add performs the one round-to-nearest the direct cast does.
+    """
+    hi = (u >> U32(8)).astype(jnp.int32).astype(jnp.float32)
+    lo = (u & U32(0xFF)).astype(jnp.int32).astype(jnp.float32)
+    return hi * 256.0 + lo
+
+
+def _rand(state):
+    state = _pcg_hash(state)
+    return state, _u32_to_f32(state) * (1.0 / 4294967296.0)
+
+
+def _sample_cosine_hemisphere(state):
+    state, r1 = _rand(state)
+    state, r2 = _rand(state)
+    phi = 2.0 * PI * r2
+    r = jnp.sqrt(jnp.maximum(r1, 0.0))
+    local = V3(jnp.cos(phi) * r, jnp.sin(phi) * r,
+               jnp.sqrt(jnp.maximum(1.0 - r1, 0.0)))
+    return state, local
+
+
+def _build_onb(n: V3):
+    """(reference: pathtrace.metal build_onb; ops/vecmath.py twin)"""
+    nz = jnp.abs(n.z) < 0.999
+    up = V3(jnp.where(nz, 0.0, 1.0), jnp.zeros_like(n.x),
+            jnp.where(nz, 1.0, 0.0))
+    tangent = vnormalize(vcross(up, n))
+    bitangent = vcross(n, tangent)
+    return tangent, bitangent
+
+
+def _to_world(local: V3, n: V3) -> V3:
+    t, b = _build_onb(n)
+    return t * local.x + b * local.y + n * local.z
+
+
+# ---------------------------------------------------------------------------
+# Carry plane layout
+# ---------------------------------------------------------------------------
+
+class Layout:
+    """Plane indices of the packed f32 carry. i32-valued quantities
+    (ids, depths) ride as exact small floats (< 2^24)."""
+
+    def __init__(self, has_medium: bool, env_mode: bool = False):
+        names = ["ox", "oy", "oz", "dx", "dy", "dz",
+                 "tpr", "tpg", "tpb", "rr", "rg", "rb",
+                 "alive", "last_pdf", "last_delta",
+                 "prev_valid", "prev_mesh", "prev_prim",
+                 "first_hit", "aar", "aag", "aab", "anx", "any", "anz",
+                 "cone_w", "cone_s"]
+        self.has_medium = has_medium
+        self.env_mode = env_mode
+        self.med_slots = C.MAX_MEDIUM_STACK if has_medium else 0
+        if has_medium:
+            names.append("med_depth")
+            for s in range(self.med_slots):
+                names += [f"med{s}r", f"med{s}g", f"med{s}b"]
+        if env_mode:
+            names += ["env_lod", "env_lod_act"]
+        self.names = names
+        self.index = {n: i for i, n in enumerate(names)}
+        self.P = len(names)
+
+    def __getitem__(self, name):
+        return self.index[name]
+
+
+# material table columns (fused-path field set)
+MAT_COLS = ["mat_type", "base_r", "base_g", "base_b", "roughness", "eta",
+            "thin", "em_r", "em_g", "em_b", "emission_env",
+            "ce_r", "ce_g", "ce_b", "ck_r", "ck_g", "ck_b",
+            "has_conductor", "sa_r", "sa_g", "sa_b",
+            "pbr_metallic", "pbr_transmission", "pbr_thickness",
+            "pbr_double_sided"]
+MAT_COL = {n: i for i, n in enumerate(MAT_COLS)}
+
+# dynamic scalar vector entries
+SCAL = ["depth", "clamp_factor", "clamp_floor", "throughput_clamp",
+        "spec_tail_base", "spec_tail_rough", "min_spec_pdf",
+        "max_contribution", "clamp_enabled", "bg_r", "bg_g", "bg_b",
+        "env_max_mip"]
+SCAL_IDX = {n: i for i, n in enumerate(SCAL)}
+
+
+def pack_material_table(materials) -> jnp.ndarray:
+    """(M, K) f32 table in MAT_COLS order (kernel-side SMEM fetch)."""
+    cols = [
+        materials.mat_type.astype(jnp.float32),
+        materials.base_color[:, 0], materials.base_color[:, 1],
+        materials.base_color[:, 2],
+        materials.roughness, materials.eta, materials.thin,
+        materials.emission[:, 0], materials.emission[:, 1],
+        materials.emission[:, 2], materials.emission_env,
+        materials.conductor_eta[:, 0], materials.conductor_eta[:, 1],
+        materials.conductor_eta[:, 2],
+        materials.conductor_k[:, 0], materials.conductor_k[:, 1],
+        materials.conductor_k[:, 2], materials.has_conductor,
+        materials.dielectric_sigma_a[:, 0],
+        materials.dielectric_sigma_a[:, 1],
+        materials.dielectric_sigma_a[:, 2],
+        materials.pbr_metallic,
+        materials.pbr_transmission,
+        materials.pbr_thickness,
+        materials.pbr_double_sided,
+    ]
+    return jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
+
+
+class Mat(NamedTuple):
+    """Per-lane material parameters selected from the SMEM table."""
+    mat_type: Array
+    base: V3
+    roughness: Array
+    eta: Array
+    thin: Array
+    emission: V3
+    emission_env: Array
+    conductor_eta: V3
+    conductor_k: V3
+    has_conductor: Array
+    sigma_a: V3
+    pbr_metallic: Array
+    pbr_transmission: Array
+    pbr_thickness: Array
+    pbr_double_sided: Array
+
+
+def _fetch_material(mat_ref, mid, m_count: int):
+    """Static loop over table rows: `where`-select per field. The fused
+    path gates m_count <= 32 (scene caps: MetalShaderTypes.h 512, but
+    >32-material scenes take the XLA path's gather)."""
+    def col(k):
+        acc = jnp.full_like(mid, mat_ref[0, MAT_COL[k]], dtype=jnp.float32)
+        for i in range(1, m_count):
+            acc = jnp.where(mid == i, mat_ref[i, MAT_COL[k]], acc)
+        return acc
+
+    return Mat(
+        mat_type=col("mat_type"),
+        base=V3(col("base_r"), col("base_g"), col("base_b")),
+        roughness=col("roughness"),
+        eta=col("eta"),
+        thin=col("thin"),
+        emission=V3(col("em_r"), col("em_g"), col("em_b")),
+        emission_env=col("emission_env"),
+        conductor_eta=V3(col("ce_r"), col("ce_g"), col("ce_b")),
+        conductor_k=V3(col("ck_r"), col("ck_g"), col("ck_b")),
+        has_conductor=col("has_conductor"),
+        sigma_a=V3(col("sa_r"), col("sa_g"), col("sa_b")),
+        pbr_metallic=col("pbr_metallic"),
+        pbr_transmission=col("pbr_transmission"),
+        pbr_thickness=col("pbr_thickness"),
+        pbr_double_sided=col("pbr_double_sided"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clamps (bsdf.py twins, component form)
+# ---------------------------------------------------------------------------
+
+class Clamp(NamedTuple):
+    factor: Array
+    floor: Array
+    throughput: Array
+    tail_base: Array
+    tail_rough: Array
+    min_spec_pdf: Array
+    max_contribution: Array
+    enabled: Array
+
+
+def _clamp_firefly(tp: V3, contribution: V3, p: Clamp) -> V3:
+    combined = tp * contribution
+    finite = vfinite(combined)
+    positive = vmaximum(combined, 0.0)
+    lum = vluminance(positive)
+    tp_lum = vluminance(vmaximum(tp, 0.0))
+    max_lum = jnp.maximum(tp_lum * p.factor, p.floor)
+    max_lum = jnp.where(p.max_contribution > 0.0,
+                        jnp.maximum(max_lum, p.max_contribution), max_lum)
+    scale = jnp.where((lum > max_lum) & (lum > 0.0),
+                      max_lum / jnp.maximum(lum, 1e-6), 1.0)
+    clamped = vmaximum(combined * scale, 0.0)
+    out = vwhere(p.enabled < 0.5, positive, clamped)
+    return vwhere(finite, out, vfull(lum, 0.0, 0.0, 0.0))
+
+
+def _clamp_path_throughput(tp: V3, p: Clamp) -> V3:
+    finite = vfinite(tp)
+    positive = vmaximum(tp, 0.0)
+    lum = vluminance(positive)
+    scale = jnp.where((lum > p.throughput) & (lum > 0.0),
+                      p.throughput / jnp.maximum(lum, 1e-6), 1.0)
+    active = (p.enabled >= 0.5) & (p.throughput > 0.0)
+    out = vwhere(active, tp * scale, tp)
+    return vwhere(finite, out, vfull(lum, 0.0, 0.0, 0.0))
+
+
+def _clamp_specular_pdf(pdf, p: Clamp):
+    pdf = jnp.where(jnp.isfinite(pdf), pdf, 0.0)
+    pdf = jnp.maximum(pdf, 0.0)
+    raised = jnp.where(p.min_spec_pdf > 0.0,
+                       jnp.maximum(pdf, p.min_spec_pdf), pdf)
+    return jnp.where(pdf > 0.0, raised, 0.0)
+
+
+def _clamp_specular_tail(value: V3, roughness, f0: V3, p: Clamp) -> V3:
+    finite = vfinite(value)
+    positive = vmaximum(value, 0.0)
+    strength = jnp.maximum(vmax(f0), 1e-3)
+    limit = (p.tail_base + p.tail_rough * roughness) * strength
+    limit = jnp.maximum(limit, p.floor)
+    lum = vluminance(positive)
+    scale = jnp.where((lum > limit) & (lum > 0.0),
+                      limit / jnp.maximum(lum, 1e-6), 1.0)
+    active = (p.enabled >= 0.5) & ((p.tail_base > 0.0) | (p.tail_rough > 0.0))
+    out = vwhere(active, positive * scale, positive)
+    return vwhere(finite, out, vfull(lum, 0.0, 0.0, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Fresnel / GGX (bsdf.py twins)
+# ---------------------------------------------------------------------------
+
+def _schlick_weight(cos_theta):
+    m = jnp.clip(1.0 - cos_theta, 0.0, 1.0)
+    return m * m * m * m * m
+
+
+def _schlick_fresnel(f0: V3, cos_theta) -> V3:
+    w = _schlick_weight(cos_theta)
+    return f0 + (1.0 - f0) * w
+
+
+def _fresnel_dielectric_exact(cos_theta_i, eta_i, eta_t):
+    cos_theta_i = jnp.clip(cos_theta_i, -1.0, 1.0)
+    abs_cos = jnp.abs(cos_theta_i)
+    sin2_i = jnp.maximum(0.0, 1.0 - abs_cos * abs_cos)
+    eta = eta_i / eta_t
+    sin2_t = eta * eta * sin2_i
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    ei_ci = eta_i * abs_cos
+    et_ct = eta_t * cos_t
+    rs = (ei_ci - et_ct) / (ei_ci + et_ct)
+    rp = (eta_t * abs_cos - eta_i * cos_t) / (eta_t * abs_cos + eta_i * cos_t)
+    fr = 0.5 * (rs * rs + rp * rp)
+    fr = jnp.where(tir, 1.0, fr)
+    cos_t = jnp.where(tir, 0.0, cos_t)
+    return fr, cos_t
+
+
+def _fresnel_conductor(cos_theta_i, eta: V3, k: V3) -> V3:
+    cos_theta_i = jnp.clip(cos_theta_i, -1.0, 1.0)
+    cos2 = cos_theta_i * cos_theta_i
+    sin2 = jnp.maximum(0.0, 1.0 - cos2)
+
+    def one(e, kk):
+        eta2 = e * e
+        k2 = kk * kk
+        t0 = eta2 - k2 - sin2
+        a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * k2, 0.0))
+        a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+        term1 = a2b2 + cos2
+        term2 = 2.0 * cos_theta_i * a
+        rs = (term1 - term2) / (term1 + term2)
+        term3 = cos2 * a2b2 + sin2 * sin2
+        term4 = term2 * sin2
+        rp = (term3 - term4) / (term3 + term4)
+        return jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
+
+    return V3(one(eta.x, k.x), one(eta.y, k.y), one(eta.z, k.z))
+
+
+def _ggx_lambda(alpha, cos_theta):
+    abs_cos = jnp.abs(cos_theta)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - abs_cos * abs_cos))
+    tan_theta = sin_theta / jnp.maximum(abs_cos, 1e-20)
+    a = alpha * tan_theta
+    lam = (-1.0 + jnp.sqrt(1.0 + a * a)) * 0.5
+    return jnp.where((abs_cos <= 0.0) | (sin_theta == 0.0), 0.0, lam)
+
+
+def _ggx_g1(alpha, cos_theta):
+    return 1.0 / (1.0 + _ggx_lambda(alpha, cos_theta))
+
+
+def _ggx_d(alpha, cos_theta_h):
+    abs_ch = jnp.abs(cos_theta_h)
+    a2 = alpha * alpha
+    denom = abs_ch * abs_ch * (a2 - 1.0) + 1.0
+    return a2 / (PI * denom * denom)
+
+
+def _ggx_pdf(alpha, n: V3, wo: V3, wi: V3):
+    wh = vsafe_normalize(wo + wi)
+    cos_h = vdot(n, wh)
+    dot_wo_wh = vdot(wo, wh)
+    cos_o = vdot(n, wo)
+    d = _ggx_d(alpha, cos_h)
+    g1 = _ggx_g1(alpha, cos_o)
+    pdf = d * g1 * cos_h / (4.0 * jnp.maximum(dot_wo_wh, 1e-6))
+    return jnp.where((cos_o <= 0.0) | (cos_h <= 0.0) | (dot_wo_wh <= 0.0),
+                     0.0, pdf)
+
+
+def _sample_ggx_vndf(n: V3, wo: V3, roughness, state):
+    """(bsdf.sample_ggx_vndf twin — 2 draws)"""
+    won = vsafe_normalize(wo)
+    t, b = _build_onb(n)
+    wo_l = V3(vdot(won, t), vdot(won, b), jnp.maximum(vdot(won, n), 1e-6))
+    alpha = jnp.maximum(roughness * roughness, 1e-4)
+    vh = vsafe_normalize(V3(alpha * wo_l.x, alpha * wo_l.y, wo_l.z))
+    lensq = vh.x * vh.x + vh.y * vh.y
+    inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-38))
+    t1 = vwhere(lensq > 0.0, V3(-vh.y * inv, vh.x * inv,
+                                jnp.zeros_like(inv)),
+                vfull(inv, 1.0, 0.0, 0.0))
+    t2 = vcross(vh, t1)
+    state, u1 = _rand(state)
+    state, u2 = _rand(state)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * PI * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh.z)
+    p2_adj = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2_adj * p2_adj))
+    nh = t1 * p1 + t2 * p2_adj + vh * p3
+    ne = vsafe_normalize(V3(alpha * nh.x, alpha * nh.y,
+                            jnp.maximum(nh.z, 0.0)))
+    world = vsafe_normalize(t * ne.x + b * ne.y + n * ne.z)
+    return state, world
+
+
+def _dfg_approx(roughness, nov):
+    r0 = roughness * -1.0 + 1.0
+    r1 = roughness * -0.0275 + 0.0425
+    r2 = roughness * -0.572 + 1.04
+    r3 = roughness * 0.022 - 0.04
+    a004 = jnp.minimum(r0 * r0, jnp.exp2(-9.28 * nov)) * r0 + r1
+    return -1.04 * a004 + r2, 1.04 * a004 + r3
+
+
+def _specular_energy_compensation(f0: V3, roughness, nov) -> V3:
+    nov_c = jnp.clip(nov, 0.0, 1.0)
+    dfg_x, dfg_y = _dfg_approx(roughness, nov_c)
+
+    def comp(f):
+        fss = jnp.clip(f * dfg_x + dfg_y, 0.0, 0.99)
+        favg = f + (1.0 - f) * C.SCHLICK_AVERAGE_FACTOR
+        one_minus = jnp.clip(1.0 - fss, 0.0, 1.0)
+        denom = jnp.maximum(1.0 - favg * one_minus, 1e-3)
+        fms = (favg * one_minus) / denom
+        return jnp.clip((fss + fms) / jnp.maximum(fss, 1e-4), 1.0, 2.0)
+
+    return V3(comp(f0.x), comp(f0.y), comp(f0.z))
+
+
+# ---------------------------------------------------------------------------
+# BSDF sampling (phase-1 types; bsdf.py twins, identical RNG consumption)
+# ---------------------------------------------------------------------------
+
+class Sample(NamedTuple):
+    direction: V3
+    weight: V3
+    pdf: Array
+    directional_pdf: Array
+    is_delta: Array     # bool
+    medium_event: Array  # f32 -1/0/+1
+    lobe_type: Array    # f32 0 diffuse / 1 glossy
+    lobe_roughness: Array
+
+    @classmethod
+    def invalid(cls, like):
+        z = jnp.zeros_like(like)
+        return cls(V3(z, z, z), V3(z, z, z), z, z,
+                   jnp.zeros_like(like, dtype=bool), z, z, z)
+
+
+def _sel_sample(mask, a: Sample, b: Sample) -> Sample:
+    return Sample(vwhere(mask, a.direction, b.direction),
+                  vwhere(mask, a.weight, b.weight),
+                  jnp.where(mask, a.pdf, b.pdf),
+                  jnp.where(mask, a.directional_pdf, b.directional_pdf),
+                  (mask & a.is_delta) | (~mask & b.is_delta),
+                  jnp.where(mask, a.medium_event, b.medium_event),
+                  jnp.where(mask, a.lobe_type, b.lobe_type),
+                  jnp.where(mask, a.lobe_roughness, b.lobe_roughness))
+
+
+def _material_is_delta(m: Mat):
+    rough = jnp.clip(m.roughness, 0.0, 1.0)
+    return ((m.mat_type == C.MATERIAL_DIELECTRIC)
+            | ((m.mat_type == C.MATERIAL_METAL) & (rough <= 1e-3))
+            | ((m.mat_type == C.MATERIAL_PBR) & (rough <= 1e-3)))
+
+
+def _material_base_color(m: Mat) -> V3:
+    return V3(jnp.clip(m.base.x, 0.0, 1.0), jnp.clip(m.base.y, 0.0, 1.0),
+              jnp.clip(m.base.z, 0.0, 1.0))
+
+
+def _has_conductor_ior(m: Mat):
+    return ((m.has_conductor > 0.0)
+            | (m.conductor_eta.x > 0.0) | (m.conductor_eta.y > 0.0)
+            | (m.conductor_eta.z > 0.0)
+            | (m.conductor_k.x > 0.0) | (m.conductor_k.y > 0.0)
+            | (m.conductor_k.z > 0.0))
+
+
+def _conductor_f0(m: Mat) -> V3:
+    one = jnp.ones_like(m.roughness)
+    fc = _fresnel_conductor(one, m.conductor_eta, m.conductor_k)
+    return vwhere(_has_conductor_ior(m), fc, _material_base_color(m))
+
+
+def _sample_lambert(m: Mat, n: V3, state, diffuse_occlusion):
+    """(bsdf._sample_lambert twin)"""
+    state, local = _sample_cosine_hemisphere(state)
+    wi = vsafe_normalize(_to_world(local, n))
+    cos_i = vdot(n, wi)
+    pdf = jnp.where(cos_i > 0.0, cos_i / PI, 0.0)
+    albedo = _material_base_color(m) * jnp.clip(diffuse_occlusion, 0.0, 1.0)
+    weight = vmaximum(albedo * (1.0 / PI)
+                      * (cos_i / jnp.maximum(pdf, 1e-20)), 0.0)
+    ok = (cos_i > 0.0) & (pdf > 0.0) & vfinite(weight)
+    out = Sample.invalid(cos_i)
+    out = out._replace(
+        direction=vwhere(ok, wi, out.direction),
+        weight=vwhere(ok, weight, out.weight),
+        pdf=jnp.where(ok, pdf, 0.0),
+        directional_pdf=jnp.where(ok, pdf, 0.0),
+        lobe_roughness=jnp.where(ok, 1.0, 0.0))
+    return state, out
+
+
+def _sample_metal(m: Mat, n: V3, wo: V3, incident: V3, state, clamp_p):
+    roughness = jnp.clip(m.roughness, 0.0, 1.0)
+    f0 = _conductor_f0(m)
+    has_ior = _has_conductor_ior(m)
+    smooth = roughness <= 1e-3
+
+    wi_d = vreflect(incident, n)
+    cos_i_d = vdot(n, wi_d)
+    cos_o = vdot(n, wo)
+    cos_t = jnp.maximum(cos_o, 0.0)
+    f_delta = vwhere(has_ior,
+                     _fresnel_conductor(cos_t, m.conductor_eta, m.conductor_k),
+                     _schlick_fresnel(f0, cos_t))
+    delta_ok = cos_i_d > 0.0
+
+    state_r, wh = _sample_ggx_vndf(n, wo, roughness, state)
+    alpha = roughness * roughness
+    wi_r = vsafe_normalize(vreflect(-wo, wh))
+    cos_i = vdot(n, wi_r)
+    dot_wo_wh = vdot(wo, wh)
+    d = _ggx_d(alpha, vdot(n, wh))
+    g = _ggx_g1(alpha, cos_o) * _ggx_g1(alpha, cos_i)
+    f_rough = vwhere(has_ior,
+                     _fresnel_conductor(vdot(wi_r, wh), m.conductor_eta,
+                                        m.conductor_k),
+                     _schlick_fresnel(f0, vdot(wi_r, wh)))
+    denom = 4.0 * cos_o * cos_i
+    f_val = f_rough * (d * g / jnp.maximum(denom, 1e-6))
+    f_val = f_val * _specular_energy_compensation(f0, roughness, cos_o)
+    f_val = _clamp_specular_tail(f_val, roughness, f0, clamp_p)
+    pdf_raw = _ggx_pdf(alpha, n, wo, wi_r)
+    pdf = _clamp_specular_pdf(pdf_raw, clamp_p)
+    weight = vmaximum(f_val * (cos_i / jnp.maximum(pdf, 1e-20)), 0.0)
+    rough_ok = ((vdot(wh, n) > 0.0) & vfinite(wi_r)
+                & (cos_i > 0.0) & (cos_o > 0.0) & (dot_wo_wh > 0.0)
+                & (pdf_raw > 0.0) & vfinite(weight))
+
+    out = Sample.invalid(cos_o)
+    rough_valid = jnp.logical_and(~smooth, rough_ok)
+    out = out._replace(
+        direction=vwhere(rough_valid, wi_r, out.direction),
+        weight=vwhere(rough_valid, weight, out.weight),
+        pdf=jnp.where(rough_valid, pdf, out.pdf),
+        directional_pdf=jnp.where(rough_valid, pdf, out.directional_pdf),
+        lobe_type=jnp.where(rough_valid, 1.0, out.lobe_type),
+        lobe_roughness=jnp.where(rough_valid, roughness, out.lobe_roughness))
+    delta_valid = jnp.logical_and(smooth, delta_ok)
+    out = out._replace(
+        direction=vwhere(delta_valid, wi_d, out.direction),
+        weight=vwhere(delta_valid, f_delta, out.weight),
+        pdf=jnp.where(delta_valid, 1.0, out.pdf),
+        directional_pdf=jnp.where(delta_valid, 1.0, out.directional_pdf),
+        is_delta=out.is_delta | delta_valid,
+        lobe_type=jnp.where(delta_valid, 1.0, out.lobe_type),
+        lobe_roughness=jnp.where(delta_valid, roughness, out.lobe_roughness))
+    state = jnp.where(smooth, state, state_r)
+    return state, out
+
+
+def _vrefract(v: V3, n: V3, eta_ratio) -> V3:
+    cos_i = -vdot(v, n)
+    sin2_t = eta_ratio * eta_ratio * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    k = 1.0 - sin2_t
+    refr = v * eta_ratio + n * (eta_ratio * cos_i
+                                - jnp.sqrt(jnp.maximum(k, 0.0)))
+    return vwhere(k >= 0.0, refr, vfull(cos_i, 0.0, 0.0, 0.0))
+
+
+def _sample_dielectric(m: Mat, n: V3, incident: V3, front_face, state):
+    is_thin = (m.mat_type == C.MATERIAL_DIELECTRIC) & (m.thin > 0.5)
+    ref_idx = jnp.maximum(m.eta, 1.0)
+    inside = jnp.logical_and(~is_thin, ~front_face)
+    eta_i = jnp.where(inside, ref_idx, 1.0)
+    eta_t = jnp.where(inside, 1.0, ref_idx)
+    relative_eta = eta_i / eta_t
+    cos_o = jnp.clip(vdot(-incident, n), -1.0, 1.0)
+    fr, cos_t = _fresnel_dielectric_exact(cos_o, eta_i, eta_t)
+
+    state, xi = _rand(state)
+    choose_reflect = xi < fr
+
+    refl_dir = vreflect(incident, n)
+    refr_dir = _vrefract(incident, n, relative_eta)
+    refr_len2 = vdot(refr_dir, refr_dir)
+    refr_failed = refr_len2 <= 0.0
+    refr_unit = refr_dir / jnp.sqrt(jnp.maximum(refr_len2, 1e-38))
+
+    eta_scale = (eta_t * eta_t) / (eta_i * eta_i)
+    dir_scale = eta_scale * (jnp.abs(cos_t) / jnp.maximum(jnp.abs(cos_o),
+                                                          1e-6))
+    refr_weight = jnp.maximum(1.0 - fr, 0.0) * dir_scale
+
+    reflecting = jnp.logical_or(choose_reflect, refr_failed)
+    direction = vwhere(reflecting, refl_dir, refr_unit)
+    w_scalar = jnp.where(reflecting, fr, refr_weight)
+    weight = V3(w_scalar, w_scalar, w_scalar)
+    medium_event = jnp.where(jnp.logical_and(~reflecting, ~is_thin),
+                             jnp.where(front_face, 1.0, -1.0), 0.0)
+    one = jnp.ones_like(fr)
+    return state, Sample(
+        direction=vsafe_normalize(direction),
+        weight=weight,
+        pdf=one,
+        directional_pdf=one,
+        is_delta=jnp.ones_like(fr, dtype=bool),
+        medium_event=medium_event,
+        lobe_type=one,
+        lobe_roughness=jnp.zeros_like(fr))
+
+
+def _pbr_f0_from_ior(ior):
+    eta = jnp.maximum(ior, 1.0)
+    ratio = (eta - 1.0) / jnp.maximum(eta + 1.0, 1e-6)
+    return jnp.clip(ratio * ratio, 0.0, 0.99)
+
+
+def _pbr_transmission_tint(m: Mat, cos_theta) -> V3:
+    thickness = jnp.maximum(m.pbr_thickness, 0.0)
+    sigma_a = vmaximum(m.sigma_a, 0.0)
+    distance = thickness / jnp.maximum(jnp.abs(cos_theta), 1e-3)
+
+    def ch(s):
+        return jnp.clip(jnp.exp(-s * distance), 0.0, 1.0)
+
+    tint = V3(ch(sigma_a.x), ch(sigma_a.y), ch(sigma_a.z))
+    skip = (thickness <= 0.0) | ((sigma_a.x <= 0.0) & (sigma_a.y <= 0.0)
+                                 & (sigma_a.z <= 0.0))
+    return vwhere(skip, vfull(thickness, 1.0, 1.0, 1.0), tint)
+
+
+def _ggx_vndf_pdf(alpha, n: V3, wo: V3, wh: V3):
+    cos_o = vdot(n, wo)
+    cos_h = vdot(n, wh)
+    d = _ggx_d(alpha, cos_h)
+    g1 = _ggx_g1(alpha, cos_o)
+    pdf = d * g1 * cos_h / jnp.maximum(vdot(wo, wh), 1e-6)
+    return jnp.where((cos_o <= 0.0) | (cos_h <= 0.0), 0.0, pdf)
+
+
+def _pbr_lobe_params(m: Mat, diffuse_occlusion):
+    """(pbr._lobe_params twin; specular_only excluded by the fused gate)"""
+    base_color = _material_base_color(m)
+    metallic = jnp.clip(m.pbr_metallic, 0.0, 1.0)
+    roughness = jnp.clip(m.roughness, 0.0, 1.0)
+    f0d = _pbr_f0_from_ior(m.eta)
+    f0 = V3(f0d + (base_color.x - f0d) * metallic,
+            f0d + (base_color.y - f0d) * metallic,
+            f0d + (base_color.z - f0d) * metallic)
+    occ = jnp.clip(diffuse_occlusion, 0.0, 1.0)
+    diffuse_color = base_color * ((1.0 - metallic) * occ)
+    transmission = jnp.clip(m.pbr_transmission, 0.0, 1.0) * (1.0 - metallic)
+    reflect_scale = 1.0 - transmission
+    spec_weight_base = jnp.clip(vmax(f0), 0.05, 0.95)
+    w_spec = spec_weight_base * reflect_scale
+    w_diff = (1.0 - spec_weight_base) * reflect_scale
+    w_trans = transmission
+    weight_sum = w_spec + w_diff + w_trans
+    safe = jnp.maximum(weight_sum, 1e-20)
+    return (base_color, metallic, roughness, f0, diffuse_color, transmission,
+            reflect_scale, w_spec / safe, w_diff / safe, w_trans / safe,
+            weight_sum > 0.0)
+
+
+def _eval_pbr(m: Mat, n: V3, wo: V3, wi: V3, clamp_p: Clamp,
+              diffuse_occlusion):
+    """(pbr.evaluate_pbr twin) -> (value V3, pdf, is_delta)"""
+    cos_o = vdot(n, wo)
+    cos_i = vdot(n, wi)
+    abs_o = jnp.abs(cos_o)
+    abs_i = jnp.abs(cos_i)
+    geom_ok = (abs_o > 0.0) & (abs_i > 0.0)
+
+    (_, _, roughness, f0, diffuse_color, transmission, reflect_scale,
+     p_spec, p_diff, p_trans, weights_ok) = _pbr_lobe_params(
+        m, diffuse_occlusion)
+    is_delta = (m.mat_type == C.MATERIAL_PBR) & (roughness <= 1e-3)
+
+    refl_side = (cos_o * cos_i > 0.0) & (cos_o > 0.0) & (cos_i > 0.0)
+    alpha = jnp.maximum(roughness * roughness, 1e-4)
+    wh = vsafe_normalize(wo + wi)
+    half_ok = (vdot(wh, n) > 0.0) & (vdot(wo, wh) > 0.0) & (vdot(wi, wh) > 0.0)
+    d = _ggx_d(alpha, vdot(n, wh))
+    g = _ggx_g1(alpha, cos_o) * _ggx_g1(alpha, cos_i)
+    f = _schlick_fresnel(f0, vdot(wi, wh))
+    spec = f * (d * g / jnp.maximum(4.0 * cos_o * cos_i, 1e-6))
+    spec = spec * _specular_energy_compensation(f0, roughness, abs_o)
+    spec = _clamp_specular_tail(spec, roughness, f0, clamp_p)
+    spec = spec * reflect_scale
+    pdf_spec = _ggx_pdf(alpha, n, wo, wi)
+    diffuse = diffuse_color * (reflect_scale / PI)
+    pdf_diffuse = jnp.where(cos_i > 0.0, cos_i / PI, 0.0)
+    pdf_refl = p_spec * pdf_spec + p_diff * pdf_diffuse
+    refl_ok = refl_side & half_ok & (pdf_refl > 0.0)
+    value_refl = vmaximum(spec + diffuse, 0.0)
+    pdf_refl_c = _clamp_specular_pdf(pdf_refl, clamp_p)
+
+    eta_t0 = jnp.maximum(m.eta, 1.0)
+    inside = cos_o < 0.0
+    eta_i = jnp.where(inside, eta_t0, 1.0)
+    eta_t = jnp.where(inside, 1.0, eta_t0)
+    eta = eta_i / eta_t
+    wht = vsafe_normalize(wo + wi * eta)
+    wht = vwhere(vdot(wht, n) <= 0.0, -wht, wht)
+    cos_o_wh = vdot(wo, wht)
+    cos_i_wh = vdot(wi, wht)
+    dt = _ggx_d(alpha, jnp.maximum(vdot(n, wht), 0.0))
+    gt = _ggx_g1(alpha, abs_o) * _ggx_g1(alpha, abs_i)
+    fr, _ = _fresnel_dielectric_exact(cos_o_wh, eta_i, eta_t)
+    denom = cos_o_wh + eta * cos_i_wh
+    denom_sq = denom * denom
+    factor = (eta * eta) * jnp.abs(cos_i_wh) * jnp.abs(cos_o_wh)
+    factor = factor / jnp.maximum(abs_o * abs_i * denom_sq, 1e-6)
+    ft = ((1.0 - fr) * dt * gt * factor) * _pbr_transmission_tint(m, abs_i)
+    ft = ft * transmission
+    pdf_wh = _ggx_vndf_pdf(alpha, n, wo, wht)
+    dwh_dwi = jnp.abs((eta * eta * cos_i_wh) / jnp.maximum(denom_sq, 1e-8))
+    pdf_trans = p_trans * pdf_wh * dwh_dwi
+    trans_ok = ((cos_o * cos_i <= 0.0) & (transmission > 0.0)
+                & vfinite(wht) & (vdot(wht, wht) > 0.0)
+                & (cos_o_wh * cos_i_wh <= 0.0)
+                & (jnp.abs(denom_sq) > 1e-8) & (pdf_trans > 0.0))
+    value_trans = vmaximum(ft, 0.0)
+    pdf_trans_c = _clamp_specular_pdf(pdf_trans, clamp_p)
+
+    zero = jnp.zeros_like(cos_o)
+    value = vfull(cos_o, 0.0, 0.0, 0.0)
+    pdf = zero
+    take_refl = geom_ok & weights_ok & refl_ok & jnp.logical_not(is_delta)
+    take_trans = geom_ok & weights_ok & (cos_o * cos_i <= 0.0) & trans_ok \
+        & jnp.logical_not(is_delta)
+    value = vwhere(take_refl, value_refl, value)
+    pdf = jnp.where(take_refl, pdf_refl_c, pdf)
+    value = vwhere(take_trans, value_trans, value)
+    pdf = jnp.where(take_trans, pdf_trans_c, pdf)
+    return value, pdf, is_delta
+
+
+def _sample_pbr(m: Mat, n: V3, wo: V3, incident: V3, state, clamp_p: Clamp,
+                diffuse_occlusion):
+    """(pbr.sample_pbr twin; identical RNG consumption)"""
+    (_, _, roughness, f0, diffuse_color, transmission, reflect_scale,
+     p_spec, p_diff, p_trans, weights_ok) = _pbr_lobe_params(
+        m, diffuse_occlusion)
+    smooth = roughness <= 1e-3
+    alpha = jnp.maximum(roughness * roughness, 1e-4)
+
+    state, choose = _rand(state)
+    lobe_spec = choose < p_spec
+    lobe_diff = jnp.logical_and(~lobe_spec, choose < p_spec + p_diff)
+    lobe_trans = ~(lobe_spec | lobe_diff)
+
+    cos_o = vdot(n, wo)
+    abs_o = jnp.abs(cos_o)
+    cos_o_pos = jnp.maximum(cos_o, 0.0)
+
+    # specular: smooth mirror (0 draws)
+    wi_sm = vreflect(incident, n)
+    f_sm = _schlick_fresnel(f0, cos_o_pos) * reflect_scale
+    ok_sm = vdot(n, wi_sm) > 0.0
+    # specular: rough VNDF (2 draws)
+    state_sr, wh = _sample_ggx_vndf(n, wo, roughness, state)
+    wi_sr = vreflect(-wo, wh)
+    cos_i_sr = vdot(n, wi_sr)
+    d = _ggx_d(alpha, vdot(n, wh))
+    g = _ggx_g1(alpha, cos_o_pos) * _ggx_g1(alpha, cos_i_sr)
+    f_sr = _schlick_fresnel(f0, vdot(wi_sr, wh))
+    f_sr = f_sr * (d * g / jnp.maximum(4.0 * cos_o_pos * cos_i_sr, 1e-6))
+    f_sr = f_sr * _specular_energy_compensation(f0, roughness, cos_o_pos)
+    f_sr = _clamp_specular_tail(f_sr, roughness, f0, clamp_p)
+    f_sr = f_sr * reflect_scale
+    pdf_spec_r = _ggx_pdf(alpha, n, wo, wi_sr)
+    ok_sr = cos_i_sr > 0.0
+
+    wi_s = vwhere(smooth, wi_sm, wi_sr)
+    f_s = vwhere(smooth, f_sm, f_sr)
+    pdf_spec = jnp.where(smooth, 1.0, pdf_spec_r)
+    ok_s = jnp.where(smooth, ok_sm, ok_sr)
+    state_s = jnp.where(smooth, state, state_sr)
+
+    # diffuse: 2 draws
+    state_d, local = _sample_cosine_hemisphere(state)
+    wi_d = vsafe_normalize(_to_world(local, n))
+    cos_i_d = vdot(n, wi_d)
+    f_d = diffuse_color * (reflect_scale / PI)
+    pdf_diffuse = jnp.where(cos_i_d > 0.0, cos_i_d / PI, 0.0)
+    ok_d = cos_i_d > 0.0
+
+    # transmission
+    eta_t0 = jnp.maximum(m.eta, 1.0)
+    inside = cos_o < 0.0
+    eta_i = jnp.where(inside, eta_t0, 1.0)
+    eta_t = jnp.where(inside, 1.0, eta_t0)
+    eta = eta_i / eta_t
+    # smooth: 0 draws
+    wi_t0 = _vrefract(-wo, n, eta)
+    len2_t0 = vdot(wi_t0, wi_t0)
+    wi_t0n = wi_t0 * jax.lax.rsqrt(jnp.maximum(len2_t0, 1e-38))
+    fr0, cos_t0 = _fresnel_dielectric_exact(cos_o, eta_i, eta_t)
+    eta_scale = (eta_t * eta_t) / (eta_i * eta_i)
+    dir_scale = eta_scale * (jnp.abs(cos_t0) / jnp.maximum(abs_o, 1e-6))
+    ft0 = jnp.maximum(1.0 - fr0, 0.0) * dir_scale
+    tint0 = _pbr_transmission_tint(m, jnp.abs(vdot(n, wi_t0n)))
+    f_t0 = tint0 * (transmission * ft0)
+    ok_t0 = len2_t0 > 0.0
+    # rough: 2 draws
+    state_tr, wh_t = _sample_ggx_vndf(n, wo, roughness, state)
+    wi_tr = _vrefract(-wo, wh_t, eta)
+    len2_tr = vdot(wi_tr, wi_tr)
+    wi_trn = wi_tr * jax.lax.rsqrt(jnp.maximum(len2_tr, 1e-38))
+    cos_i_tr = vdot(n, wi_trn)
+    abs_i_tr = jnp.abs(cos_i_tr)
+    cos_o_wh = vdot(wo, wh_t)
+    cos_i_wh = vdot(wi_trn, wh_t)
+    dt = _ggx_d(alpha, jnp.maximum(vdot(n, wh_t), 0.0))
+    gt = _ggx_g1(alpha, abs_o) * _ggx_g1(alpha, abs_i_tr)
+    frt, _ = _fresnel_dielectric_exact(cos_o_wh, eta_i, eta_t)
+    denom = cos_o_wh + eta * cos_i_wh
+    denom_sq = denom * denom
+    factor = (eta * eta) * jnp.abs(cos_i_wh) * jnp.abs(cos_o_wh)
+    factor = factor / jnp.maximum(abs_o * abs_i_tr * denom_sq, 1e-6)
+    ftr = ((1.0 - frt) * dt * gt * factor) \
+        * _pbr_transmission_tint(m, abs_i_tr)
+    f_tr = ftr * transmission
+    pdf_wh = _ggx_vndf_pdf(alpha, n, wo, wh_t)
+    dwh_dwi = jnp.abs((eta * eta * cos_i_wh) / jnp.maximum(denom_sq, 1e-8))
+    pdf_trans_r = pdf_wh * dwh_dwi
+    ok_tr = ((len2_tr > 0.0) & (cos_i_tr * cos_o < 0.0)
+             & (cos_o_wh * cos_i_wh <= 0.0) & (jnp.abs(denom_sq) > 1e-8))
+
+    wi_t = vwhere(smooth, wi_t0n, wi_trn)
+    f_t = vwhere(smooth, f_t0, f_tr)
+    pdf_trans = jnp.where(smooth, 1.0, pdf_trans_r)
+    ok_t = jnp.where(smooth, ok_t0, ok_tr)
+    state_t = jnp.where(smooth, state, state_tr)
+
+    wi = vwhere(lobe_spec, wi_s, vwhere(lobe_diff, wi_d, wi_t))
+    f = vwhere(lobe_spec, f_s, vwhere(lobe_diff, f_d, f_t))
+    branch_ok = jnp.where(lobe_spec, ok_s,
+                          jnp.where(lobe_diff, ok_d, ok_t))
+    new_state = jnp.where(lobe_spec, state_s,
+                          jnp.where(lobe_diff, state_d, state_t))
+    is_delta = smooth & jnp.logical_not(lobe_diff)
+    pdf_spec_sel = jnp.where(lobe_spec, pdf_spec, 0.0)
+    pdf_diff_sel = jnp.where(lobe_diff, pdf_diffuse, 0.0)
+    pdf_trans_sel = jnp.where(lobe_trans, pdf_trans, 0.0)
+    pdf = (p_spec * pdf_spec_sel + p_diff * pdf_diff_sel
+           + p_trans * pdf_trans_sel)
+
+    cos_i = vdot(n, wi)
+    abs_i = jnp.abs(cos_i)
+    weight = vmaximum(f * (abs_i / jnp.maximum(pdf, 1e-20)), 0.0)
+    ok = weights_ok & branch_ok & (abs_i > 0.0) & (pdf > 0.0) \
+        & vfinite(weight)
+
+    lobe_type = jnp.where(lobe_spec, 1.0, jnp.where(lobe_diff, 0.0, 2.0))
+    lobe_roughness = jnp.where(lobe_diff, 1.0, roughness)
+
+    out = Sample.invalid(pdf)
+    out = out._replace(
+        direction=vwhere(ok, wi, out.direction),
+        weight=vwhere(ok, weight, out.weight),
+        pdf=jnp.where(ok, pdf, 0.0),
+        directional_pdf=jnp.where(ok, pdf, 0.0),
+        is_delta=ok & is_delta,
+        lobe_type=jnp.where(ok, lobe_type, 0.0),
+        lobe_roughness=jnp.where(ok, lobe_roughness, 0.0))
+    return new_state, out
+
+
+def _evaluate_bsdf(m: Mat, n: V3, wo: V3, wi: V3, clamp_p: Clamp,
+                   diffuse_occlusion, types):
+    """(bsdf.evaluate_bsdf twin for the fused type set)
+    -> (value V3, pdf, is_delta)"""
+    cos_o = jnp.maximum(vdot(n, wo), 0.0)
+    cos_i = jnp.maximum(vdot(n, wi), 0.0)
+    geom_ok = (cos_i > 0.0) & (cos_o > 0.0)
+
+    value = vfull(cos_o, 0.0, 0.0, 0.0)
+    pdf = jnp.zeros_like(cos_o)
+    is_delta = jnp.zeros_like(cos_o, dtype=bool)
+
+    if C.MATERIAL_LAMBERTIAN in types:
+        mask = (m.mat_type == C.MATERIAL_LAMBERTIAN) & geom_ok
+        occ = jnp.clip(diffuse_occlusion, 0.0, 1.0)
+        albedo = _material_base_color(m) * occ
+        v = albedo * (1.0 / PI)
+        p = jnp.where(cos_i > 0.0, cos_i / PI, 0.0)
+        value = vwhere(mask, v, value)
+        pdf = jnp.where(mask, p, pdf)
+
+    if C.MATERIAL_METAL in types:
+        rough = jnp.clip(m.roughness, 0.0, 1.0)
+        smooth = rough <= 1e-3
+        mask = (m.mat_type == C.MATERIAL_METAL) & geom_ok
+        is_delta = is_delta | (mask & smooth)
+        alpha = rough * rough
+        wh = vsafe_normalize(wo + wi)
+        half_ok = (vdot(wh, n) > 0.0) & (vdot(wo, wh) > 0.0) \
+            & (vdot(wi, wh) > 0.0)
+        d = _ggx_d(alpha, vdot(n, wh))
+        g = _ggx_g1(alpha, cos_o) * _ggx_g1(alpha, cos_i)
+        f0 = _conductor_f0(m)
+        f = vwhere(_has_conductor_ior(m),
+                   _fresnel_conductor(vdot(wi, wh), m.conductor_eta,
+                                      m.conductor_k),
+                   _schlick_fresnel(f0, vdot(wi, wh)))
+        spec = f * (d * g / jnp.maximum(4.0 * cos_o * cos_i, 1e-6))
+        spec = spec * _specular_energy_compensation(f0, rough, cos_o)
+        spec = _clamp_specular_tail(spec, rough, f0, clamp_p)
+        p_raw = _ggx_pdf(alpha, n, wo, wi)
+        p_c = _clamp_specular_pdf(p_raw, clamp_p)
+        valid = mask & (~smooth) & half_ok & (p_raw > 0.0)
+        value = vwhere(valid, vmaximum(spec, 0.0), value)
+        pdf = jnp.where(valid, p_c, pdf)
+
+    if C.MATERIAL_DIELECTRIC in types:
+        is_delta = is_delta | (m.mat_type == C.MATERIAL_DIELECTRIC)
+
+    if C.MATERIAL_PBR in types:
+        mask = (m.mat_type == C.MATERIAL_PBR) & geom_ok
+        vv, pp, dd = _eval_pbr(m, n, wo, wi, clamp_p, diffuse_occlusion)
+        value = vwhere(mask, vv, value)
+        pdf = jnp.where(mask, pp, pdf)
+        is_delta = (mask & dd) | (~mask & is_delta)
+
+    bad = (pdf <= 0.0) | jnp.logical_not(vfinite(value))
+    value = vwhere(bad, vfull(pdf, 0.0, 0.0, 0.0), value)
+    return value, pdf, is_delta
+
+
+def _sample_bsdf(m: Mat, n: V3, wo: V3, incident: V3, front_face, state,
+                 clamp_p: Clamp, types, diffuse_occlusion=None) -> tuple:
+    """(bsdf.sample_bsdf twin for the fused type set)"""
+    out = Sample.invalid(m.roughness)
+    new_state = state
+    if diffuse_occlusion is None:
+        diffuse_occlusion = jnp.ones_like(m.roughness)
+
+    def merge(type_id, s, o):
+        nonlocal out, new_state
+        mask = m.mat_type == type_id
+        out = _sel_sample(mask, o, out)
+        new_state = jnp.where(mask, s, new_state)
+
+    if C.MATERIAL_LAMBERTIAN in types:
+        s, o = _sample_lambert(m, n, state, diffuse_occlusion)
+        merge(C.MATERIAL_LAMBERTIAN, s, o)
+    if C.MATERIAL_METAL in types:
+        s, o = _sample_metal(m, n, wo, incident, state, clamp_p)
+        merge(C.MATERIAL_METAL, s, o)
+    if C.MATERIAL_DIELECTRIC in types:
+        s, o = _sample_dielectric(m, n, incident, front_face, state)
+        merge(C.MATERIAL_DIELECTRIC, s, o)
+    if C.MATERIAL_PBR in types:
+        s, o = _sample_pbr(m, n, wo, incident, state, clamp_p,
+                           diffuse_occlusion)
+        merge(C.MATERIAL_PBR, s, o)
+    return new_state, out
+
+
+# ---------------------------------------------------------------------------
+# The kernels
+#
+# Three stages share one body generator:
+#   "full" — whole shade stage in one kernel (no NEE configs)
+#   "s1"   — pre-NEE: hit reconstruction, miss/background (+env MIS),
+#            medium absorption, material (+texture overrides), AOVs,
+#            emissive, env-NEE RNG draws -> transients
+#   "s2"   — post-NEE: env NEE eval/MIS add (given alias-stage results +
+#            shadow-trace occlusion), BSDF sample, medium stack, RR, commit
+# ---------------------------------------------------------------------------
+
+#: transient planes S1 -> S2 (values not recomputable in S2)
+TRANS = ["u1", "u2", "u3", "lrough", "snx", "sny", "snz",
+         "nfx", "nfy", "nfz", "px", "py", "pz", "active", "delta"]
+TRANS_IDX = {n: i for i, n in enumerate(TRANS)}
+
+#: env alias-stage results + occlusion, XLA -> S2
+ESMP = ["edx", "edy", "edz", "err", "erg", "erb", "epdf", "evalid", "occl"]
+ESMP_IDX = {n: i for i, n in enumerate(ESMP)}
+
+#: XLA texture-stage override planes (apply_pbr_textures outputs)
+TEX = ["tbr", "tbg", "tbb", "trough", "tmetal",
+       "temr", "temg", "temb", "tocc", "tpass"]
+TEX_IDX = {n: i for i, n in enumerate(TEX)}
+
+
+def _environment_lighting_roughness(m: Mat, types):
+    """(bsdf.environment_lighting_roughness twin for the fused type set)"""
+    rough = jnp.clip(m.roughness, 0.0, 1.0)
+    out = jnp.ones_like(rough)
+    if C.MATERIAL_METAL in types or C.MATERIAL_PBR in types:
+        out = jnp.where((m.mat_type == C.MATERIAL_METAL)
+                        | (m.mat_type == C.MATERIAL_PBR), rough, out)
+    return out
+
+
+def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex):
+    """One stage of the fused shade (see module docstring for the split)."""
+    L = layout
+    types = set(static.material_types)
+
+    # --- parse the positional ref list (mirrors _shade_call's order) ----
+    it = iter(refs)
+    mat_ref = next(it)
+    scal_ref = next(it)
+    carry_ref = next(it)
+    state_ref = next(it)
+    t_ref = next(it)
+    tri_ref = next(it)
+    u_ref = next(it)
+    v_ref = next(it)
+    row_ref = next(it)
+    envbg_ref = next(it) if (env_mode and stage in ("s1",)) else None
+    envpdf_ref = next(it) if (env_mode and stage in ("s1",)) else None
+    trans_in_ref = next(it) if stage == "s2" else None
+    esmp_ref = next(it) if stage == "s2" else None
+    tex_ref = next(it) if has_tex else None
+    out_ref = next(it)
+    ostate_ref = next(it)
+    trans_out_ref = next(it) if stage == "s1" else None
+
+    def ld(name):
+        return carry_ref[L[name], 0]
+
+    def ldv(names):
+        a, b, c = names
+        return V3(ld(a), ld(b), ld(c))
+
+    def st(name, val):
+        out_ref[L[name], 0] = val
+
+    def stv(names, v: V3):
+        a, b, c = names
+        out_ref[L[a], 0] = v.x
+        out_ref[L[b], 0] = v.y
+        out_ref[L[c], 0] = v.z
+
+    def scal(name):
+        return scal_ref[SCAL_IDX[name]]
+
+    def trans_in(name):
+        return trans_in_ref[TRANS_IDX[name], 0]
+
+    def trans_out(name, val):
+        trans_out_ref[TRANS_IDX[name], 0] = val
+
+    def tex(name):
+        return tex_ref[TEX_IDX[name], 0]
+
+    def esmp(name):
+        return esmp_ref[ESMP_IDX[name], 0]
+
+    clamp_p = Clamp(
+        factor=scal("clamp_factor"), floor=scal("clamp_floor"),
+        throughput=scal("throughput_clamp"), tail_base=scal("spec_tail_base"),
+        tail_rough=scal("spec_tail_rough"),
+        min_spec_pdf=scal("min_spec_pdf"),
+        max_contribution=scal("max_contribution"),
+        enabled=scal("clamp_enabled"))
+    depth = scal("depth")
+
+    alive0 = ld("alive") > 0.5
+    state0 = state_ref[0]
+    ray_o = ldv(("ox", "oy", "oz"))
+    ray_d = ldv(("dx", "dy", "dz"))
+    throughput0 = ldv(("tpr", "tpg", "tpb"))
+    radiance = ldv(("rr", "rg", "rb"))
+
+    t_hit = t_ref[0]
+    tri = tri_ref[0]
+    bu = u_ref[0]
+    bv = v_ref[0]
+    hit = tri >= 0.0
+    zero3 = vfull(t_hit, 0.0, 0.0, 0.0)
+
+    # ---- hit reconstruction (traversal._hit_record_from_best twin) -----
+    def rowv(i):
+        return V3(row_ref[i, 0], row_ref[i + 1, 0], row_ref[i + 2, 0])
+
+    tv0 = rowv(0)
+    tv1 = rowv(3)
+    tv2 = rowv(6)
+    mid = row_ref[18, 0]
+    mesh_idx = row_ref[19, 0]
+    geo_n = vsafe_normalize(vcross(tv1 - tv0, tv2 - tv0))
+    front = vdot(ray_d, geo_n) < 0.0
+    n_faced = vwhere(front, geo_n, -geo_n)
+
+    if stage == "s2":
+        shading_normal = V3(trans_in("snx"), trans_in("sny"), trans_in("snz"))
+        n_faced = V3(trans_in("nfx"), trans_in("nfy"), trans_in("nfz"))
+        point = V3(trans_in("px"), trans_in("py"), trans_in("pz"))
+    else:
+        tn0 = rowv(9)
+        tn1 = rowv(12)
+        tn2 = rowv(15)
+        w0 = jnp.maximum(1.0 - bu - bv, 0.0)
+        w1 = jnp.maximum(bu, 0.0)
+        w2 = jnp.maximum(bv, 0.0)
+        w_sum = w0 + w1 + w2
+        has_w = w_sum > 1e-8
+        inv_w = 1.0 / jnp.where(has_w, w_sum, 1.0)
+        w0 = jnp.where(has_w, w0 * inv_w, 1.0)
+        w1 = jnp.where(has_w, w1 * inv_w, 0.0)
+        w2 = jnp.where(has_w, w2 * inv_w, 0.0)
+        sn = tn0 * w0 + tn1 * w1 + tn2 * w2
+        sn_ok = vfinite(sn) & (vdot(sn, sn) > 0.0)
+        sn = vwhere(vdot(sn, n_faced) < 0.0, -sn, sn)
+        sn = vsafe_normalize(sn)
+        shading_normal = vwhere(sn_ok, sn, n_faced)
+        point = ray_o + ray_d * t_hit
+
+    # ---- material fetch (+ texture-stage overrides) --------------------
+    m = _fetch_material(mat_ref, jnp.clip(mid, 0.0, float(m_count - 1)),
+                        m_count)
+    diffuse_occlusion = jnp.ones_like(t_hit)
+    pbr_emissive = m.emission
+    passthrough = jnp.zeros_like(hit)
+    if has_tex:
+        m = m._replace(
+            base=V3(tex("tbr"), tex("tbg"), tex("tbb")),
+            roughness=tex("trough"),
+            pbr_metallic=tex("tmetal"))
+        pbr_emissive = V3(tex("temr"), tex("temg"), tex("temb"))
+        diffuse_occlusion = tex("tocc")
+        passthrough = tex("tpass") > 0.5
+    incident = vnormalize(ray_d)
+    wo = -incident
+    if C.MATERIAL_DIELECTRIC in types:
+        shading_normal = vwhere(m.mat_type == C.MATERIAL_DIELECTRIC,
+                                n_faced, shading_normal)
+
+    active = alive0 & hit
+
+    if stage in ("full", "s1"):
+        # ---- miss: background (integrator body) ------------------------
+        miss = alive0 & jnp.logical_not(hit)
+        if env_mode:
+            background = V3(envbg_ref[0, 0], envbg_ref[1, 0],
+                            envbg_ref[2, 0])
+        elif static.background_mode == 1:
+            background = V3(jnp.ones_like(t_hit) * scal("bg_r"),
+                            jnp.ones_like(t_hit) * scal("bg_g"),
+                            jnp.ones_like(t_hit) * scal("bg_b"))
+        else:
+            unit = vnormalize(ray_d)
+            tt = 0.5 * (unit.y + 1.0)
+            background = V3(1.0 + (0.5 - 1.0) * tt, 1.0 + (0.7 - 1.0) * tt,
+                            jnp.ones_like(tt))
+        if static.working_color_space == 1 and not env_mode:
+            background = to_acescg(background)
+        mis_weight = jnp.ones_like(t_hit)
+        if env_mode:
+            use_specular_mis = jnp.logical_or(
+                jnp.logical_not(ld("last_delta") > 0.5),
+                static.enable_specular_nee or static.enable_mnee)
+            light_pdf = envpdf_ref[0]
+            last_pdf0 = ld("last_pdf")
+            denom = last_pdf0 + light_pdf
+            wmis = jnp.clip(last_pdf0 / jnp.maximum(denom, 1e-30),
+                            C.MIS_WEIGHT_CLAMP_MIN, C.MIS_WEIGHT_CLAMP_MAX)
+            mis_weight = jnp.where(use_specular_mis & (denom > 0.0),
+                                   wmis, mis_weight)
+        bg_contrib = _clamp_firefly(throughput0, background * mis_weight,
+                                    clamp_p)
+        radiance = radiance + vwhere(miss, bg_contrib, zero3)
+
+        # ---- medium absorption (Beer–Lambert) --------------------------
+        if L.has_medium:
+            med_depth = ld("med_depth")
+            in_medium = active & (med_depth > 0.5)
+            top = jnp.clip(med_depth - 1.0, 0.0, float(L.med_slots - 1))
+            sigma = zero3
+            for s in range(L.med_slots):
+                sigma = vwhere(jnp.abs(top - float(s)) < 0.5,
+                               ldv((f"med{s}r", f"med{s}g", f"med{s}b")),
+                               sigma)
+            segment = jnp.maximum(t_hit, 0.0)
+            att = V3(jnp.exp(-sigma.x * segment),
+                     jnp.exp(-sigma.y * segment),
+                     jnp.exp(-sigma.z * segment))
+            has_sigma = (sigma.x > 0.0) | (sigma.y > 0.0) | (sigma.z > 0.0)
+            throughput = vwhere(in_medium & has_sigma, throughput0 * att,
+                                throughput0)
+        else:
+            throughput = throughput0
+
+        # ---- first-hit AOVs --------------------------------------------
+        first_hit = ld("first_hit") > 0.5
+        record_aov = active & first_hit & jnp.logical_not(passthrough)
+        aov_albedo = vwhere(record_aov, _material_base_color(m),
+                            ldv(("aar", "aag", "aab")))
+        aov_normal = vwhere(record_aov, shading_normal,
+                            ldv(("anx", "any", "anz")))
+        first_hit_next = first_hit & jnp.logical_not(
+            active & jnp.logical_not(passthrough))
+
+        # ---- PBR emissive additive -------------------------------------
+        two_sided = jnp.zeros_like(front)
+        if C.MATERIAL_PBR in types:
+            two_sided = (m.mat_type == C.MATERIAL_PBR) \
+                & (m.pbr_double_sided > 0.5)
+            has_em = (pbr_emissive.x != 0.0) | (pbr_emissive.y != 0.0) \
+                | (pbr_emissive.z != 0.0)
+            pbr_emit = (active & jnp.logical_not(passthrough)
+                        & (m.mat_type == C.MATERIAL_PBR) & has_em
+                        & (front | two_sided))
+            contrib = _clamp_firefly(throughput, pbr_emissive, clamp_p)
+            radiance = radiance + vwhere(pbr_emit, contrib, zero3)
+
+        # ---- DiffuseLight hit -> emit, terminate -----------------------
+        # (env-modulated emission is gated out of the fused env path)
+        light_hit = active & (m.mat_type == C.MATERIAL_DIFFUSE_LIGHT)
+        if C.MATERIAL_DIFFUSE_LIGHT in types:
+            emission = m.emission
+            has_em = (emission.x != 0.0) | (emission.y != 0.0) \
+                | (emission.z != 0.0)
+            emit_ok = has_em & (front | two_sided)
+            add = light_hit & emit_ok
+            contrib = _clamp_firefly(throughput, emission, clamp_p)
+            radiance = radiance + vwhere(add, contrib, zero3)
+        active = active & jnp.logical_not(light_hit)
+    else:
+        # S2 recomputes post-light active & throughput written by S1
+        active = trans_in("active") > 0.5
+        throughput = throughput0      # S1 stored the attenuated value
+        first_hit_next = None
+
+    if stage == "s1":
+        # ---- env NEE draws (sample_environment's 3 draws) --------------
+        surface_is_delta = _material_is_delta(m)
+        nee_lanes = (active & jnp.logical_not(surface_is_delta)
+                     & jnp.logical_not(passthrough))
+        s_env = state0
+        s_env, u1 = _rand(s_env)
+        s_env, u2 = _rand(s_env)
+        s_env, u3 = _rand(s_env)
+        state1 = jnp.where(nee_lanes, s_env, state0)
+
+        keep = alive0
+        ostate_ref[0] = jnp.where(keep, state1, state0)
+        # carry: radiance adds, attenuated throughput, AOVs, first-hit
+        stv(("rr", "rg", "rb"),
+            vwhere(keep, radiance, ldv(("rr", "rg", "rb"))))
+        stv(("tpr", "tpg", "tpb"),
+            vwhere(keep, throughput, throughput0))
+        stv(("aar", "aag", "aab"),
+            vwhere(keep, aov_albedo, ldv(("aar", "aag", "aab"))))
+        stv(("anx", "any", "anz"),
+            vwhere(keep, aov_normal, ldv(("anx", "any", "anz"))))
+        st("first_hit", jnp.where(keep,
+                                  jnp.where(first_hit_next, 1.0, 0.0),
+                                  ld("first_hit")))
+        # untouched planes pass through
+        for nm in L.names:
+            if nm in ("rr", "rg", "rb", "tpr", "tpg", "tpb",
+                      "aar", "aag", "aab", "anx", "any", "anz",
+                      "first_hit"):
+                continue
+            st(nm, ld(nm))
+        # transients
+        trans_out("u1", u1)
+        trans_out("u2", u2)
+        trans_out("u3", u3)
+        trans_out("lrough", _environment_lighting_roughness(m, types))
+        trans_out("snx", shading_normal.x)
+        trans_out("sny", shading_normal.y)
+        trans_out("snz", shading_normal.z)
+        trans_out("nfx", n_faced.x)
+        trans_out("nfy", n_faced.y)
+        trans_out("nfz", n_faced.z)
+        trans_out("px", point.x)
+        trans_out("py", point.y)
+        trans_out("pz", point.z)
+        trans_out("active", jnp.where(active, 1.0, 0.0))
+        trans_out("delta", jnp.where(surface_is_delta, 1.0, 0.0))
+        return
+
+    if stage == "s2":
+        # ---- env NEE contribution (integrator body env section) --------
+        surface_is_delta = trans_in("delta") > 0.5
+        nee_lanes = (active & jnp.logical_not(surface_is_delta)
+                     & jnp.logical_not(passthrough))
+        e_dir = V3(esmp("edx"), esmp("edy"), esmp("edz"))
+        e_radiance = V3(esmp("err"), esmp("erg"), esmp("erb"))
+        e_pdf = esmp("epdf")
+        e_valid = esmp("evalid") > 0.5
+        occluded = esmp("occl") > 0.5
+        n_dot_l = jnp.maximum(vdot(shading_normal, e_dir), 0.0)
+        do_shadow = nee_lanes & e_valid & (e_pdf > 0.0) & (n_dot_l > 0.0)
+        ev_value, ev_pdf, ev_delta = _evaluate_bsdf(
+            m, shading_normal, wo, e_dir, clamp_p, diffuse_occlusion, types)
+        max_comp = vmax(ev_value)
+        wmis = jnp.ones_like(e_pdf)
+        denom = e_pdf + ev_pdf
+        wmis = jnp.where(ev_pdf > 0.0,
+                         jnp.clip(e_pdf / jnp.maximum(denom, 1e-30),
+                                  C.MIS_WEIGHT_CLAMP_MIN,
+                                  C.MIS_WEIGHT_CLAMP_MAX), wmis)
+        contribution = (e_radiance * ev_value
+                        * (n_dot_l * wmis / jnp.maximum(e_pdf, 1e-30)))
+        add = (do_shadow & jnp.logical_not(occluded)
+               & jnp.logical_not(ev_delta)
+               & (max_comp > 0.0) & vfinite(contribution))
+        clamped = _clamp_firefly(throughput, contribution, clamp_p)
+        radiance = radiance + vwhere(add, clamped, zero3)
+
+    # ---- BSDF sampling (stages "full" and "s2") ------------------------
+    nstate, smp = _sample_bsdf(m, shading_normal, wo, incident, front,
+                               state0, clamp_p, types, diffuse_occlusion)
+    state = jnp.where(active & jnp.logical_not(passthrough), nstate, state0)
+
+    # alpha pass-through: continue as a delta bounce along the same ray
+    if has_tex and C.MATERIAL_PBR in types:
+        one = jnp.ones_like(t_hit)
+        pt_smp = Sample(
+            direction=ray_d, weight=V3(one, one, one), pdf=one,
+            directional_pdf=one,
+            is_delta=jnp.ones_like(hit),
+            medium_event=jnp.zeros_like(one),
+            lobe_type=jnp.zeros_like(one),
+            lobe_roughness=jnp.zeros_like(one))
+        smp = _sel_sample(passthrough, pt_smp, smp)
+
+    active = active & (smp.pdf > 0.0)
+
+    # ---- medium stack push/pop -----------------------------------------
+    if L.has_medium:
+        med_depth = ld("med_depth")
+        push = active & (smp.medium_event > 0.5)
+        pop = active & (smp.medium_event < -0.5)
+        sigma_in = vmaximum(m.sigma_a, 0.0)
+        slot = jnp.clip(med_depth, 0.0, float(L.med_slots - 1))
+        for s in range(L.med_slots):
+            wr = push & (jnp.abs(slot - float(s)) < 0.5)
+            cur = ldv((f"med{s}r", f"med{s}g", f"med{s}b"))
+            stv((f"med{s}r", f"med{s}g", f"med{s}b"),
+                vwhere(wr & alive0, sigma_in, cur))
+        med_next = med_depth
+        med_next = jnp.where(push, jnp.minimum(med_next + 1.0,
+                                               float(L.med_slots)), med_next)
+        med_next = jnp.where(pop, jnp.maximum(med_next - 1.0, 0.0), med_next)
+        st("med_depth", jnp.where(alive0, med_next, med_depth))
+
+    # ---- next ray origin (intersect.offset_ray_origin twin) ------------
+    off_n = shading_normal
+    bad = jnp.logical_not(vfinite(off_n)) | (vdot(off_n, off_n) <= 0.0)
+    off_n = vwhere(bad, n_faced, off_n)
+    sign = jnp.where(vdot(smp.direction, off_n) >= 0.0, 1.0, -1.0)
+    distance = jnp.maximum(jnp.abs(t_hit) * 1e-4, C.RAY_ORIGIN_EPSILON)
+    next_origin = (point + off_n * (sign * distance)
+                   + smp.direction * (C.RAY_ORIGIN_EPSILON * 0.5))
+
+    # ---- throughput update + clamps ------------------------------------
+    throughput_next = throughput * smp.weight
+    throughput_next = _clamp_path_throughput(throughput_next, clamp_p)
+    finite_tp = vfinite(throughput_next)
+    max_tp = vmax(throughput_next)
+    active = active & finite_tp & (max_tp > 0.0)
+
+    # ---- env LOD carry (integrator body :563-577) ----------------------
+    if env_mode:
+        max_mip = scal("env_max_mip")
+        next_active = (smp.lobe_type > 0.5) & jnp.logical_not(smp.is_delta)
+        alpha_l = jnp.clip(smp.lobe_roughness, 0.0, 1.0)
+        next_lod = jnp.clip(alpha_l * alpha_l * max_mip, 0.0, max_mip)
+        st("env_lod", jnp.where(alive0,
+                                jnp.where(active & next_active, next_lod,
+                                          0.0), ld("env_lod")))
+        st("env_lod_act", jnp.where(
+            alive0, jnp.where(active & next_active, 1.0, 0.0),
+            ld("env_lod_act")))
+
+    # ---- ray cone ------------------------------------------------------
+    hit_world = jnp.maximum(t_hit, 0.0) * jnp.sqrt(
+        jnp.maximum(vdot(ray_d, ray_d), 1e-12))
+    cone_w0 = ld("cone_w")
+    cone_s0 = ld("cone_s")
+    cone_at_hit = jnp.maximum(cone_w0 + cone_s0 * hit_world, 1e-7)
+    rough_l = jnp.clip(smp.lobe_roughness, 0.0, 1.0)
+    inc = jnp.where(smp.lobe_type < 0.5, 0.55,
+                    jnp.where(smp.lobe_type < 1.5,
+                              0.03 + (0.45 - 0.03) * rough_l,
+                              0.10 + (0.60 - 0.10) * rough_l))
+    inc = jnp.where(smp.is_delta, 0.0, inc)
+    cone_w = jnp.where(active, cone_at_hit, cone_w0)
+    cone_s = jnp.where(active, jnp.minimum(cone_s0 + inc, 1.5), cone_s0)
+
+    # ---- bookkeeping + Russian roulette --------------------------------
+    last_pdf = jnp.where(smp.directional_pdf > 0.0, smp.directional_pdf,
+                         smp.pdf)
+    state_rr = state
+    if static.use_russian_roulette:
+        do_rr = active & (depth >= 4.5) & jnp.logical_not(passthrough)
+        nstate2, xi = _rand(state)
+        cont_p = jnp.clip(max_tp, 0.05, 0.95)
+        survive = xi <= cont_p
+        throughput_next = vwhere(do_rr & survive,
+                                 throughput_next * (1.0 / cont_p),
+                                 throughput_next)
+        active = active & (survive | jnp.logical_not(do_rr))
+        state_rr = jnp.where(do_rr, nstate2, state)
+
+    # ---- commit (dead lanes keep entry values) -------------------------
+    keep = alive0
+
+    def sel(new, old):
+        return jnp.where(keep, new, old)
+
+    ostate_ref[0] = jnp.where(keep, state_rr, state0)
+    stv(("ox", "oy", "oz"), vwhere(keep, next_origin, ray_o))
+    stv(("dx", "dy", "dz"), vwhere(keep, smp.direction, ray_d))
+    stv(("tpr", "tpg", "tpb"), vwhere(keep, throughput_next, throughput0))
+    stv(("rr", "rg", "rb"), vwhere(keep, radiance, ldv(("rr", "rg", "rb"))))
+    st("alive", sel(jnp.where(alive0 & active, 1.0, 0.0), ld("alive")))
+    st("last_pdf", sel(last_pdf, ld("last_pdf")))
+    st("last_delta", sel(jnp.where(smp.is_delta, 1.0, 0.0),
+                         ld("last_delta")))
+    st("prev_valid", sel(jnp.where(hit, 1.0, 0.0), ld("prev_valid")))
+    st("prev_mesh", sel(jnp.where(hit, mesh_idx, -1.0), ld("prev_mesh")))
+    st("prev_prim", sel(jnp.where(hit, tri, -1.0), ld("prev_prim")))
+    if stage == "full":
+        st("first_hit", sel(jnp.where(first_hit_next, 1.0, 0.0),
+                            ld("first_hit")))
+        stv(("aar", "aag", "aab"), vwhere(keep, aov_albedo,
+                                          ldv(("aar", "aag", "aab"))))
+        stv(("anx", "any", "anz"), vwhere(keep, aov_normal,
+                                          ldv(("anx", "any", "anz"))))
+    else:
+        st("first_hit", ld("first_hit"))
+        stv(("aar", "aag", "aab"), ldv(("aar", "aag", "aab")))
+        stv(("anx", "any", "anz"), ldv(("anx", "any", "anz")))
+    st("cone_w", sel(cone_w, cone_w0))
+    st("cone_s", sel(cone_s, cone_s0))
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver
+# ---------------------------------------------------------------------------
+
+def fused_supported(scene, static) -> bool:
+    """Gate: the configs whose shade stage this kernel covers exactly."""
+    from metal_pathtracer_tpu.ops.intersect import _use_pallas
+
+    if os.environ.get("MPT_FUSED_SHADE", "1") != "1":
+        return False
+    interp = os.environ.get("MPT_FUSED_INTERPRET", "0") == "1"
+    if not interp and not _use_pallas():
+        return False
+    if scene.triangles is None:
+        return False
+    if scene.tri_packet is None and not interp:
+        return False
+    if scene.triangles.count == 0:
+        return False
+    if scene.spheres.count > 0 or scene.rects.count > 0:
+        return False
+    if scene.materials.count > 32:
+        return False
+    if scene.light_rect_indices is not None and \
+            scene.light_rect_indices.shape[0] > 0:
+        return False
+    if static.debug_specular_only:
+        return False
+    types = set(static.material_types)
+    if not types <= {C.MATERIAL_LAMBERTIAN, C.MATERIAL_METAL,
+                     C.MATERIAL_DIELECTRIC, C.MATERIAL_DIFFUSE_LIGHT,
+                     C.MATERIAL_PBR}:
+        return False
+    env_mode = static.background_mode == 2
+    if env_mode:
+        if scene.environment is None:
+            return False
+        # spec-NEE/MNEE chains would fire with an env map: XLA path
+        if static.enable_specular_nee or static.enable_mnee:
+            return False
+        # env-modulated light emission needs env gathers per light hit
+        if C.MATERIAL_DIFFUSE_LIGHT in types:
+            return False
+    if scene.textures is not None and C.MATERIAL_PBR in types:
+        # fused texture pre-stage covers base-color-slot-only, fully
+        # opaque sets (static fact computed at scene build)
+        if not getattr(scene, "tex_base_only_opaque", False):
+            return False
+    return True
+
+
+def _pack_scalars(uniforms, depth, env=None):
+    from metal_pathtracer_tpu.ops import bsdf as bsdf_ops
+
+    p = bsdf_ops.make_clamp_params(uniforms)
+    vals = [depth.astype(jnp.float32), p.clamp_factor, p.clamp_floor,
+            p.throughput_clamp, p.specular_tail_base,
+            p.specular_tail_roughness_scale, p.min_specular_pdf,
+            p.max_contribution, p.enabled,
+            uniforms.background_color[0], uniforms.background_color[1],
+            uniforms.background_color[2],
+            jnp.float32(0.0 if env is None else float(len(env.mips)))]
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
+
+
+def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
+                mat_table, scal, carry, state, t, tri, u, v, rows,
+                envbg=None, envpdf=None, trans=None, esmp=None, tex=None):
+    env_mode = static.background_mode == 2
+    has_tex = tex is not None
+    kern = functools.partial(_shade_kernel, stage=stage, layout=layout,
+                             static=static, m_count=m_count,
+                             env_mode=env_mode, has_tex=has_tex)
+    grid = (n_blocks,)
+
+    def plane_spec(p):
+        return pl.BlockSpec((p, 1, ROWS, LANES), lambda g: (0, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    lane_spec = pl.BlockSpec((1, ROWS, LANES), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(mat_table.shape, lambda g: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(scal.shape, lambda g: (0,), memory_space=pltpu.SMEM),
+        plane_spec(layout.P), lane_spec, lane_spec, lane_spec, lane_spec,
+        lane_spec, plane_spec(20),
+    ]
+    inputs = [mat_table, scal, carry, state, t, tri, u, v, rows]
+    if env_mode and stage == "s1":
+        in_specs += [plane_spec(3), lane_spec]
+        inputs += [envbg, envpdf]
+    if stage == "s2":
+        in_specs += [plane_spec(len(TRANS)), plane_spec(len(ESMP))]
+        inputs += [trans, esmp]
+    if has_tex:
+        in_specs.append(plane_spec(len(TEX)))
+        inputs.append(tex)
+
+    out_specs = [plane_spec(layout.P), lane_spec]
+    out_shape = [jax.ShapeDtypeStruct(carry.shape, jnp.float32),
+                 jax.ShapeDtypeStruct(state.shape, jnp.uint32)]
+    if stage == "s1":
+        out_specs.append(plane_spec(len(TRANS)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (len(TRANS), n_blocks, ROWS, LANES), jnp.float32))
+
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=os.environ.get("MPT_FUSED_INTERPRET", "0") == "1",
+    )(*inputs)
+    return outs
+
+
+def _trace_raw(scene, o3, d3, t_min, lane_tmax, ex_mesh, ex_prim,
+               any_hit=False):
+    """(t, tri, u, v) raw trace: the packet kernel on TPU, the jnp
+    reference traversal under interpret-mode tests."""
+    from metal_pathtracer_tpu.ops.intersect import _use_pallas
+
+    if _use_pallas():
+        from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
+        return packet_trace(o3, d3, t_min, lane_tmax, scene.tri_packet,
+                            exclude_prim=ex_prim, any_hit=any_hit)
+    from metal_pathtracer_tpu.ops import traversal
+    rec = traversal.trace_triangles(o3, d3, scene, t_min, lane_tmax,
+                                    exclude_mesh=ex_mesh,
+                                    exclude_prim=ex_prim)
+    tri = jnp.where(rec.hit, rec.prim_index, -1)
+    return rec.t, tri, rec.barycentric[..., 0], rec.barycentric[..., 1]
+
+
+def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
+    """Drop-in for integrator.trace_paths on fused-supported configs.
+
+    Returns (state, radiance, aov_albedo, aov_normal, stats).
+    """
+    n = ray_o.shape[0]
+    n_blocks = max((n + BLOCK - 1) // BLOCK, 1)
+    padded = n_blocks * BLOCK
+
+    types = set(static.material_types)
+    env_mode = static.background_mode == 2
+    has_medium = bool(types & {C.MATERIAL_DIELECTRIC, C.MATERIAL_PBR,
+                               C.MATERIAL_SUBSURFACE})
+    has_tex = (scene.textures is not None and C.MATERIAL_PBR in types)
+    layout = Layout(has_medium, env_mode)
+    m_count = int(scene.materials.count)
+    mat_table = pack_material_table(scene.materials)
+    env = scene.environment
+
+    def pad1(a, fill=0.0):
+        # inputs are (n,) (host wavefront) or already (padded,) (trace
+        # outputs / derived planes) — pad only what needs it
+        short = padded - a.shape[0]
+        if short == 0:
+            return a
+        return jnp.pad(a, (0, short), constant_values=fill)
+
+    def shp(a):
+        return a.reshape(n_blocks, ROWS, LANES)
+
+    def unshp(a):
+        return a.reshape(padded)
+
+    def planes3(x, y, z):
+        return jnp.stack([shp(pad1(x)), shp(pad1(y)), shp(pad1(z))])
+
+    # initial carry planes (integrator.trace_paths init twin)
+    zero = jnp.zeros(padded, jnp.float32)
+    one = jnp.ones(padded, jnp.float32)
+    from metal_pathtracer_tpu.ops.integrator import _primary_cone_spread
+    planes = {name: zero for name in layout.names}
+    planes.update(
+        ox=pad1(ray_o[:, 0]), oy=pad1(ray_o[:, 1]), oz=pad1(ray_o[:, 2]),
+        dx=pad1(ray_d[:, 0], 1.0), dy=pad1(ray_d[:, 1]),
+        dz=pad1(ray_d[:, 2]),
+        tpr=one, tpg=one, tpb=one,
+        alive=pad1(jnp.ones(n, jnp.float32)),
+        last_pdf=one, last_delta=one,
+        prev_mesh=-one, prev_prim=-one,
+        first_hit=one,
+        cone_w=jnp.broadcast_to(
+            jnp.maximum(2.0 * uniforms.camera.lens_radius, 0.0),
+            (padded,)).astype(jnp.float32),
+        cone_s=jnp.broadcast_to(
+            _primary_cone_spread(uniforms, static),
+            (padded,)).astype(jnp.float32),
+    )
+    carry = jnp.stack([shp(planes[nm]) for nm in layout.names])
+    state_p = shp(pad1(state.astype(jnp.uint32)))
+    n_rays0 = jnp.float32(0.0)
+    n_shadow0 = jnp.float32(0.0)
+
+    def shp_rows(rows):
+        short = padded - rows.shape[0]
+        if short:
+            rows = jnp.pad(rows, ((0, short), (0, 0)))
+        return rows.T[:20].reshape(20, n_blocks, ROWS, LANES)
+
+    def cond(loop):
+        depth, carry, state_p, n_rays, n_shadow = loop
+        return jnp.logical_and(
+            depth < static.max_depth,
+            jnp.any(carry[layout["alive"]] > 0.5))
+
+    def body(loop):
+        depth, carry, state_p, n_rays, n_shadow = loop
+        alive = unshp(carry[layout["alive"]]) > 0.5
+        n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
+
+        cget = lambda nm: unshp(carry[layout[nm]])
+        o3 = jnp.stack([cget(c) for c in ("ox", "oy", "oz")], -1)
+        d3 = jnp.stack([cget(c) for c in ("dx", "dy", "dz")], -1)
+        prev_valid = cget("prev_valid") > 0.5
+        ex_prim = jnp.where(prev_valid, cget("prev_prim"),
+                            -1.0).astype(jnp.int32)
+        ex_mesh = jnp.where(prev_valid, cget("prev_mesh"),
+                            -1.0).astype(jnp.int32)
+        lane_tmax = jnp.where(alive, C.INFINITY_T, 0.0)
+        t, tri, u, v = _trace_raw(scene, o3, d3, C.EPSILON_T, lane_tmax,
+                                  ex_mesh, ex_prim)
+        tri_i = tri.astype(jnp.int32)
+        rows = scene.triangles.shade_packed[
+            jnp.clip(tri_i, 0, scene.triangles.count - 1)]   # (n, 24)
+        rows_t = shp_rows(rows)
+        scal = _pack_scalars(uniforms, depth, env)
+        args = dict(
+            mat_table=mat_table, scal=scal,
+            t=shp(pad1(t)), tri=shp(pad1(tri.astype(jnp.float32),
+                                         fill=-1.0)),
+            u=shp(pad1(u)), v=shp(pad1(v)), rows=rows_t)
+
+        tex_planes = None
+        if has_tex:
+            tex_planes = _texture_stage(scene, uniforms, static, carry,
+                                        layout, o3, d3, t, tri_i, u, v,
+                                        depth, pad1, shp, unshp)
+        if not env_mode:
+            carry, state_p = _shade_call(
+                "full", layout, static, m_count, n_blocks,
+                carry=carry, state=state_p, tex=tex_planes, **args)
+            return depth + 1, carry, state_p, n_rays, n_shadow
+
+        # ---- env path: XLA background/pdf, S1, alias stage, shadow, S2
+        from metal_pathtracer_tpu.ops import env as env_ops
+        bg = env_ops.environment_background(
+            env, d3, uniforms, static, cget("env_lod"),
+            cget("env_lod_act") > 0.5)
+        env_pdf_d = env_ops.environment_pdf(env, d3,
+                                            uniforms.environment_rotation)
+        carry, state_p, trans = _shade_call(
+            "s1", layout, static, m_count, n_blocks,
+            carry=carry, state=state_p,
+            envbg=planes3(bg[:, 0], bg[:, 1], bg[:, 2]),
+            envpdf=shp(pad1(env_pdf_d)), tex=tex_planes, **args)
+
+        tget = lambda nm: unshp(trans[TRANS_IDX[nm]])
+        e_dir, e_rad, e_pdf, e_valid = \
+            env_ops.sample_environment_from_uniforms(
+                env, tget("u1"), tget("u2"), tget("u3"), uniforms, static,
+                tget("lrough"))
+        sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
+        nf3 = jnp.stack([tget("nfx"), tget("nfy"), tget("nfz")], -1)
+        p3 = jnp.stack([tget("px"), tget("py"), tget("pz")], -1)
+        n_dot_l = jnp.maximum(jnp.sum(sn3 * e_dir, -1), 0.0)
+        nee_lanes = ((tget("active") > 0.5) & (tget("delta") < 0.5))
+        if has_tex:
+            nee_lanes = nee_lanes & (unshp(tex_planes[TEX_IDX["tpass"]])
+                                     < 0.5)
+        do_shadow = nee_lanes & e_valid & (e_pdf > 0.0) & (n_dot_l > 0.0)
+        n_shadow = n_shadow + jnp.sum(do_shadow.astype(jnp.float32))
+        # offset_ray_origin twin over the exported hit planes
+        sn_len2 = jnp.sum(sn3 * sn3, -1)
+        off_bad = ~jnp.all(jnp.isfinite(sn3), -1) | (sn_len2 <= 0.0)
+        off_n = jnp.where(off_bad[..., None], nf3, sn3)
+        sgn = jnp.where(jnp.sum(e_dir * off_n, -1) >= 0.0, 1.0, -1.0)
+        dist = jnp.maximum(jnp.abs(t) * 1e-4, C.RAY_ORIGIN_EPSILON)
+        shadow_o = (p3 + off_n * (sgn * dist)[..., None]
+                    + e_dir * (C.RAY_ORIGIN_EPSILON * 0.5))
+        shadow_max = jnp.where(do_shadow, C.INFINITY_T, 0.0)
+        _, s_tri, _, _ = _trace_raw(scene, shadow_o, e_dir, C.EPSILON_T,
+                                    shadow_max, None, None, any_hit=True)
+        occluded = s_tri >= 0
+
+        esmp = jnp.stack([
+            shp(e_dir[:, 0]), shp(e_dir[:, 1]), shp(e_dir[:, 2]),
+            shp(e_rad[:, 0]), shp(e_rad[:, 1]), shp(e_rad[:, 2]),
+            shp(e_pdf), shp(e_valid.astype(jnp.float32)),
+            shp(occluded.astype(jnp.float32))])
+        carry, state_p = _shade_call(
+            "s2", layout, static, m_count, n_blocks,
+            carry=carry, state=state_p, trans=trans, esmp=esmp,
+            tex=tex_planes, **args)
+        return depth + 1, carry, state_p, n_rays, n_shadow
+
+    depth0 = jnp.int32(0)
+    _, carry, state_p, n_rays, n_shadow = jax.lax.while_loop(
+        cond, body, (depth0, carry, state_p, n_rays0, n_shadow0))
+
+    def unp(nm):
+        return unshp(carry[layout[nm]])[:n]
+
+    radiance = jnp.stack([unp("rr"), unp("rg"), unp("rb")], -1)
+    aov_albedo = jnp.stack([unp("aar"), unp("aag"), unp("aab")], -1)
+    aov_normal = jnp.stack([unp("anx"), unp("any"), unp("anz")], -1)
+    out_state = state_p.reshape(padded)[:n]
+    stats = {"rays": n_rays, "shadow_rays": n_shadow}
+    return out_state, radiance, aov_albedo, aov_normal, stats
+
+
+def _texture_stage(scene, uniforms, static, carry, layout, o3, d3, t, tri_i,
+                   u, v, depth, pad1, shp, unshp):
+    """XLA texture pre-stage: run the REAL apply_pbr_textures over the raw
+    hits and export the material-override planes the kernels consume.
+    Exactness by construction (gate: base-color slot only, opaque)."""
+    from metal_pathtracer_tpu.ops import bsdf as bsdf_ops
+    from metal_pathtracer_tpu.ops import pbr_textures
+    from metal_pathtracer_tpu.ops.traversal import _hit_record_from_best
+
+    rec = _hit_record_from_best(o3, d3, scene.triangles, t, tri_i, u, v)
+    m = bsdf_ops.gather_material(
+        scene.materials, jnp.clip(rec.material, 0,
+                                  scene.materials.count - 1))
+    cw = unshp(carry[layout["cone_w"]])
+    cs = unshp(carry[layout["cone_s"]])
+    hit_world = jnp.maximum(t, 0.0) * jnp.sqrt(
+        jnp.maximum(jnp.sum(d3 * d3, -1), 1e-12))
+    cone_at_hit = jnp.maximum(cw + cs * hit_world, 1e-7)
+    wo = -d3 / jnp.sqrt(jnp.maximum(jnp.sum(d3 * d3, -1,
+                                            keepdims=True), 1e-38))
+    # state: opaque-only gate means zero draws; pass a dummy stream
+    dummy_state = jnp.zeros(t.shape, jnp.uint32)
+    texd = pbr_textures.apply_pbr_textures(
+        scene, m, rec, wo, cone_at_hit, depth, dummy_state, static,
+        uniforms, ray_d=d3)
+    return jnp.stack([
+        shp(texd.m.base_color[:, 0]), shp(texd.m.base_color[:, 1]),
+        shp(texd.m.base_color[:, 2]),
+        shp(texd.m.roughness), shp(texd.m.pbr_metallic),
+        shp(texd.emissive[:, 0]), shp(texd.emissive[:, 1]),
+        shp(texd.emissive[:, 2]),
+        shp(texd.diffuse_occlusion),
+        shp(texd.passthrough.astype(jnp.float32))])

@@ -47,7 +47,7 @@ def pack_materials(resources) -> np.ndarray:
     )
 
     mats = resources.materials or []
-    out = np.zeros((max(len(mats), 1), 64), np.float32)
+    out = np.zeros((max(len(mats), 1), 72), np.float32)
     for i, m in enumerate(mats):
         coat_roughness = float(np.clip(m.coat_roughness, 0.0, 1.0))
         avg = compute_coat_average(max(m.coat_ior, 0.0))
@@ -93,9 +93,14 @@ def pack_materials(resources) -> np.ndarray:
             float(m.sss_method),
             1.0 if m.sss_coat else 0.0,
             1.0 if m.sss_sigma_override else 0.0,
-            # base-color texture id (slot 0 of texture_indices; -1 = none)
-            float(m.texture_indices[0]) if m.texture_indices else -1.0,
-            0.0, 0.0,  # pad to 64
+            # texture slot ids (ops/pbr_textures.py slot order: base, ORM,
+            # normal, occlusion, emissive, transmission; -1 = none)
+            *(list(m.texture_indices[:6]) + [-1.0] * (6 - len(m.texture_indices))
+              if m.texture_indices else [-1.0] * 6),
+            float(np.clip(m.pbr_occlusion_strength, 0.0, 1.0)),
+            float(max(m.pbr_normal_scale, 0.0)),
+            float(m.material_flags),
+            0.0, 0.0,  # pad to 72
         ]
     return out
 
@@ -132,6 +137,7 @@ def render_oracle(resources, settings: RenderSettings, width: int, height: int,
     tris_list = []
     tri_mat_list = []
     tri_uv_list = []
+    tri_tan_list = []
     for mesh in resources.meshes:
         idx = mesh.indices
         v = mesh.vertices
@@ -142,15 +148,23 @@ def render_oracle(resources, settings: RenderSettings, width: int, height: int,
             else np.zeros((len(v), 2), np.float32)
         tri_uv_list.append(np.concatenate(
             [uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]]], 1))
+        tan = mesh.tangents if mesh.tangents is not None \
+            and len(mesh.tangents) == len(v) \
+            else np.zeros((len(v), 4), np.float32)
+        tri_tan_list.append(np.concatenate(
+            [tan[idx[:, 0]], tan[idx[:, 1]], tan[idx[:, 2]]], 1))
     if tris_list:
         tris = np.ascontiguousarray(np.concatenate(tris_list), np.float32)
         tri_mat = np.ascontiguousarray(np.concatenate(tri_mat_list))
         tri_uv = np.ascontiguousarray(np.concatenate(tri_uv_list), np.float32)
+        tri_tan = np.ascontiguousarray(np.concatenate(tri_tan_list),
+                                       np.float32)
         n_tris = len(tris)
     else:
         tris = np.zeros((1, 9), np.float32)
         tri_mat = np.zeros(1, np.int32)
         tri_uv = np.zeros((1, 6), np.float32)
+        tri_tan = np.zeros((1, 12), np.float32)
         n_tris = 0
 
     # base-color texture pool: the same resampled linear pool the TPU
@@ -163,10 +177,25 @@ def render_oracle(resources, settings: RenderSettings, width: int, height: int,
         wraps = resources.texture_wrap \
             if len(resources.texture_wrap) == len(resources.texture_images) \
             else None
+        # The C++ side consumes one dense uniform pool: use the shared
+        # native size when every texture already has one (then the oracle
+        # sees EXACTLY the TPU's level-0 texels); mixed-size scenes
+        # resample to the 512^2 class (RMSE gates absorb that delta).
+        shapes = {im.shape[:2] for im in resources.texture_images}
+        if len(shapes) == 1 and len(set(shapes.pop())) == 1:
+            side = resources.texture_images[0].shape[0]
+            pool_size = side if (side & (side - 1)) == 0 else 512
+        else:
+            pool_size = 512
         ta = build_texture_arrays(resources.texture_images,
-                                  resources.texture_srgb, wraps)
-        tex_data = np.ascontiguousarray(
-            np.asarray(ta.levels[0])[..., :3], np.float32)
+                                  resources.texture_srgb, wraps,
+                                  size=pool_size)
+        flat = np.asarray(ta.texels)
+        offs = np.asarray(ta.level_offset[:, 0])
+        base = np.stack([
+            flat[int(o):int(o) + pool_size * pool_size].reshape(
+                pool_size, pool_size, 4) for o in offs])
+        tex_data = np.ascontiguousarray(base[..., :3], np.float32)
         tex_wrap = np.ascontiguousarray(np.asarray(ta.wrap_mode), np.int32)
         n_textures = tex_data.shape[0]
         tex_size = tex_data.shape[1]
@@ -217,6 +246,7 @@ def render_oracle(resources, settings: RenderSettings, width: int, height: int,
         ctypes.c_int(n_tris), tris.ctypes.data_as(fp),
         tri_mat.ctypes.data_as(ip),
         tri_uv.ctypes.data_as(fp),
+        tri_tan.ctypes.data_as(fp),
         ctypes.c_int(n_textures), ctypes.c_int(tex_size),
         tex_data.ctypes.data_as(fp), tex_wrap.ctypes.data_as(ip),
         ctypes.c_int(len(mats)), mats.ctypes.data_as(fp),
@@ -233,6 +263,7 @@ def render_oracle(resources, settings: RenderSettings, width: int, height: int,
         ctypes.c_int(1 if settings.enableMneeSecondary else 0),
         ctypes.c_int(int(settings.sssMode)),
         ctypes.c_int(int(settings.sssMaxSteps)),
+        ctypes.c_int(1 if settings.debugAoIndirectOnly else 0),
         ctypes.c_int(n_threads),
         out.ctypes.data_as(fp))
     if ret != 0:

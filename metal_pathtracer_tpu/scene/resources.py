@@ -473,6 +473,11 @@ class SceneResources:
                 v2 = np.asarray(triangles.v2)
                 tri_packet = packetbvh.build_packet_bvh(v0, v1, v2)
 
+        tex_base_only_opaque = all(
+            all(t < 0 for t in m.texture_indices[1:])
+            and m.pbr_alpha_mode == 0 and m.pbr_alpha >= 1.0
+            for m in self.materials)
+
         return SceneArrays(
             spheres=spheres,
             rects=rects,
@@ -484,6 +489,7 @@ class SceneResources:
             environment=environment,
             light_rect_indices=light_rect_indices,
             textures=textures,
+            tex_base_only_opaque=tex_base_only_opaque,
         )
 
     def material_types_present(self):

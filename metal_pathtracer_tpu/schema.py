@@ -209,6 +209,11 @@ class SceneArrays:
     # Rect lights for NEE: indices of emissive rectangles, static shape.
     light_rect_indices: Array = None  # (L,) i32
     textures: Any = None  # texture atlas pytree (ops/textures.py), or None
+    # Static (trace-time) facts about the texture set, computed at build:
+    # every material uses at most the base-color slot and is fully opaque
+    # (gates the fused shade path's texture pre-stage).
+    tex_base_only_opaque: bool = struct.field(pytree_node=False,
+                                              default=False)
 
 
 @struct.dataclass

@@ -143,6 +143,13 @@ struct Material {
     V3 ss_a, ss_s;
     float ss_mfp, ss_g, ss_method, ss_coat, ss_override;
     int base_tex = -1;  // base-color texture id (-1 = none)
+    // full PBR texture slot set (ops/pbr_textures.py; reference
+    // pathtrace.metal:5919-6424) — ids into the shared pool, -1 = none
+    int orm_tex = -1, normal_tex = -1, occ_tex = -1, em_tex = -1,
+        trans_tex = -1;
+    float occlusion_strength = 1.0f, normal_scale = 1.0f;
+    int mat_flags = 0;        // bit 0: disable ORM
+    float occlusion = 1.0f;   // derived per hit by textured_material
 };
 
 struct Scene {
@@ -170,6 +177,7 @@ struct Scene {
     // base-color textures (uniform tex_size^2 RGB linear — the TPU side's
     // ops/textures.py resampled pool; oracle samples bilinear at LOD 0)
     const float* tri_uv = nullptr;   // (T,6) uv per corner
+    const float* tri_tan = nullptr;  // (T,12) per-corner tangents
     int n_textures = 0, tex_size = 0;
     const float* tex_data = nullptr;  // (n, ts, ts, 3)
     const int* tex_wrap = nullptr;    // (n,2) 0=repeat 1=clamp 2=mirror
@@ -225,17 +233,83 @@ static V3 sample_base_tex(const Scene& sc, int tid, float u, float v) {
     return top * (1 - fy) + bot * fy;
 }
 
-// Base-color texturing applies to PBR materials only (the TPU side gates
-// textures on the pbr lane — ops/pbr_textures.py:331)
-static Material textured_material(const Scene& sc, const Hit& rec) {
+// Texturing applies to PBR materials only (the TPU side gates textures on
+// the pbr lane — ops/pbr_textures.py:331). Implements the full slot set:
+// base / ORM / normal / occlusion / emissive / transmission
+// (ops/pbr_textures.py apply_pbr_textures; reference :5919-6424), bilinear
+// at LOD 0. `n_out` receives the normal-mapped shading normal.
+static Material textured_material(const Scene& sc, const Hit& rec,
+                                  V3& n_out) {
     Material m = sc.mats[std::min(rec.mat, (int)sc.mats.size() - 1)];
-    if (m.type == 7 && m.base_tex >= 0 && rec.prim_type == 3 &&
-        sc.tri_uv && sc.tex_data && m.base_tex < sc.n_textures) {
-        const float* uv = sc.tri_uv + 6 * rec.prim;
-        float w0 = 1.0f - rec.bu - rec.bv;
-        float uu = w0 * uv[0] + rec.bu * uv[2] + rec.bv * uv[4];
-        float vv = w0 * uv[1] + rec.bu * uv[3] + rec.bv * uv[5];
+    n_out = rec.normal;
+    if (m.type != 7 || rec.prim_type != 3 || !sc.tri_uv || !sc.tex_data)
+        return m;
+    auto ok = [&](int t) { return t >= 0 && t < sc.n_textures; };
+    const float* uv = sc.tri_uv + 6 * rec.prim;
+    float w0 = 1.0f - rec.bu - rec.bv;
+    float uu = w0 * uv[0] + rec.bu * uv[2] + rec.bv * uv[4];
+    float vv = w0 * uv[1] + rec.bu * uv[3] + rec.bv * uv[5];
+
+    if (ok(m.base_tex))
         m.base_color = m.base_color * sample_base_tex(sc, m.base_tex, uu, vv);
+
+    bool disable_orm = (m.mat_flags & 1) != 0;
+    if (ok(m.orm_tex) && !disable_orm) {
+        V3 orm = sample_base_tex(sc, m.orm_tex, uu, vv);
+        m.pbr_metallic = std::clamp(
+            orm.z * std::clamp(m.pbr_metallic, 0.f, 1.f), 0.f, 1.f);
+        m.roughness = std::clamp(
+            orm.y * std::clamp(m.roughness, 0.f, 1.f), 0.f, 1.f);
+    }
+    if (ok(m.trans_tex)) {
+        V3 tr = sample_base_tex(sc, m.trans_tex, uu, vv);
+        m.pbr_transmission = std::clamp(
+            std::clamp(m.pbr_transmission, 0.f, 1.f) * tr.x, 0.f, 1.f);
+    }
+    if (ok(m.occ_tex) && !disable_orm) {
+        V3 occ = sample_base_tex(sc, m.occ_tex, uu, vv);
+        m.occlusion = 1.0f + (occ.x - 1.0f)
+            * std::clamp(m.occlusion_strength, 0.f, 1.f);
+    }
+    if (ok(m.em_tex))
+        m.emission = m.emission * sample_base_tex(sc, m.em_tex, uu, vv);
+
+    if (ok(m.normal_tex) && m.normal_scale > 1e-4f) {
+        V3 nm = sample_base_tex(sc, m.normal_tex, uu, vv) * 2.0f - V3{1, 1, 1};
+        nm.x *= m.normal_scale;
+        nm.y *= m.normal_scale;
+        float normal_length = std::sqrt(std::max(dot(nm, nm), 1e-12f));
+        float xy2 = nm.x * nm.x + nm.y * nm.y;
+        nm.z = std::sqrt(std::max(1.0f - xy2, 0.0f));
+        float nl = std::sqrt(std::max(dot(nm, nm), 0.0f));
+        if (nl > 0) nm = nm * (1.0f / nl);
+        // tangent basis: interpolated vertex tangent (Gram-Schmidt) or ONB
+        V3 n = rec.normal;
+        V3 t, b;
+        bool used_vertex = false;
+        if (sc.tri_tan) {
+            const float* tn = sc.tri_tan + 12 * rec.prim;
+            V3 t_raw = {w0 * tn[0] + rec.bu * tn[4] + rec.bv * tn[8],
+                        w0 * tn[1] + rec.bu * tn[5] + rec.bv * tn[9],
+                        w0 * tn[2] + rec.bu * tn[6] + rec.bv * tn[10]};
+            float sign_w = w0 * tn[3] + rec.bu * tn[7] + rec.bv * tn[11];
+            bool trust = std::fabs(sign_w) > 0.5f && dot(t_raw, t_raw) > 1e-6f;
+            V3 t_gs = t_raw - n * dot(n, t_raw);
+            if (trust && dot(t_gs, t_gs) > 1e-6f) {
+                t = normalize(t_gs);
+                b = normalize(cross(n, t)) * (sign_w < 0.0f ? -1.0f : 1.0f);
+                used_vertex = true;
+            }
+        }
+        if (!used_vertex) build_onb(n, t, b);
+        V3 mapped = normalize(t * nm.x + b * nm.y + n * nm.z);
+        if (dot(mapped, rec.normal) < 0.0f) mapped = mapped * -1.0f;
+        n_out = mapped;
+        // Toksvig roughness widening from normal shortening (:6359-6395)
+        float tok = std::max(
+            (1.0f - normal_length) / std::max(normal_length, 1e-6f), 0.0f);
+        m.roughness = std::clamp(
+            std::sqrt(m.roughness * m.roughness + tok), 0.0f, 1.0f);
     }
     return m;
 }
@@ -592,7 +666,8 @@ PbrLobes pbr_lobes(const Material& m) {
     float fd = pbr_dielectric_f0(m.eta);
     L.f0 = {fd + (base.x - fd) * metallic, fd + (base.y - fd) * metallic,
             fd + (base.z - fd) * metallic};
-    L.diffuse_color = base * (1.0f - metallic);
+    L.diffuse_color = base * (1.0f - metallic)
+        * std::clamp(m.occlusion, 0.0f, 1.0f);
     L.transmission = std::clamp(m.pbr_transmission, 0.f, 1.f) * (1.0f - metallic);
     L.reflect_scale = 1.0f - L.transmission;
     float swb = std::clamp(maxc(L.f0), 0.05f, 0.95f);
@@ -1679,6 +1754,7 @@ struct Params {
     int enable_mnee_secondary = 0;
     int sss_mode = 0;
     int sss_max_steps = 32;
+    int ao_indirect_only = 1;
 };
 
 V3 sky(V3 d) {
@@ -1723,10 +1799,14 @@ V3 trace_path(const Scene& sc, const Params& P, V3 ro, V3 rd, uint32_t& s) {
                 throughput = throughput * vexp(sg * -std::max(rec.t, 0.0f));
         }
 
-        const Material m = textured_material(sc, rec);
+        V3 n_mapped;
+        Material m = textured_material(sc, rec, n_mapped);
+        // AO applies to indirect bounces only under the default config
+        // (ops/pbr_textures.py debug_ao_indirect_only; settings default)
+        if (depth == 0 && P.ao_indirect_only) m.occlusion = 1.0f;
         V3 incident = normalize(rd);
         V3 wo = incident * -1.0f;
-        V3 n = rec.normal;
+        V3 n = n_mapped;
 
         // PBR emissive additive — does not terminate the path
         // (ops/integrator.py PBR emissive block; reference :6437-6442)
@@ -1997,15 +2077,16 @@ extern "C" int render_oracle(
     int n_rects, const float* rect, const int* rect_mat, const int* rect_two_sided,
     int n_tris, const float* tri, const int* tri_mat,
     const float* tri_uv,  // (T,6) per-corner uv0 (null = untextured)
+    const float* tri_tan,  // (T,12) per-corner tangent xyzw (null = none)
     int n_textures, int tex_size, const float* tex_data, const int* tex_wrap,
-    int n_mats, const float* mat_data,  // (M, 64)
+    int n_mats, const float* mat_data,  // (M, 72)
     int env_w, int env_h, const float* env_texels,
     const float* marg_thresh, const int* marg_alias,
     const float* cond_thresh, const int* cond_alias, const float* env_pdf,
     float env_rotation, float env_intensity,
     const float* firefly,  // factor, floor, throughput, max_contrib, enabled
     int enable_spec_nee, int enable_mnee, int enable_mnee_secondary,
-    int sss_mode, int sss_max_steps, int n_threads,
+    int sss_mode, int sss_max_steps, int ao_indirect_only, int n_threads,
     float* out_rgb) {
     Scene sc;
     sc.n_spheres = n_spheres;
@@ -2019,6 +2100,7 @@ extern "C" int render_oracle(
     sc.tri = tri;
     sc.tri_mat = tri_mat;
     sc.tri_uv = tri_uv;
+    sc.tri_tan = tri_tan;
     sc.n_textures = n_textures;
     sc.tex_size = tex_size;
     sc.tex_data = tex_data;
@@ -2036,7 +2118,7 @@ extern "C" int render_oracle(
 
     sc.mats.resize(n_mats);
     for (int i = 0; i < n_mats; ++i) {
-        const float* d = mat_data + 64 * i;
+        const float* d = mat_data + 72 * i;
         Material& m = sc.mats[i];
         m.base_color = {std::clamp(d[0], 0.f, 1.f), std::clamp(d[1], 0.f, 1.f),
                         std::clamp(d[2], 0.f, 1.f)};
@@ -2079,6 +2161,14 @@ extern "C" int render_oracle(
         m.ss_coat = d[59];
         m.ss_override = d[60];
         m.base_tex = (int)d[61];
+        m.orm_tex = (int)d[62];
+        m.normal_tex = (int)d[63];
+        m.occ_tex = (int)d[64];
+        m.em_tex = (int)d[65];
+        m.trans_tex = (int)d[66];
+        m.occlusion_strength = d[67];
+        m.normal_scale = d[68];
+        m.mat_flags = (int)d[69];
     }
     for (int i = 0; i < n_rects; ++i) {
         const Material& m = sc.mats[std::min(rect_mat[i], n_mats - 1)];
@@ -2120,6 +2210,7 @@ extern "C" int render_oracle(
     P.enable_mnee_secondary = enable_mnee_secondary;
     P.sss_mode = sss_mode;
     P.sss_max_steps = sss_max_steps;
+    P.ao_indirect_only = ao_indirect_only;
 
     V3 cam_origin = {cam[0], cam[1], cam[2]};
     V3 lower_left = {cam[3], cam[4], cam[5]};

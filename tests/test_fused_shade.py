@@ -1,0 +1,232 @@
+"""Fused shading megakernel vs the XLA reference integrator.
+
+The fused path (ops/pallas/shade.py) must reproduce the XLA wavefront
+body bit-for-bit on every config it claims (fused_supported). On CPU the
+kernel runs under the Pallas interpreter (MPT_FUSED_INTERPRET=1);
+tests/tpu re-runs the comparison compiled on hardware.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from metal_pathtracer_tpu import constants as C
+from metal_pathtracer_tpu.ops.camera import build_camera
+from metal_pathtracer_tpu.renderer import frame
+from metal_pathtracer_tpu.renderer.accumulation import RenderState
+from metal_pathtracer_tpu.scene.resources import Material, SceneResources
+from metal_pathtracer_tpu.schema import settings_to_static, settings_to_uniforms
+from metal_pathtracer_tpu.settings import RenderSettings
+from metal_pathtracer_tpu.utils.benchscene import _ground_mesh, _sphere_mesh
+from metal_pathtracer_tpu.utils.procgen import dragon_class_scene_mesh
+
+
+@pytest.fixture
+def interpret_mode(monkeypatch):
+    monkeypatch.setenv("MPT_FUSED_INTERPRET", "1")
+
+
+def _render(scene, settings, res, w, h, spp=2):
+    static = settings_to_static(settings, w, h, res.material_types_present())
+    uni = settings_to_uniforms(settings, build_camera(settings, w, h), 0, 0)
+    st = frame.render_samples(scene, uni, RenderState.create(w, h),
+                              static, spp)
+    return (np.asarray(st.present()),
+            float(np.asarray(st.ray_count)))
+
+
+def _compare(settings, res, w=40, h=24):
+    import jax
+
+    scene = res.build_arrays()
+    assert not os.environ.get("MPT_FUSED_INTERPRET")
+    img_ref, rays_ref = _render(scene, settings, res, w, h)
+    # env toggles are read at TRACE time — drop compiled executables or the
+    # second render silently reuses the first path's jit cache entry
+    jax.clear_caches()
+    os.environ["MPT_FUSED_INTERPRET"] = "1"
+    try:
+        from metal_pathtracer_tpu.ops.pallas import shade
+        static = settings_to_static(settings, w, h,
+                                    res.material_types_present())
+        assert shade.fused_supported(scene, static)
+        img_fused, rays_fused = _render(scene, settings, res, w, h)
+    finally:
+        del os.environ["MPT_FUSED_INTERPRET"]
+        jax.clear_caches()
+    # The kernel body compiles separately from the XLA path, so FMA
+    # contraction introduces ~1-ulp float drift; a drifted compare at a
+    # branch boundary (RR survival, Fresnel lobe pick) can flip rare
+    # lanes entirely. Tight statistical parity, not bitwise:
+    assert abs(rays_fused - rays_ref) <= max(4.0, 1e-4 * rays_ref)
+    d = np.abs(img_fused - img_ref)
+    rmse = float(np.sqrt((d * d).mean()))
+    frac_exact = float((d.max(-1) < 1e-5).mean())
+    assert rmse < 2e-4, (rmse, float(d.max()))
+    assert frac_exact > 0.98, frac_exact
+
+
+def test_fused_matches_xla_lambert_gradient():
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.0, 0.0)
+    settings.cameraDistance = 3.2
+    settings.cameraYaw = 0.4
+    settings.cameraPitch = 0.25
+    settings.maxDepth = 4
+    settings.fixedRngSeed = 1234
+    res = SceneResources()
+    res.add_material(Material(base_color=(0.7, 0.7, 0.7)))
+    res.add_mesh(dragon_class_scene_mesh(2, material=0))
+    _compare(settings, res)
+
+
+def test_fused_matches_xla_full_type_set():
+    """metal (rough + mirror), dielectric with absorbing interior (medium
+    stack), diffuse light, lambert ground — every phase-1 branch."""
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.0, 0.0)
+    settings.cameraDistance = 5.0
+    settings.cameraPitch = 0.3
+    settings.maxDepth = 6
+    settings.fixedRngSeed = 7
+    res = SceneResources()
+    m0 = res.add_material(Material(base_color=(0.7, 0.5, 0.4)))
+    m1 = res.add_material(Material(mat_type=C.MATERIAL_DIELECTRIC, ior=1.5,
+                                   dielectric_sigma_a=(0.2, 0.1, 0.02)))
+    m2 = res.add_material(Material(mat_type=C.MATERIAL_METAL,
+                                   base_color=(0.9, 0.7, 0.4),
+                                   roughness=0.3))
+    m3 = res.add_material(Material(mat_type=C.MATERIAL_METAL,
+                                   base_color=(0.9, 0.9, 0.9),
+                                   roughness=0.0))
+    m4 = res.add_material(Material(mat_type=C.MATERIAL_DIFFUSE_LIGHT,
+                                   emission=(6.0, 5.0, 4.0)))
+    res.add_mesh(_sphere_mesh(2, (0, 0, 0), 1.0, m1, "glass"))
+    res.add_mesh(_sphere_mesh(2, (-2.2, 0, 0), 1.0, m2, "metal-r"))
+    res.add_mesh(_sphere_mesh(2, (2.2, 0, 0), 1.0, m3, "mirror"))
+    res.add_mesh(_sphere_mesh(1, (0, 2.0, 0), 0.5, m4, "lamp"))
+    res.add_mesh(_ground_mesh(m0))
+    _compare(settings, res)
+
+
+def test_fused_matches_xla_solid_background_rr():
+    """Solid background + deep depth so Russian roulette branches run."""
+    from metal_pathtracer_tpu.settings import BackgroundMode
+
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.0, 0.0)
+    settings.cameraDistance = 3.0
+    settings.maxDepth = 8
+    settings.fixedRngSeed = 99
+    settings.backgroundMode = BackgroundMode.SOLID
+    settings.backgroundColor = (0.9, 0.6, 0.3)
+    res = SceneResources()
+    res.add_material(Material(base_color=(0.85, 0.85, 0.85)))
+    res.add_mesh(dragon_class_scene_mesh(2, material=0))
+    res.add_mesh(_ground_mesh(0))
+    _compare(settings, res)
+
+
+def test_fused_gate_rejects_unsupported():
+    """Configs outside the kernel's coverage must take the XLA path."""
+    from metal_pathtracer_tpu.ops.pallas import shade
+
+    settings = RenderSettings()
+    res = SceneResources()
+    res.add_material(Material(base_color=(0.5, 0.5, 0.5)))
+    res.add_mesh(dragon_class_scene_mesh(1, material=0))
+    os.environ["MPT_FUSED_INTERPRET"] = "1"
+    try:
+        scene = res.build_arrays()
+        static = settings_to_static(settings, 8, 8,
+                                    res.material_types_present())
+        assert shade.fused_supported(scene, static)
+        # sphere scenes fall back
+        res2 = SceneResources()
+        res2.add_material(Material(base_color=(0.5, 0.5, 0.5)))
+        res2.add_mesh(dragon_class_scene_mesh(1, material=0))
+        from metal_pathtracer_tpu.scene.resources import Sphere
+        res2.spheres.append(Sphere(center=(0, 0, 0), radius=1.0, material=0))
+        static2 = settings_to_static(settings, 8, 8,
+                                     res2.material_types_present())
+        assert not shade.fused_supported(res2.build_arrays(), static2)
+        # environment background falls back (phase 2)
+        from metal_pathtracer_tpu.settings import BackgroundMode
+        settings.backgroundMode = BackgroundMode.ENVIRONMENT
+        static3 = settings_to_static(settings, 8, 8,
+                                     res.material_types_present())
+        assert not shade.fused_supported(scene, static3)
+    finally:
+        del os.environ["MPT_FUSED_INTERPRET"]
+
+
+def test_fused_matches_xla_pbr_untextured():
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.0, 0.0)
+    settings.cameraDistance = 4.0
+    settings.cameraPitch = 0.3
+    settings.maxDepth = 5
+    settings.fixedRngSeed = 21
+    res = SceneResources()
+    g = res.add_material(Material(base_color=(0.6, 0.6, 0.6)))
+    p1 = res.add_material(Material(mat_type=C.MATERIAL_PBR,
+                                   base_color=(0.8, 0.3, 0.2),
+                                   roughness=0.4, pbr_metallic=0.8))
+    p2 = res.add_material(Material(mat_type=C.MATERIAL_PBR,
+                                   base_color=(0.9, 0.9, 0.9),
+                                   roughness=0.1, pbr_transmission=0.9,
+                                   ior=1.5, pbr_thickness=0.3,
+                                   dielectric_sigma_a=(0.5, 0.1, 0.1)))
+    res.add_mesh(_sphere_mesh(2, (-1.3, 0, 0), 1.0, p1, "metallic"))
+    res.add_mesh(_sphere_mesh(2, (1.3, 0, 0), 1.0, p2, "transmissive"))
+    res.add_mesh(_ground_mesh(g))
+    _compare(settings, res)
+
+
+def _bench_like_scene(textured):
+    """The upgraded-bench configuration at toy scale: HDR env alias NEE +
+    dielectric + (textured) PBR + lambert."""
+    from metal_pathtracer_tpu.utils.benchscene import (
+        build_bench_scene,
+    )
+
+    settings, res, environment = build_bench_scene(subdivisions=3)
+    settings.maxDepth = 5
+    if not textured:
+        res.texture_images.clear()
+        res.texture_srgb.clear()
+        res.texture_wrap.clear()
+        for m in res.materials:
+            m.texture_indices = (-1, -1, -1, -1, -1, -1)
+    return settings, res, environment
+
+
+@pytest.mark.parametrize("textured", [False, True])
+def test_fused_matches_xla_env_nee(textured):
+    """The headline-bench config: env alias NEE + MIS through the fused
+    S1/alias/shadow/S2 pipeline vs the XLA reference."""
+    import jax
+
+    settings, res, environment = _bench_like_scene(textured)
+    scene = res.build_arrays(environment=environment)
+    w, h = 40, 24
+    static = settings_to_static(settings, w, h,
+                                res.material_types_present())
+    img_ref, rays_ref = _render(scene, settings, res, w, h)
+    shadow_ref = None
+    jax.clear_caches()
+    os.environ["MPT_FUSED_INTERPRET"] = "1"
+    try:
+        from metal_pathtracer_tpu.ops.pallas import shade
+        assert shade.fused_supported(scene, static)
+        img_fused, rays_fused = _render(scene, settings, res, w, h)
+    finally:
+        del os.environ["MPT_FUSED_INTERPRET"]
+        jax.clear_caches()
+    assert abs(rays_fused - rays_ref) <= max(4.0, 1e-4 * rays_ref)
+    d = np.abs(img_fused - img_ref)
+    rmse = float(np.sqrt((d * d).mean()))
+    frac_exact = float((d.max(-1) < 1e-4).mean())
+    assert rmse < 5e-3, (rmse, float(d.max()))
+    assert frac_exact > 0.95, frac_exact

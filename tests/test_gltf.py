@@ -160,7 +160,7 @@ def test_texture_arrays_and_sampling():
     img[:, 8:] = (0, 0, 255, 255)
     arrays = tex_ops.build_texture_arrays([img], [False], [(0, 0)], size=16)
     assert arrays.n_textures == 1
-    assert len(arrays.levels) == 5  # 16,8,4,2,1
+    assert arrays.max_levels == 5  # 16,8,4,2,1
 
     tid = jnp.zeros(4, jnp.int32)
     u = jnp.asarray([0.25, 0.75, 0.25, 0.75])

@@ -347,3 +347,72 @@ def test_gather_material_exact_on_tpu():
     np.testing.assert_array_equal(
         np.asarray(lanes.base_color),
         np.asarray(mats.base_color)[np.asarray(idx)])
+
+
+def test_fused_shade_matches_xla_on_tpu():
+    """Compiled fused megakernel vs the XLA integrator on hardware.
+
+    The CPU suite proves interpreter-level equivalence; this catches
+    Mosaic lowering differences (fma contraction, transcendental tables)
+    — tolerance is tight-but-not-bitwise for that reason."""
+    import jax.numpy as jnp  # noqa: F401
+    from metal_pathtracer_tpu.ops.camera import build_camera
+    from metal_pathtracer_tpu.renderer import frame
+    from metal_pathtracer_tpu.renderer.accumulation import RenderState
+    from metal_pathtracer_tpu.scene.resources import Material, SceneResources
+    from metal_pathtracer_tpu.schema import (
+        settings_to_static,
+        settings_to_uniforms,
+    )
+    from metal_pathtracer_tpu.settings import RenderSettings
+    from metal_pathtracer_tpu.utils.benchscene import (
+        _ground_mesh,
+        _sphere_mesh,
+    )
+    from metal_pathtracer_tpu import constants as C
+    from metal_pathtracer_tpu.ops.pallas import shade
+
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.0, 0.0)
+    settings.cameraDistance = 5.0
+    settings.cameraPitch = 0.3
+    settings.maxDepth = 6
+    settings.fixedRngSeed = 7
+    res = SceneResources()
+    m0 = res.add_material(Material(base_color=(0.7, 0.5, 0.4)))
+    m1 = res.add_material(Material(mat_type=C.MATERIAL_DIELECTRIC, ior=1.5,
+                                   dielectric_sigma_a=(0.2, 0.1, 0.02)))
+    m2 = res.add_material(Material(mat_type=C.MATERIAL_METAL,
+                                   base_color=(0.9, 0.7, 0.4),
+                                   roughness=0.3))
+    m3 = res.add_material(Material(mat_type=C.MATERIAL_DIFFUSE_LIGHT,
+                                   emission=(6.0, 5.0, 4.0)))
+    res.add_mesh(_sphere_mesh(2, (0, 0, 0), 1.0, m1, "glass"))
+    res.add_mesh(_sphere_mesh(2, (-2.2, 0, 0), 1.0, m2, "metal"))
+    res.add_mesh(_sphere_mesh(1, (0, 2.0, 0), 0.5, m3, "lamp"))
+    res.add_mesh(_ground_mesh(m0))
+    scene = res.build_arrays()
+    w, h = 64, 40
+    static = settings_to_static(settings, w, h,
+                                res.material_types_present())
+    assert shade.fused_supported(scene, static)
+    uni = settings_to_uniforms(settings, build_camera(settings, w, h), 0, 0)
+
+    def render():
+        st = frame.render_samples(scene, uni, RenderState.create(w, h),
+                                  static, 2)
+        return (np.asarray(st.present())[..., :3],
+                float(np.asarray(st.ray_count)))
+
+    import jax
+    os.environ["MPT_FUSED_SHADE"] = "0"
+    img_ref, rays_ref = render()
+    jax.clear_caches()   # env toggle is trace-time
+    os.environ["MPT_FUSED_SHADE"] = "1"
+    img_fused, rays_fused = render()
+    os.environ.pop("MPT_FUSED_SHADE", None)
+    jax.clear_caches()
+    # identical RNG stream -> identical ray counts even if floats drift
+    assert rays_fused == rays_ref
+    d = np.abs(img_fused - img_ref)
+    assert float(np.sqrt((d * d).mean())) < 2e-3, float(d.max())

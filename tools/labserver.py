@@ -45,7 +45,13 @@ while True:
     path = os.path.join(JOBS, name)
     with open(path) as f:
         src = f.read()
-    buf = io.StringIO()
+    # fresh repo code per job (keeps the long-lived TPU client, drops stale
+    # modules); compiled executables persist in the on-disk jax cache
+    for mod in [m for m in list(sys.modules)
+                if m.startswith("metal_pathtracer_tpu")]:
+        del sys.modules[mod]
+    # stream output live to .partial so hung jobs show their progress
+    buf = open(path[:-3] + ".partial", "w", buffering=1)
     t0 = time.time()
     try:
         with redirect_stdout(buf), redirect_stderr(buf):
@@ -54,8 +60,11 @@ while True:
     except Exception:
         buf.write(traceback.format_exc())
         status = "error"
-    out = buf.getvalue()
+    buf.close()
+    with open(path[:-3] + ".partial") as f:
+        out = f.read()
     with open(path[:-3] + ".out", "w") as f:
         f.write(f"# status={status} elapsed={time.time() - t0:.2f}s\n" + out)
+    os.remove(path[:-3] + ".partial")
     os.rename(path, path[:-3] + ".done")
     print(f"[lab] {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
