@@ -291,6 +291,12 @@ def trace_scene(origin, direction, scene, t_min, t_max,
             origin, direction, scene, t_min, t_max,
             exclude_mesh=exclude_mesh, exclude_prim=exclude_prim)
         rec = _closer(rec, tri_rec)
+    if getattr(scene, "instanced", ()):
+        from metal_pathtracer_tpu.ops import traversal
+        inst_rec = traversal.trace_instanced(
+            origin, direction, scene, t_min, t_max,
+            exclude_mesh=exclude_mesh, exclude_prim=exclude_prim)
+        rec = _closer(rec, inst_rec)
     return rec
 
 
@@ -311,7 +317,12 @@ def trace_occluded(origin, direction, scene, t_min, t_max) -> Array:
         from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
         _, tri, _, _ = packet_trace(origin, direction, t_min, t_max,
                                     scene.tri_packet, any_hit=True)
-        return rec.hit | (tri >= 0)
+        occ = rec.hit | (tri >= 0)
+        if getattr(scene, "instanced", ()):
+            from metal_pathtracer_tpu.ops import traversal
+            occ = occ | traversal.trace_instanced_occluded(
+                origin, direction, scene, t_min, t_max)
+        return occ
     rec = trace_scene(origin, direction, scene, t_min, t_max)
     return rec.hit
 

@@ -1560,6 +1560,8 @@ def fused_supported(scene, static) -> bool:
         return False
     if scene.spheres.count > 0 or scene.rects.count > 0:
         return False
+    if getattr(scene, "instanced", ()):
+        return False       # instanced groups trace on the XLA path
     if scene.materials.count > 32:
         return False
     if scene.light_rect_indices is not None and \

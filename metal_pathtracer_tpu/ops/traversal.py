@@ -78,6 +78,12 @@ def trace_triangles(origin, direction, scene, t_min, t_max,
     if scene.tri_packet is not None and _use_pallas() and len(shape) == 1:
         from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
         excl = exclude_prim if exclude_prim is not None else None
+        if excl is not None and getattr(scene, "instanced", ()) \
+                and exclude_mesh is not None:
+            # the packet kernel excludes by prim id only; an instanced
+            # prev-hit's OBJECT tri id must not exclude a soup triangle
+            soup_meshes = scene.instanced[0].base_id
+            excl = jnp.where(exclude_mesh < soup_meshes, excl, -1)
         best_t, best_tri, best_u, best_v = packet_trace(
             origin, direction, t_min, t_max, scene.tri_packet,
             exclude_prim=excl)
@@ -221,3 +227,165 @@ def _hit_record_from_best(origin, direction, tris, best_t, best_tri,
         mesh_index=mesh_index,
         barycentric=jnp.stack([best_u, best_v], -1),
     )
+
+
+def _transform_point(m34, p):
+    """(N,3) point through a per-lane-constant (3,4) affine row matrix."""
+    return (p @ m34[:, :3].T) + m34[:, 3]
+
+
+def _transform_dir(m34, d):
+    return d @ m34[:, :3].T
+
+
+def trace_instanced(origin, direction, scene, t_min, t_max,
+                    exclude_mesh=None, exclude_prim=None) -> HitRecord:
+    """Nearest hit over the scene's instanced mesh groups.
+
+    Each group is one shared OBJECT-space BLAS traced once per instance
+    with the ray affinely mapped into object space. The direction is
+    mapped by the linear part WITHOUT renormalizing, so the hit parameter
+    t is identical in both spaces and directly comparable across
+    instances and the world-space soup (reference:
+    SceneAccel.mm:173-247 SoftwareInstanceInfo worldToLocal +
+    pathtrace.metal trace_scene_tlas_triangles:2167-2384).
+
+    rec.mesh_index is the GLOBAL instance id (group.base_id + i), which
+    keeps (mesh, prim) self-hit exclusion exact across instances.
+    """
+    shape = origin.shape[:-1]
+    best = HitRecord.miss(shape)
+    best = best.replace(t=jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                           shape))
+    if exclude_mesh is None:
+        exclude_mesh = jnp.full(shape, -1, jnp.int32)
+    if exclude_prim is None:
+        exclude_prim = jnp.full(shape, -1, jnp.int32)
+
+    for group in scene.instanced:
+        for i in range(group.count):
+            inst_id = group.base_id + i
+            o_l = _transform_point(group.w2l[i], origin)
+            d_l = _transform_dir(group.w2l[i], direction)
+            # exclusion only applies when the previous hit was THIS
+            # instance (object tri ids repeat across instances)
+            ex_p = jnp.where(exclude_mesh == inst_id, exclude_prim, -1)
+            rec = _trace_group(group, o_l, d_l, origin, direction,
+                               t_min, best.t, ex_p, inst_id)
+            best = _closer_rec(best, rec)
+    # lanes that never hit keep the miss record
+    return best.replace(t=jnp.where(best.hit, best.t, INFINITY_T))
+
+
+def _closer_rec(a: HitRecord, b: HitRecord) -> HitRecord:
+    from metal_pathtracer_tpu.ops.intersect import _closer
+    return _closer(a, b)
+
+
+def _trace_group(group, o_l, d_l, o_w, d_w, t_min, t_max, exclude_prim,
+                 inst_id) -> HitRecord:
+    from metal_pathtracer_tpu.ops.intersect import _use_pallas
+
+    shape = o_l.shape[:-1]
+    if group.tri_packet is not None and _use_pallas() and len(shape) == 1:
+        from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
+        best_t, best_tri, bu, bv = packet_trace(
+            o_l, d_l, t_min, t_max, group.tri_packet,
+            exclude_prim=exclude_prim)
+    else:
+        scene_like = _GroupSceneView(group)
+        rec0 = trace_triangles(o_l, d_l, scene_like, t_min, t_max,
+                               exclude_mesh=jnp.zeros(shape, jnp.int32),
+                               exclude_prim=exclude_prim)
+        best_t = jnp.where(rec0.hit, rec0.t, INFINITY_T)
+        best_tri = jnp.where(rec0.hit, rec0.prim_index, -1)
+        bu = rec0.barycentric[..., 0]
+        bv = rec0.barycentric[..., 1]
+
+    # Reconstruct the record in WORLD space: attributes interpolate in
+    # object space, normals map by the inverse-transpose linear part.
+    tris = group.triangles
+    hit = best_tri >= 0
+    tri = jnp.maximum(best_tri, 0)
+    row = tris.shade_packed[tri]
+    v0, v1, v2 = row[..., 0:3], row[..., 3:6], row[..., 6:9]
+    n0c, n1c, n2c = row[..., 9:12], row[..., 12:15], row[..., 15:18]
+
+    nmat = group.nrm_mat[_static_index(inst_id, group)]
+    geo_l = jnp.cross(v1 - v0, v2 - v0)
+    geo_w = safe_normalize(geo_l @ nmat.T)
+    front = dot(d_w, geo_w) < 0.0
+    n_faced = where3(front, geo_w, -geo_w)
+
+    w0 = jnp.maximum(1.0 - bu - bv, 0.0)
+    w1 = jnp.maximum(bu, 0.0)
+    w2 = jnp.maximum(bv, 0.0)
+    w_sum = jnp.maximum(w0 + w1 + w2, 1e-8)
+    sn_l = (w0[..., None] * n0c + w1[..., None] * n1c
+            + w2[..., None] * n2c) / w_sum[..., None]
+    sn_w = sn_l @ nmat.T
+    sn_ok = jnp.all(jnp.isfinite(sn_w), -1) & (dot(sn_w, sn_w) > 0.0)
+    sn_w = jnp.where((dot(sn_w, n_faced) < 0.0)[..., None], -sn_w, sn_w)
+    sn_w = safe_normalize(sn_w)
+    shading_n = where3(sn_ok, sn_w, n_faced)
+
+    material = group.material[_static_index(inst_id, group)]
+    point = o_w + best_t[..., None] * d_w
+    shape = o_w.shape[:-1]
+    return HitRecord(
+        hit=hit,
+        t=jnp.where(hit, best_t, INFINITY_T),
+        point=point,
+        normal=n_faced,
+        shading_normal=shading_n,
+        front_face=front,
+        two_sided=jnp.zeros(shape, bool),
+        material=jnp.broadcast_to(material, shape).astype(jnp.int32),
+        prim_type=jnp.where(hit, PRIMITIVE_TRIANGLE, 0).astype(jnp.int32),
+        prim_index=tri.astype(jnp.int32),
+        mesh_index=jnp.full(shape, inst_id, jnp.int32),
+        barycentric=jnp.stack([bu, bv], -1),
+    )
+
+
+def _static_index(inst_id, group):
+    return inst_id - group.base_id
+
+
+class _GroupSceneView:
+    """Duck-typed scene view so trace_triangles reads a group's arrays."""
+
+    def __init__(self, group):
+        self.triangles = group.triangles
+        self.tri_bvh = group.tri_bvh
+        self.tri_packet = None
+
+
+def trace_instanced_occluded(origin, direction, scene, t_min, t_max):
+    """Any-hit over the instanced groups (shadow rays)."""
+    from metal_pathtracer_tpu.ops.intersect import _use_pallas
+
+    shape = origin.shape[:-1]
+    occluded = jnp.zeros(shape, bool)
+    for group in scene.instanced:
+        for i in range(group.count):
+            o_l = _transform_point(group.w2l[i], origin)
+            d_l = _transform_dir(group.w2l[i], direction)
+            # already-occluded lanes trace with tmax=0 (free in-kernel)
+            lane_tmax = jnp.where(occluded, 0.0,
+                                  jnp.broadcast_to(
+                                      jnp.asarray(t_max, jnp.float32),
+                                      shape))
+            if group.tri_packet is not None and _use_pallas() \
+                    and len(shape) == 1:
+                from metal_pathtracer_tpu.ops.pallas.traverse import (
+                    packet_trace,
+                )
+                _, tri, _, _ = packet_trace(o_l, d_l, t_min, lane_tmax,
+                                            group.tri_packet, any_hit=True)
+                occluded = occluded | (tri >= 0)
+            else:
+                rec = trace_triangles(o_l, d_l, _GroupSceneView(group),
+                                      t_min, lane_tmax)
+                occluded = occluded | rec.hit
+    return occluded

@@ -138,7 +138,24 @@ def render_oracle(resources, settings: RenderSettings, width: int, height: int,
     tri_mat_list = []
     tri_uv_list = []
     tri_tan_list = []
-    for mesh in resources.meshes:
+    # the oracle is the scalar parity backend: bake instanced placements
+    # into world space here (memory is irrelevant at gate scales)
+    baked = list(resources.meshes)
+    for inst in getattr(resources, "mesh_instances", []):
+        src = inst.source
+        m44 = np.asarray(inst.transform, np.float64)
+        inv_t = np.linalg.inv(m44)[:3, :3].T
+        v = (src.vertices @ m44[:3, :3].T) + m44[:3, 3]
+        n = src.normals @ inv_t.T
+        ln = np.linalg.norm(n, axis=1, keepdims=True)
+        n = n / np.maximum(ln, 1e-20)
+        from metal_pathtracer_tpu.scene.resources import Mesh as _Mesh
+        baked.append(_Mesh(
+            name=src.name + "-inst", vertices=v.astype(np.float32),
+            normals=n.astype(np.float32), uv0=src.uv0, uv1=src.uv1,
+            tangents=src.tangents, indices=src.indices,
+            material=inst.material))
+    for mesh in baked:
         idx = mesh.indices
         v = mesh.vertices
         t9 = np.concatenate([v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]]], 1)

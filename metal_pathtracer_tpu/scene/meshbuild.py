@@ -35,8 +35,14 @@ SAH_BINS = 16
 # Triangle soup assembly
 # ---------------------------------------------------------------------------
 
-def build_triangle_arrays(meshes) -> Tuple[TrianglesSoA, BvhSoA]:
-    """Merge world-space meshes into SoA triangle arrays + BVH."""
+def build_triangle_arrays(meshes, with_packet: bool = False):
+    """Merge world-space meshes into SoA triangle arrays + BVH.
+
+    with_packet=True also builds the packet BVH HERE, from the host-side
+    numpy soup — fetching the uploaded device arrays back (np.asarray of a
+    jnp array) stalls for minutes when the axon tunnel's host-fetch path
+    is congested, and the data is already in host memory at this point.
+    Returns (tris, bvh) or (tris, bvh, packet)."""
     import jax.numpy as jnp
 
     v0s, v1s, v2s = [], [], []
@@ -67,6 +73,10 @@ def build_triangle_arrays(meshes) -> Tuple[TrianglesSoA, BvhSoA]:
     v0, v1, v2 = cat(v0s), cat(v1s), cat(v2s)
 
     nodes = build_bvh(v0, v1, v2)
+    packet = None
+    if with_packet:
+        from metal_pathtracer_tpu.scene import packetbvh
+        packet = packetbvh.build_packet_bvh(v0, v1, v2)
 
     j = lambda a: jnp.asarray(a)
     mat_arr = cat(mats)
@@ -99,6 +109,8 @@ def build_triangle_arrays(meshes) -> Tuple[TrianglesSoA, BvhSoA]:
         exit_index=j(nodes["exit_index"]),
         prim_indices=j(nodes["prim_indices"]),
     )
+    if with_packet:
+        return tris, bvh, packet
     return tris, bvh
 
 

@@ -79,6 +79,26 @@ def mesh_loader(tokens, settings, resources, allow_camera_import: bool,
 
     ext = os.path.splitext(path)[1].lower()
     name = tokens.get("name", os.path.basename(path))
+    # instanced=1: share ONE object-space BLAS across every placement of
+    # this file instead of baking world-space copies (true instancing,
+    # reference: SceneAccel.mm SoftwareInstanceInfo)
+    instanced = tokens.get("instanced", "0") == "1"
+    if instanced and ext in (".obj", ".ply"):
+        cache = getattr(resources, "_instance_mesh_cache", None)
+        if cache is None:
+            cache = {}
+            resources._instance_mesh_cache = cache
+        if path not in cache:
+            if ext == ".obj":
+                from metal_pathtracer_tpu.scene.obj import load_obj
+                cache[path] = load_obj(path, name=name, material=material,
+                                       transform=np.eye(4))
+            else:
+                from metal_pathtracer_tpu.scene.ply import load_ply
+                cache[path] = load_ply(path, name=name, material=material,
+                                       transform=np.eye(4))
+        resources.add_mesh_instance(cache[path], tf, material)
+        return
     if ext == ".obj":
         from metal_pathtracer_tpu.scene.obj import load_obj
         mesh = load_obj(path, name=name, material=material, transform=tf)

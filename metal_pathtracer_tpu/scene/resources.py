@@ -145,6 +145,18 @@ class Mesh:
     material: int = 0
 
 
+@dataclasses.dataclass
+class MeshInstance:
+    """A placement of a shared OBJECT-space mesh (true instancing: one
+    BLAS + per-instance transforms — reference: SceneAccel.mm
+    SoftwareInstanceInfo :173-247; the baked Mesh path above triples
+    triangle storage for the reference's own memory-budget scenario)."""
+
+    source: Mesh              # object-space geometry (shared by reference)
+    transform: np.ndarray     # (4,4) local -> world
+    material: int = 0
+
+
 class SceneResources:
     """Mutable scene under construction; `build_arrays()` freezes to device."""
 
@@ -153,6 +165,7 @@ class SceneResources:
         self.spheres: List[Sphere] = []
         self.rects: List[Rect] = []
         self.meshes: List[Mesh] = []
+        self.mesh_instances: List[MeshInstance] = []
         self.material_names: Dict[str, int] = {}
         self.environment_path: str = ""
         self.texture_images: List[np.ndarray] = []  # loaded texture pixels
@@ -303,6 +316,16 @@ class SceneResources:
 
     def add_mesh(self, mesh: Mesh) -> None:
         self.meshes.append(mesh)
+
+    def add_mesh_instance(self, source: Mesh, transform,
+                          material: int = 0) -> None:
+        """Place `source` (object space) with a shared BLAS: N placements
+        of the same source keep ~1x triangle memory (reference:
+        SceneAccel.mm per-mesh BLAS + SoftwareInstanceInfo TLAS)."""
+        self.mesh_instances.append(MeshInstance(
+            source=source,
+            transform=np.asarray(transform, np.float64).reshape(4, 4),
+            material=int(material)))
 
     # -- freeze to device arrays -------------------------------------------
 
@@ -463,20 +486,25 @@ class SceneResources:
         tri_bvh = None
         tri_packet = None
         if self.meshes:
-            from metal_pathtracer_tpu.scene import meshbuild
-            triangles, tri_bvh = meshbuild.build_triangle_arrays(self.meshes)
             from metal_pathtracer_tpu.ops.intersect import _use_pallas
+            from metal_pathtracer_tpu.scene import meshbuild
             if _use_pallas():
-                from metal_pathtracer_tpu.scene import packetbvh
-                v0 = np.asarray(triangles.v0)
-                v1 = np.asarray(triangles.v1)
-                v2 = np.asarray(triangles.v2)
-                tri_packet = packetbvh.build_packet_bvh(v0, v1, v2)
+                # packet BVH built from the host-side soup in the same
+                # pass — fetching device arrays back over the tunnel
+                # stalls when the host-fetch path is congested
+                triangles, tri_bvh, tri_packet = \
+                    meshbuild.build_triangle_arrays(self.meshes,
+                                                    with_packet=True)
+            else:
+                triangles, tri_bvh = meshbuild.build_triangle_arrays(
+                    self.meshes)
 
         tex_base_only_opaque = all(
             all(t < 0 for t in m.texture_indices[1:])
             and m.pbr_alpha_mode == 0 and m.pbr_alpha >= 1.0
             for m in self.materials)
+
+        instanced = self._build_instance_groups()
 
         return SceneArrays(
             spheres=spheres,
@@ -490,7 +518,58 @@ class SceneResources:
             light_rect_indices=light_rect_indices,
             textures=textures,
             tex_base_only_opaque=tex_base_only_opaque,
+            instanced=instanced,
         )
+
+    def _build_instance_groups(self):
+        """One InstanceGroup per unique source mesh: object-space SoA+BVH
+        shared across all its placements."""
+        if not self.mesh_instances:
+            return ()
+        import jax.numpy as jnp
+
+        from metal_pathtracer_tpu.ops.intersect import _use_pallas
+        from metal_pathtracer_tpu.scene import meshbuild
+        from metal_pathtracer_tpu.schema import InstanceGroup
+
+        by_source: Dict[int, list] = {}
+        order = []
+        for inst in self.mesh_instances:
+            key = id(inst.source)
+            if key not in by_source:
+                by_source[key] = []
+                order.append(key)
+            by_source[key].append(inst)
+
+        groups = []
+        base_id = len(self.meshes)  # world-soup meshes take low mesh ids
+        for key in order:
+            insts = by_source[key]
+            src = insts[0].source
+            if _use_pallas():
+                tris, bvh, packet = meshbuild.build_triangle_arrays(
+                    [src], with_packet=True)
+            else:
+                tris, bvh = meshbuild.build_triangle_arrays([src])
+                packet = None
+            l2w = np.zeros((len(insts), 3, 4), np.float32)
+            w2l = np.zeros((len(insts), 3, 4), np.float32)
+            nrm = np.zeros((len(insts), 3, 3), np.float32)
+            mat = np.zeros(len(insts), np.int32)
+            for i, inst in enumerate(insts):
+                m44 = np.asarray(inst.transform, np.float64)
+                inv = np.linalg.inv(m44)
+                l2w[i] = m44[:3, :4]
+                w2l[i] = inv[:3, :4]
+                nrm[i] = inv[:3, :3].T  # inverse-transpose linear part
+                mat[i] = inst.material
+            groups.append(InstanceGroup(
+                triangles=tris, tri_bvh=bvh, tri_packet=packet,
+                l2w=jnp.asarray(l2w), w2l=jnp.asarray(w2l),
+                nrm_mat=jnp.asarray(nrm), material=jnp.asarray(mat),
+                base_id=base_id, count=len(insts)))
+            base_id += len(insts)
+        return tuple(groups)
 
     def material_types_present(self):
         return sorted({m.mat_type for m in self.materials})

@@ -214,6 +214,9 @@ class SceneArrays:
     # (gates the fused shade path's texture pre-stage).
     tex_base_only_opaque: bool = struct.field(pytree_node=False,
                                               default=False)
+    # Instanced mesh groups (shared BLAS per source; see InstanceGroup).
+    # A tuple so the pytree structure is static per scene.
+    instanced: Any = ()
 
 
 @struct.dataclass
@@ -346,3 +349,25 @@ def settings_to_uniforms(settings, camera: CameraUniforms, frame_index: int,
         debug_orm_lod_bias=f32(settings.debugOrmLodBias),
         debug_env_mip_override=f32(settings.debugEnvMipOverride),
     )
+
+
+@struct.dataclass
+class InstanceGroup:
+    """One shared object-space BLAS + its instance transforms.
+
+    The reference keeps per-mesh BLAS + a TLAS of SoftwareInstanceInfo with
+    localToWorld/worldToLocal (reference: src/renderer/SceneAccel.mm
+    :173-247); here each group is traced per instance with the ray mapped
+    into object space (t is transform-invariant for a linearly-mapped
+    unnormalized direction), so N instances share ONE triangle store.
+    """
+
+    triangles: TrianglesSoA        # OBJECT-space soup of the source mesh
+    tri_bvh: BvhSoA
+    tri_packet: Any                # PacketBvh (None on CPU)
+    l2w: Array                     # (I, 3, 4) local -> world affine rows
+    w2l: Array                     # (I, 3, 4) world -> local affine rows
+    nrm_mat: Array                 # (I, 3, 3) inverse-transpose linear part
+    material: Array                # (I,) i32 per-instance material
+    base_id: int = struct.field(pytree_node=False, default=0)
+    count: int = struct.field(pytree_node=False, default=0)
