@@ -46,10 +46,38 @@ def _state_specs(replicated_scalars=True):
 
 
 def shard_state(state: RenderState, mesh: Mesh) -> RenderState:
-    """Place a host RenderState onto the mesh with row sharding."""
+    """Place a host RenderState onto the mesh with row sharding.
+
+    Non-divisible heights are padded with extra rows so every device gets
+    an equal slab; the pad rows hold off-screen pixels and are sliced off
+    by `unpad_state` / at save time."""
+    n_dev = mesh.devices.size
+    h = state.radiance_sum.shape[0]
+    pad = (-h) % n_dev
+    if pad:
+        def pad_img(x):
+            if x is None:
+                return None
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        state = state.replace(
+            radiance_sum=pad_img(state.radiance_sum),
+            sample_count=pad_img(state.sample_count),
+            albedo=pad_img(state.albedo), normal=pad_img(state.normal),
+            denoised=pad_img(state.denoised))
     specs = _state_specs()
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+
+
+def unpad_state(state: RenderState, height: int) -> RenderState:
+    """Slice a (possibly pad-row-carrying) state back to the true image."""
+    def cut(x):
+        return None if x is None else x[:height]
+    return state.replace(
+        radiance_sum=cut(state.radiance_sum),
+        sample_count=cut(state.sample_count),
+        albedo=cut(state.albedo), normal=cut(state.normal),
+        denoised=cut(state.denoised))
 
 
 def replicate(tree, mesh: Mesh):
@@ -72,10 +100,17 @@ def render_samples_sharded(scene: SceneArrays, uniforms: Uniforms,
     global totals.
     """
     n_dev = mesh.devices.size
-    if static.height % n_dev != 0:
+    state_rows = state.radiance_sum.shape[0]
+    if state_rows % n_dev != 0:
         raise ValueError(
-            f"height {static.height} must be divisible by mesh size {n_dev}")
-    rows_per_dev = static.height // n_dev
+            f"sharded state carries {state_rows} rows, not divisible by "
+            f"mesh size {n_dev} — build it with mesh.shard_state (which "
+            "pads non-divisible heights)")
+    rows_per_dev = state_rows // n_dev
+    # Pad rows (state_rows > static.height) are off-screen pixels below
+    # the image; per-pixel RNG is seeded by absolute pixel id so they
+    # cannot change any real pixel (SURVEY.md §5.8). Slice with
+    # `unpad_state` before presenting/saving.
 
     def shard_fn(scene, uniforms, st: RenderState) -> RenderState:
         row0 = jax.lax.axis_index(AXIS).astype(jnp.uint32) * rows_per_dev
