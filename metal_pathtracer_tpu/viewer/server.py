@@ -190,6 +190,9 @@ class ViewerServer:
                     elif url.path == "/materials":
                         self._send(200,
                                    json.dumps(viewer.materials()).encode())
+                    elif url.path == "/objects":
+                        self._send(200,
+                                   json.dumps(viewer.objects()).encode())
                     else:
                         self._send(404, b"{}")
                 except BrokenPipeError:
@@ -205,6 +208,9 @@ class ViewerServer:
                         self._send(200, json.dumps(out).encode())
                     elif url.path == "/material":
                         out = viewer.edit_material(parse_qs(url.query))
+                        self._send(200, json.dumps(out).encode())
+                    elif url.path == "/object":
+                        out = viewer.edit_object(parse_qs(url.query))
                         self._send(200, json.dumps(out).encode())
                     else:
                         self._send(404, b"{}")
@@ -320,6 +326,93 @@ class ViewerServer:
             self.last_reset = "MATERIAL_EDIT"
             self._stats = dict(self._stats, spp=0)
             return {"ok": True, "reset": "MATERIAL_EDIT", "index": idx}
+
+    def objects(self) -> list:
+        """Transformable scene objects (the reference's Object panel /
+        ImGuizmo target list, UIOverlay.h:207-213)."""
+        res = self.renderer.resources
+        out = []
+        for i, s in enumerate(res.spheres):
+            out.append(dict(kind="sphere", index=i,
+                            center=list(s.center), radius=s.radius,
+                            material=s.material))
+        for i, mesh in enumerate(res.meshes):
+            c = mesh.vertices.mean(0)
+            out.append(dict(kind="mesh", index=i, name=mesh.name,
+                            centroid=[float(x) for x in c],
+                            material=mesh.material))
+        for i, inst in enumerate(getattr(res, "mesh_instances", [])):
+            out.append(dict(
+                kind="instance", index=i, name=inst.source.name,
+                translation=[float(x) for x in inst.transform[:3, 3]],
+                material=inst.material))
+        return out
+
+    def edit_object(self, q: dict) -> dict:
+        """Translate/rotate/scale one object with optional snapping —
+        the reference's ImGuizmo gizmo semantics (UIOverlay.h:207-213:
+        translate/rotate/scale + snap), console-first. Rebuilds the scene
+        and restarts accumulation with OBJECT_TRANSFORM."""
+        import math
+
+        with self._lock:
+            res = self.renderer.resources
+            try:
+                kind = q.pop("kind")[-1]
+                idx = int(q.pop("index")[-1])
+            except (KeyError, ValueError):
+                return {"error": "object edits need kind= and index="}
+            snap = float(q.pop("snap", ["0"])[-1])
+
+            def snapv(vals):
+                if snap <= 0:
+                    return vals
+                return tuple(round(v / snap) * snap for v in vals)
+
+            translate = snapv(tuple(
+                float(x) for x in q.pop("translate", ["0,0,0"])[-1].split(",")))
+            scale = float(q.pop("scale", ["1"])[-1])
+            rotate_y = math.radians(float(q.pop("rotateY", ["0"])[-1]))
+            if q:
+                return {"error": f"unknown object tokens {sorted(q)}"}
+
+            try:
+                if kind == "sphere":
+                    s = res.spheres[idx]
+                    s.center = tuple(c + d for c, d in zip(s.center, translate))
+                    s.radius = max(s.radius * scale, 1e-4)
+                elif kind == "mesh":
+                    mesh = res.meshes[idx]
+                    c = mesh.vertices.mean(0)
+                    v = (mesh.vertices - c) * scale
+                    if rotate_y:
+                        cy, sy = math.cos(rotate_y), math.sin(rotate_y)
+                        rot = np.array([[cy, 0, sy], [0, 1, 0],
+                                        [-sy, 0, cy]], np.float32)
+                        v = v @ rot.T
+                        mesh.normals = (mesh.normals @ rot.T).astype(
+                            np.float32)
+                    mesh.vertices = (v + c + np.asarray(
+                        translate, np.float32)).astype(np.float32)
+                elif kind == "instance":
+                    inst = res.mesh_instances[idx]
+                    delta = np.eye(4)
+                    cy, sy = math.cos(rotate_y), math.sin(rotate_y)
+                    delta[:3, :3] = np.array(
+                        [[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]]) * scale
+                    delta[:3, 3] = translate
+                    inst.transform = delta @ inst.transform
+                else:
+                    return {"error": f"unknown object kind {kind!r}"}
+            except IndexError:
+                return {"error": "object index out of range"}
+
+            self.renderer._scene_dirty = True
+            self.renderer.reset_accumulation()
+            self.last_reset = "OBJECT_TRANSFORM"
+            self._stats = dict(self._stats, spp=0)
+            return {"ok": True, "reset": "OBJECT_TRANSFORM",
+                    "kind": kind, "index": idx}
 
     def apply_query(self, q: dict) -> dict:
         """Apply /set parameters. Camera verbs (orbit/dolly) mirror the

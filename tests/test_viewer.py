@@ -27,7 +27,8 @@ def viewer():
 
 def _get(server, path):
     # mutating endpoints are POST-only (CSRF hardening); reads stay GET
-    method = "POST" if path.startswith(("/set", "/material?")) else "GET"
+    method = "POST" if path.startswith(("/set", "/material?", "/object?")) \
+        else "GET"
     req = urllib.request.Request(
         f"http://127.0.0.1:{server.port}{path}", method=method)
     with urllib.request.urlopen(req, timeout=30) as resp:
@@ -140,3 +141,25 @@ def test_material_editor_rejects_bad_input(viewer):
     assert "error" in out
     out = json.loads(_get(viewer, "/material?index=0&bogus=1"))
     assert "error" in out
+
+
+def test_object_transform_panel(viewer):
+    """Object panel: list transformable objects and move one with
+    snapping — the reference's ImGuizmo Object panel analogue
+    (UIOverlay.h:207-213), with an OBJECT_TRANSFORM reset."""
+    objs = json.loads(_get(viewer, "/objects"))
+    spheres = [o for o in objs if o["kind"] == "sphere"]
+    assert spheres, objs
+    idx = spheres[0]["index"]
+    before = viewer.renderer.resources.spheres[idx].center
+    out = json.loads(_get(
+        viewer, f"/object?kind=sphere&index={idx}"
+                "&translate=0.26,0,0&snap=0.25"))
+    assert out["ok"] and out["reset"] == "OBJECT_TRANSFORM"
+    after = viewer.renderer.resources.spheres[idx].center
+    assert after[0] == pytest.approx(before[0] + 0.25)  # snapped
+    assert json.loads(_get(viewer, "/stats"))["reset"] == "OBJECT_TRANSFORM"
+    out = json.loads(_get(viewer, f"/object?kind=sphere&index=999"
+                                  "&translate=1,0,0"))
+    assert "error" in out
+    _wait_spp(viewer, 1)  # renders again with the rebuilt scene

@@ -12,12 +12,17 @@ Submit: write a python file to /tmp/lab_jobs/<name>.py; the server execs
 Stop:   write /tmp/lab_jobs/STOP
 """
 
+import faulthandler
 import io
 import os
+import signal
 import sys
 import time
 import traceback
 from contextlib import redirect_stderr, redirect_stdout
+
+# `kill -USR1 <pid>` dumps all thread stacks to stderr (hang diagnosis)
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 JOBS = "/tmp/lab_jobs"
 os.makedirs(JOBS, exist_ok=True)
