@@ -878,7 +878,9 @@ def _sample_pbr(m: Mat, n: V3, wo: V3, incident: V3, state, clamp_p: Clamp,
     wi_s = vwhere(smooth, wi_sm, wi_sr)
     f_s = vwhere(smooth, f_sm, f_sr)
     pdf_spec = jnp.where(smooth, 1.0, pdf_spec_r)
-    ok_s = jnp.where(smooth, ok_sm, ok_sr)
+    # logical ops, not where: Mosaic rejects vector i1 select_n
+    # (trunci i8->i1) on current libtpu
+    ok_s = (smooth & ok_sm) | (~smooth & ok_sr)
     state_s = jnp.where(smooth, state, state_sr)
 
     # diffuse: 2 draws
@@ -934,13 +936,13 @@ def _sample_pbr(m: Mat, n: V3, wo: V3, incident: V3, state, clamp_p: Clamp,
     wi_t = vwhere(smooth, wi_t0n, wi_trn)
     f_t = vwhere(smooth, f_t0, f_tr)
     pdf_trans = jnp.where(smooth, 1.0, pdf_trans_r)
-    ok_t = jnp.where(smooth, ok_t0, ok_tr)
+    ok_t = (smooth & ok_t0) | (~smooth & ok_tr)
     state_t = jnp.where(smooth, state, state_tr)
 
     wi = vwhere(lobe_spec, wi_s, vwhere(lobe_diff, wi_d, wi_t))
     f = vwhere(lobe_spec, f_s, vwhere(lobe_diff, f_d, f_t))
-    branch_ok = jnp.where(lobe_spec, ok_s,
-                          jnp.where(lobe_diff, ok_d, ok_t))
+    branch_ok = ((lobe_spec & ok_s) | (lobe_diff & ok_d)
+                 | (~lobe_spec & ~lobe_diff & ok_t))
     new_state = jnp.where(lobe_spec, state_s,
                           jnp.where(lobe_diff, state_d, state_t))
     is_delta = smooth & jnp.logical_not(lobe_diff)
