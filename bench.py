@@ -56,7 +56,9 @@ def _build(settings, resources, environment, width, height):
 
     scene = resources.build_arrays(environment=environment)
     static = settings_to_static(settings, width, height,
-                                resources.material_types_present())
+                                resources.material_types_present(),
+                                resources.texture_slots_present(),
+                                resources.texture_uses_uv1())
     camera = build_camera(settings, width, height)
     uniforms = settings_to_uniforms(settings, camera, 0, 0)
     return scene, static, uniforms

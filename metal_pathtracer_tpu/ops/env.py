@@ -211,6 +211,15 @@ def environment_from_texels(texels: np.ndarray,
     mips = build_mips(texels)
     (marg_alias, marg_thresh, cond_alias, cond_thresh, pdf) = \
         build_distribution(texels)
+    # Flat mip atlas (schema.EnvironmentSoA.flat_mips): levels concatenated
+    # so trilinear lookups gather from just the two adjacent levels.
+    levels = [texels] + list(mips)
+    meta = []
+    off = 0
+    for m in levels:
+        meta.append((off, int(m.shape[0]), int(m.shape[1])))
+        off += int(m.shape[0]) * int(m.shape[1])
+    flat = np.concatenate([m.reshape(-1, 3) for m in levels], 0)
     return EnvironmentSoA(
         texels=f(texels),
         mips=tuple(f(m) for m in mips),
@@ -221,6 +230,8 @@ def environment_from_texels(texels: np.ndarray,
         pdf=f(pdf),
         width=int(texels.shape[1]),
         height=int(texels.shape[0]),
+        flat_mips=f(flat),
+        mip_meta=tuple(meta),
     )
 
 
@@ -270,6 +281,45 @@ def _bilinear_wrap(img, u, v):
     return top * (1.0 - fy) + bot * fy
 
 
+def _bilinear_flat(env: EnvironmentSoA, level_onehot, u, v):
+    """Bilinear sample of ONE per-lane-selected mip level from the flat
+    atlas. level_onehot: (..., L) f32 one-hot over levels. Reproduces
+    _bilinear_wrap's arithmetic exactly (same x/y/fx/fy math) with the
+    level's (offset, h, w) selected by an exact one-hot matmul (HIGHEST
+    precision; values < 2^24 so f32 selection is lossless)."""
+    import jax
+    import jax.numpy as jnp
+
+    meta = jnp.asarray(env.mip_meta, jnp.float32)   # (L, 3): off, h, w
+    sel = jax.lax.dot_general(
+        level_onehot, meta, (((level_onehot.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)        # (..., 3)
+    off = sel[..., 0].astype(jnp.int32)
+    h = sel[..., 1]
+    w = sel[..., 2]
+    hi = h.astype(jnp.int32)
+    wi = w.astype(jnp.int32)
+
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), wi)
+    x1i = jnp.mod(x0i + 1, wi)
+    y0i = jnp.mod(y0.astype(jnp.int32), hi)
+    y1i = jnp.mod(y0i + 1, hi)
+    flat = env.flat_mips
+    c00 = flat[off + y0i * wi + x0i]
+    c10 = flat[off + y0i * wi + x1i]
+    c01 = flat[off + y1i * wi + x0i]
+    c11 = flat[off + y1i * wi + x1i]
+    top = c00 * (1.0 - fx) + c10 * fx
+    bot = c01 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def _sample_level(env: EnvironmentSoA, level: int):
     if level <= 0:
         return env.texels
@@ -305,17 +355,30 @@ def environment_color(env: EnvironmentSoA, direction, rotation, intensity,
         lod = jnp.clip(lod, 0.0, float(n_levels - 1))
         lo = jnp.floor(lod).astype(jnp.int32)
         frac = (lod - lo.astype(jnp.float32))[..., None]
-        # Gather both adjacent levels via a static switch over mip images
-        lo_colors = []
-        for lev in range(n_levels):
-            lo_colors.append(_bilinear_wrap(_sample_level(env, lev), u, v))
-        stacked = jnp.stack(lo_colors, 0)  # (L, ..., 3)
-        onehot_lo = (jnp.arange(n_levels) == lo[..., None])
-        onehot_hi = (jnp.arange(n_levels) ==
-                     jnp.minimum(lo + 1, n_levels - 1)[..., None])
-        moved = jnp.moveaxis(stacked, 0, -2)  # (..., L, 3)
-        c_lo = jnp.sum(moved * onehot_lo[..., None], -2)
-        c_hi = jnp.sum(moved * onehot_hi[..., None], -2)
+        if env.flat_mips is not None and len(env.mip_meta) == n_levels:
+            # Flat-atlas path: gather ONLY the two adjacent levels (8 texel
+            # rows) instead of sampling the whole pyramid and one-hot
+            # selecting — same values, ~5x fewer gathers at 11 levels.
+            onehot_lo = (jnp.arange(n_levels) == lo[..., None]).astype(
+                jnp.float32)
+            onehot_hi = (jnp.arange(n_levels) ==
+                         jnp.minimum(lo + 1, n_levels - 1)[..., None]
+                         ).astype(jnp.float32)
+            c_lo = _bilinear_flat(env, onehot_lo, u, v)
+            c_hi = _bilinear_flat(env, onehot_hi, u, v)
+        else:
+            # Fallback (hand-built EnvironmentSoA without the atlas):
+            # gather every level, one-hot select.
+            lo_colors = []
+            for lev in range(n_levels):
+                lo_colors.append(_bilinear_wrap(_sample_level(env, lev), u, v))
+            stacked = jnp.stack(lo_colors, 0)  # (L, ..., 3)
+            onehot_lo = (jnp.arange(n_levels) == lo[..., None])
+            onehot_hi = (jnp.arange(n_levels) ==
+                         jnp.minimum(lo + 1, n_levels - 1)[..., None])
+            moved = jnp.moveaxis(stacked, 0, -2)  # (..., L, 3)
+            c_lo = jnp.sum(moved * onehot_lo[..., None], -2)
+            c_hi = jnp.sum(moved * onehot_hi[..., None], -2)
         color = c_lo * (1.0 - frac) + c_hi * frac
     color = color * intensity
     return to_working_space(color, static)
@@ -329,22 +392,21 @@ def environment_background(env: EnvironmentSoA, direction, uniforms, static,
 
     override = uniforms.debug_env_mip_override
     use_override = (override is not None)
-    sharp = environment_color(env, direction, uniforms.environment_rotation,
-                              uniforms.environment_intensity, static)
     if len(env.mips) == 0:
-        return sharp
+        return environment_color(
+            env, direction, uniforms.environment_rotation,
+            uniforms.environment_intensity, static)
+    # One trilinear call with lod forced to 0 on inactive lanes: trilinear
+    # at lod=0 is bit-identical to the sharp bilinear (frac=0, finite
+    # mips), so the old sharp/blurred double sample + select collapses to
+    # half the gathers.
     lod = jnp.where(env_lod_active, env_lod, 0.0)
     if use_override:
         ov = jnp.maximum(override, 0.0)
         lod = jnp.where(override >= 0.0,
                         jnp.broadcast_to(ov, lod.shape), lod)
-        active = jnp.logical_or(env_lod_active, override >= 0.0)
-    else:
-        active = env_lod_active
-    blurred = environment_color(env, direction, uniforms.environment_rotation,
-                                uniforms.environment_intensity, static, lod=lod)
-    import jax.numpy as jnp
-    return jnp.where(active[..., None], blurred, sharp)
+    return environment_color(env, direction, uniforms.environment_rotation,
+                             uniforms.environment_intensity, static, lod=lod)
 
 
 def environment_pdf(env: EnvironmentSoA, direction, rotation):
@@ -436,12 +498,12 @@ def sample_environment_from_uniforms(env: EnvironmentSoA, u_marginal,
     if len(env.mips) > 0:
         env_rough = jnp.clip(lighting_roughness, 0.0, 1.0)
         lod = environment_lod_from_roughness(env_rough, env)
-        radiance_lod = environment_color(
-            env, world_dir, rot, uniforms.environment_intensity, static, lod=lod)
-        radiance_sharp = environment_color(
-            env, world_dir, rot, uniforms.environment_intensity, static)
-        radiance = jnp.where((env_rough < 0.95)[..., None],
-                             radiance_lod, radiance_sharp)
+        # lod forced to 0 on sharp lanes: trilinear(0) == bilinear mip0
+        # bit-exact, so one call replaces the lod/sharp pair + select.
+        lod = jnp.where(env_rough < 0.95, lod, 0.0)
+        radiance = environment_color(
+            env, world_dir, rot, uniforms.environment_intensity, static,
+            lod=lod)
     else:
         radiance = environment_color(
             env, world_dir, rot, uniforms.environment_intensity, static)

@@ -187,17 +187,29 @@ def apply_pbr_textures(scene, m, rec, wo, cone_width, depth, state,
     tri = jnp.clip(rec.prim_index, 0, tris.count - 1)
     w = _bary_weights(rec.barycentric)
     uv_a = _interp2(w, tris.uv0[tri], tris.uv1[tri], tris.uv2[tri])
-    uv_b = _interp2(w, tris.uvb0[tri], tris.uvb1[tri], tris.uvb2[tri])
-    tangent = _interp2(w, tris.t0[tri], tris.t1[tri], tris.t2[tri])
+    # UV set 1 / tangent fetches compile out when no material needs them
+    # (static.texture_uv1 / normal slot presence) — each saves per-corner
+    # gathers on every shaded lane.
+    use_uv1 = bool(static.texture_uv1)
+    if use_uv1:
+        uv_b = _interp2(w, tris.uvb0[tri], tris.uvb1[tri], tris.uvb2[tri])
+    else:
+        uv_b = uv_a
+    if SLOT_NORMAL in static.texture_slots:
+        tangent = _interp2(w, tris.t0[tri], tris.t1[tri], tris.t2[tri])
+    else:
+        tangent = jnp.zeros(shape + (4,), jnp.float32)
 
-    upw = [_uv_per_world(tris, tri, 0), _uv_per_world(tris, tri, 1)]
+    upw0 = _uv_per_world(tris, tri, 0)
+    upw = [upw0, _uv_per_world(tris, tri, 1) if use_uv1 else upw0]
     cos_view = jnp.abs(dot(normalize(shading_normal), normalize(wo)))
     footprint = cone_width / jnp.maximum(cos_view, 1e-3)
 
     # Igehy first-hit gradients (zero where unavailable -> cone fallback)
     if ray_d is not None:
-        igehy = [_igehy_uv_gradient(tris, tri, rec, ray_d, uniforms,
-                                    static, s) for s in (0, 1)]
+        g0 = _igehy_uv_gradient(tris, tri, rec, ray_d, uniforms, static, 0)
+        igehy = [g0, _igehy_uv_gradient(tris, tri, rec, ray_d, uniforms,
+                                        static, 1) if use_uv1 else g0]
         use_igehy = depth == 0
     else:
         igehy = [jnp.zeros(shape, jnp.float32)] * 2
@@ -206,7 +218,16 @@ def apply_pbr_textures(scene, m, rec, wo, cone_width, depth, state,
     max_lod = textures.max_lod
 
     def slot_sample(slot, srgb_working=False, default=None):
-        """-> (rgba, valid). Applies UV set, KHR transform and cone LOD."""
+        """-> (rgba, valid). Applies UV set, KHR transform and cone LOD.
+
+        Slots no material binds (static.texture_slots) compile to their
+        defaults with zero gathers — identical lane values to sampling
+        with tid<0 everywhere (sample_texture's white/default select)."""
+        if slot not in static.texture_slots:
+            fill = (1.0, 1.0, 1.0, 1.0) if default is None else default
+            rgba = jnp.broadcast_to(jnp.asarray(fill, jnp.float32),
+                                    shape + (4,))
+            return rgba, jnp.zeros(shape, bool)
         tid = m.texture_indices[..., slot]
         uv_set = m.texture_uv_set[..., slot]
         uv = jnp.where((uv_set == 1)[..., None], uv_b, uv_a)

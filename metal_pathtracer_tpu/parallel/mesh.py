@@ -94,10 +94,30 @@ def render_samples_sharded(scene: SceneArrays, uniforms: Uniforms,
                            chunk: int = DEFAULT_CHUNK) -> RenderState:
     """N-device progressive render step.
 
-    Image rows are split evenly across the mesh (static.height must divide
-    by the mesh size); each device renders its slab with global pixel
-    coordinates; ray counters are `psum`'d so every device carries the
-    global totals.
+    Host-side wrapper splitting the spp loop across dispatches exactly
+    like renderer.frame.render_samples does (bit-exact; see the
+    MAX_SPP_PER_DISPATCH note there for the tunnel-runtime fault this
+    avoids on real chips).
+    """
+    from metal_pathtracer_tpu.renderer.frame import MAX_SPP_PER_DISPATCH
+
+    step = max(1, MAX_SPP_PER_DISPATCH)
+    while n_samples > 0:
+        take = min(step, n_samples)
+        state = _render_sharded_once(scene, uniforms, state, static, take,
+                                     mesh, chunk)
+        n_samples -= take
+    return state
+
+
+def _render_sharded_once(scene: SceneArrays, uniforms: Uniforms,
+                         state: RenderState, static: StaticConfig,
+                         n_samples: int, mesh: Mesh,
+                         chunk: int = DEFAULT_CHUNK) -> RenderState:
+    """One sharded dispatch: image rows are split evenly across the mesh
+    (state height must divide by the mesh size); each device renders its
+    slab with global pixel coordinates; ray counters are `psum`'d so every
+    device carries the global totals.
     """
     n_dev = mesh.devices.size
     state_rows = state.radiance_sum.shape[0]

@@ -15,6 +15,7 @@ across a device mesh while keeping images bit-identical to single-chip
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -148,8 +149,37 @@ def render_rows(scene: SceneArrays, uniforms: Uniforms, state: RenderState,
 
 
 @functools.partial(jax.jit, static_argnames=("static", "n_samples", "chunk"))
+def _render_samples_jit(scene: SceneArrays, uniforms: Uniforms,
+                        state: RenderState, static: StaticConfig,
+                        n_samples: int,
+                        chunk: int = DEFAULT_CHUNK) -> RenderState:
+    return render_rows(scene, uniforms, state, static, n_samples, 0, chunk)
+
+
+# Samples per device dispatch. The 2026-08-17 axon tunnel worker faults
+# ("TPU worker process crashed") on frame programs whose outer sample loop
+# has trip count >= 4 over 2M-lane bodies — freshly compiled, any shade
+# path, stubbed or real traversal; trip counts 1-2 and 56x-chained 256K
+# bodies in one jit are fine, so it is not duration or body size. Until
+# the runtime is fixed, split multi-spp renders into <=2-spp dispatches:
+# per-lane accumulation is seeded from the running sums, so the split is
+# bit-exact vs a single dispatch (same float addition sequence), costing
+# only ~40 ms dispatch overhead per extra call.
+MAX_SPP_PER_DISPATCH = int(os.environ.get("MPT_MAX_SPP_PER_DISPATCH", "2"))
+
+
 def render_samples(scene: SceneArrays, uniforms: Uniforms, state: RenderState,
                    static: StaticConfig, n_samples: int,
                    chunk: int = DEFAULT_CHUNK) -> RenderState:
-    """Single-device: advance the full frame by n_samples."""
-    return render_rows(scene, uniforms, state, static, n_samples, 0, chunk)
+    """Single-device: advance the full frame by n_samples.
+
+    Host-side wrapper over the jitted step; dispatches at most
+    MAX_SPP_PER_DISPATCH samples per device program (see note above).
+    """
+    step = max(1, MAX_SPP_PER_DISPATCH)
+    while n_samples > 0:
+        take = min(step, n_samples)
+        state = _render_samples_jit(scene, uniforms, state, static, take,
+                                    chunk)
+        n_samples -= take
+    return state

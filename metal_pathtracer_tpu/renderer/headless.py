@@ -84,7 +84,9 @@ class TpuBackend:
 
         scene = resources.build_arrays(environment=environment)
         static = settings_to_static(settings, width, height,
-                                    resources.material_types_present())
+                                    resources.material_types_present(),
+                                    resources.texture_slots_present(),
+                                    resources.texture_uses_uv1())
         camera = build_camera(settings, width, height)
         # Render-state checkpoint/resume (capability the reference lacks,
         # SURVEY.md §5.4): a checkpointed accumulation continues exactly

@@ -171,7 +171,9 @@ class Renderer:
         w, h = self.render_size
         samples = samples or max(self.settings.samplesPerFrame, 1)
         static = settings_to_static(self.settings, w, h,
-                                    self.resources.material_types_present())
+                                    self.resources.material_types_present(),
+                                    self.resources.texture_slots_present(),
+                                    self.resources.texture_uses_uv1())
         self._camera = build_camera(self.settings, w, h)
         uniforms = settings_to_uniforms(self.settings, self._camera, 0, 0)
         self._state = frame_mod.render_samples(

@@ -573,3 +573,22 @@ class SceneResources:
 
     def material_types_present(self):
         return sorted({m.mat_type for m in self.materials})
+
+    def texture_slots_present(self):
+        """Slots (0-5) bound by at least one material — the static gate
+        that lets apply_pbr_textures compile absent slots to defaults."""
+        slots = set()
+        for m in self.materials:
+            for s, t in enumerate(m.texture_indices):
+                if t >= 0:
+                    slots.add(s)
+        return sorted(slots)
+
+    def texture_uses_uv1(self):
+        """Any bound texture slot addressing UV set 1 (glTF TEXCOORD_1)."""
+        for m in self.materials:
+            uv_sets = getattr(m, "texture_uv_set", None) or ()
+            for s, t in enumerate(m.texture_indices):
+                if t >= 0 and s < len(uv_sets) and uv_sets[s] == 1:
+                    return True
+        return False

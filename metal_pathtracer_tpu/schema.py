@@ -188,6 +188,13 @@ class EnvironmentSoA:
     pdf: Array               # (H,W) f32 — per-texel solid-angle pdf
     width: int = struct.field(pytree_node=False, default=0)
     height: int = struct.field(pytree_node=False, default=0)
+    # Flat mip atlas: all levels (mip0 first) concatenated row-major into
+    # one (total_texels, 3) array, so a trilinear lookup gathers only its
+    # two adjacent levels (8 texel rows) instead of bilinear-sampling every
+    # level and one-hot-selecting (44+ gathers at 11 levels). mip_meta is
+    # the static ((offset, h, w), ...) per level.
+    flat_mips: Array = None
+    mip_meta: Any = struct.field(pytree_node=False, default=())
 
 
 @struct.dataclass
@@ -292,10 +299,22 @@ class StaticConfig:
     # Material types present in the scene — lets the integrator skip BSDF
     # branches for absent types (the analogue of shader specialization).
     material_types: Tuple[int, ...] = ()
+    # Texture slots (base/ORM/normal/occlusion/emissive/transmission) bound
+    # by at least one material — absent slots compile to their defaults
+    # with zero gathers (the reference binds a 1x1 white fallback and still
+    # samples; on TPU each slot is 8 texel gathers, worth specializing).
+    texture_slots: Tuple[int, ...] = (0, 1, 2, 3, 4, 5)
+    # Any material addressing UV set 1 — when false the UV1 interpolation
+    # and its gradient plumbing compile out (most scenes are single-UV).
+    texture_uv1: bool = True
 
 
-def settings_to_static(settings, width: int, height: int, material_types) -> StaticConfig:
+def settings_to_static(settings, width: int, height: int, material_types,
+                       texture_slots=None, texture_uv1=None) -> StaticConfig:
     return StaticConfig(
+        texture_slots=(tuple(sorted(set(int(s) for s in texture_slots)))
+                       if texture_slots is not None else (0, 1, 2, 3, 4, 5)),
+        texture_uv1=bool(texture_uv1) if texture_uv1 is not None else True,
         width=int(width),
         height=int(height),
         max_depth=int(settings.maxDepth),

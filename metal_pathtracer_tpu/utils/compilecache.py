@@ -14,13 +14,36 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
 
 
+def _runtime_salt() -> str:
+    """Identity of the backend runtime, mixed into the cache path.
+
+    The shared tunnel's worker process gets swapped/upgraded without
+    notice, and executables serialized under the previous toolchain can
+    FAULT the new worker (observed 2026-08-17: every pre-swap cached
+    frame variant crashed the TPU worker; freshly compiled ones ran
+    fine). The platform cache key does not capture this, so salt the
+    directory with the backend's platform_version: a worker swap then
+    misses cleanly instead of replaying poisoned binaries."""
+    try:
+        import hashlib
+
+        import jax
+
+        ver = jax.extend.backend.get_backend().platform_version
+        return hashlib.sha256(str(ver).encode()).hexdigest()[:12]
+    except Exception:
+        return "v0"
+
+
 def enable_cache(cache_dir: str | None = None) -> None:
     cache_dir = cache_dir or os.environ.get(
         "MPT_COMPILE_CACHE_DIR", _DEFAULT_DIR)
     if cache_dir in ("", "0", "off"):
         return
-    os.makedirs(cache_dir, exist_ok=True)
     import jax
+
+    cache_dir = os.path.join(cache_dir, _runtime_salt())
+    os.makedirs(cache_dir, exist_ok=True)
 
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
