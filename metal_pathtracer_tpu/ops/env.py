@@ -359,13 +359,28 @@ def environment_color(env: EnvironmentSoA, direction, rotation, intensity,
             # Flat-atlas path: gather ONLY the two adjacent levels (8 texel
             # rows) instead of sampling the whole pyramid and one-hot
             # selecting — same values, ~5x fewer gathers at 11 levels.
-            onehot_lo = (jnp.arange(n_levels) == lo[..., None]).astype(
-                jnp.float32)
-            onehot_hi = (jnp.arange(n_levels) ==
-                         jnp.minimum(lo + 1, n_levels - 1)[..., None]
-                         ).astype(jnp.float32)
-            c_lo = _bilinear_flat(env, onehot_lo, u, v)
-            c_hi = _bilinear_flat(env, onehot_hi, u, v)
+            # When every lane's lod is 0 (the common case: miss-path
+            # backgrounds with no rough-specular history, alias radiance
+            # on rough lanes), trilinear(0) == mip0 bilinear bit-exact, so
+            # a real lax.cond halves the gathers again.
+            import jax
+
+            def _tri(_):
+                onehot_lo = (jnp.arange(n_levels) == lo[..., None]).astype(
+                    jnp.float32)
+                onehot_hi = (jnp.arange(n_levels) ==
+                             jnp.minimum(lo + 1, n_levels - 1)[..., None]
+                             ).astype(jnp.float32)
+                c_lo = _bilinear_flat(env, onehot_lo, u, v)
+                c_hi = _bilinear_flat(env, onehot_hi, u, v)
+                return c_lo * (1.0 - frac) + c_hi * frac
+
+            def _bi(_):
+                return _bilinear_wrap(env.texels, u, v)
+
+            color = jax.lax.cond(jnp.any(lod > 0.0), _tri, _bi, 0)
+            color = color * intensity
+            return to_working_space(color, static)
         else:
             # Fallback (hand-built EnvironmentSoA without the atlas):
             # gather every level, one-hot select.

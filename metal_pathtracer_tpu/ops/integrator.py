@@ -267,33 +267,46 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
 
         # ---- miss: background (reference: pathtrace.metal:5800-5861) ---
         miss = jnp.logical_and(alive0, jnp.logical_not(rec.hit))
-        if static.background_mode == 1:
-            background = jnp.broadcast_to(uniforms.background_color, shape + (3,))
-            background = to_working_space(background, static)
-        elif static.background_mode == 2 and scene.environment is not None:
-            from metal_pathtracer_tpu.ops import env as env_ops
-            background = env_ops.environment_background(
-                scene.environment, cr.ray_d, uniforms, static,
-                cr.env_lod, cr.env_lod_active)
-        else:
-            background = to_working_space(sky_color(cr.ray_d), static)
-
-        mis_weight = jnp.ones(shape, jnp.float32)
         use_specular_mis = jnp.logical_or(
             jnp.logical_not(cr.last_delta),
             static.enable_specular_nee or static.enable_mnee)
+
+        def _miss_radiance(radiance_in):
+            if static.background_mode == 1:
+                background = jnp.broadcast_to(uniforms.background_color,
+                                              shape + (3,))
+                background = to_working_space(background, static)
+            elif static.background_mode == 2 and scene.environment is not None:
+                from metal_pathtracer_tpu.ops import env as env_ops
+                background = env_ops.environment_background(
+                    scene.environment, cr.ray_d, uniforms, static,
+                    cr.env_lod, cr.env_lod_active)
+            else:
+                background = to_working_space(sky_color(cr.ray_d), static)
+
+            mis_weight = jnp.ones(shape, jnp.float32)
+            if env_sampling:
+                from metal_pathtracer_tpu.ops import env as env_ops
+                light_pdf = env_ops.environment_pdf(
+                    scene.environment, cr.ray_d, uniforms.environment_rotation)
+                denom = cr.last_pdf + light_pdf
+                w = jnp.clip(cr.last_pdf / jnp.maximum(denom, 1e-30),
+                             C.MIS_WEIGHT_CLAMP_MIN, C.MIS_WEIGHT_CLAMP_MAX)
+                mis_weight = jnp.where(
+                    jnp.logical_and(use_specular_mis, denom > 0.0),
+                    w, mis_weight)
+            bg_contrib = bsdf_ops.clamp_firefly_contribution(
+                cr.throughput, background * mis_weight[..., None], clamp_p)
+            return radiance_in + jnp.where(miss[..., None], bg_contrib, 0.0)
+
         if env_sampling:
-            from metal_pathtracer_tpu.ops import env as env_ops
-            light_pdf = env_ops.environment_pdf(
-                scene.environment, cr.ray_d, uniforms.environment_rotation)
-            denom = cr.last_pdf + light_pdf
-            w = jnp.clip(cr.last_pdf / jnp.maximum(denom, 1e-30),
-                         C.MIS_WEIGHT_CLAMP_MIN, C.MIS_WEIGHT_CLAMP_MAX)
-            mis_weight = jnp.where(jnp.logical_and(use_specular_mis, denom > 0.0),
-                                   w, mis_weight)
-        bg_contrib = bsdf_ops.clamp_firefly_contribution(
-            cr.throughput, background * mis_weight[..., None], clamp_p)
-        radiance = radiance + jnp.where(miss[..., None], bg_contrib, 0.0)
+            # Per-chunk skip: the env background+pdf lookups are ~13
+            # gathers/lane; chunks with no miss lane this depth (fully
+            # over geometry) add exactly zero, so skip them wholesale.
+            radiance = jax.lax.cond(jnp.any(miss), _miss_radiance,
+                                    lambda r: r, radiance)
+        else:
+            radiance = _miss_radiance(radiance)
 
         active = jnp.logical_and(alive0, rec.hit)
 
@@ -337,15 +350,39 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
         pbr_emissive = m.emission
         if C.MATERIAL_PBR in types and scene.textures is not None:
             from metal_pathtracer_tpu.ops import pbr_textures
-            texd = pbr_textures.apply_pbr_textures(
-                scene, m, rec, wo, cone_at_hit, depth, state, static,
-                uniforms, ray_d=cr.ray_d)
-            m = texd.m
-            shading_normal = texd.shading_normal
-            diffuse_occlusion = texd.diffuse_occlusion
-            pbr_emissive = texd.emissive
-            passthrough = jnp.logical_and(active, texd.passthrough)
-            state = jnp.where(active, texd.state, state)
+
+            # Per-chunk skip: the texture stage is ~25 gathers/lane and
+            # runs on every lane; chunks whose active hits include no PBR
+            # triangle lane produce exactly the trivial result (every
+            # override is where(pbr_lane, ...), and the alpha-BLEND RNG
+            # advance also gates on pbr_lane), so a real lax.cond branch
+            # skips the gathers wholesale. Textured objects are spatially
+            # localized, so most 256K-lane chunks take the cheap branch.
+            pbr_present = jnp.any(active
+                                  & (m.mat_type == C.MATERIAL_PBR)
+                                  & (rec.prim_type == C.PRIMITIVE_TRIANGLE))
+
+            def _tex_run(opd):
+                m_, state_ = opd
+                texd = pbr_textures.apply_pbr_textures(
+                    scene, m_, rec, wo, cone_at_hit, depth, state_, static,
+                    uniforms, ray_d=cr.ray_d)
+                return (texd.m, texd.shading_normal,
+                        texd.diffuse_occlusion, texd.emissive,
+                        texd.passthrough, texd.state)
+
+            def _tex_skip(opd):
+                m_, state_ = opd
+                return (m_, shading_normal,
+                        jnp.ones(shape, jnp.float32),
+                        to_working_space(m_.emission, static),
+                        jnp.zeros(shape, bool), state_)
+
+            (m, shading_normal, diffuse_occlusion, pbr_emissive,
+             tex_pass, state2) = jax.lax.cond(
+                pbr_present, _tex_run, _tex_skip, (m, state))
+            passthrough = jnp.logical_and(active, tex_pass)
+            state = jnp.where(active, state2, state)
         # Dielectric: force geometric normal (reference: pathtrace.metal
         # :5910-5917). Applied AFTER the texture stage: normal maps touch
         # PBR lanes only, and texd.shading_normal passes non-PBR lanes

@@ -1782,9 +1782,32 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
 
         tex_planes = None
         if has_tex:
-            tex_planes = _texture_stage(scene, uniforms, static, carry,
-                                        layout, o3, d3, t, tri_i, u, v,
-                                        depth, pad1, shp, unshp)
+            # Per-chunk skip: material index rides shade_packed col 18
+            # (already gathered), so "any active PBR lane?" costs one
+            # small matmul; chunks without PBR hits export identity
+            # planes (what apply_pbr_textures returns for non-PBR lanes)
+            # without the ~25 gathers/lane texture stage.
+            mat_lane = jnp.clip(rows[:, 18].astype(jnp.int32), 0,
+                                scene.materials.count - 1)
+            is_pbr_m = (scene.materials.mat_type == C.MATERIAL_PBR
+                        ).astype(jnp.float32)
+            onehot = (mat_lane[:, None] ==
+                      jnp.arange(scene.materials.count)[None, :]
+                      ).astype(jnp.float32)
+            lane_pbr = jax.lax.dot_general(
+                onehot, is_pbr_m, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST) > 0.5
+            pbr_any = jnp.any(alive & (tri_i >= 0) & lane_pbr)
+
+            def _tex_full(_):
+                return _texture_stage(scene, uniforms, static, carry,
+                                      layout, o3, d3, t, tri_i, u, v,
+                                      depth, pad1, shp, unshp)
+
+            def _tex_ident(_):
+                return _texture_identity(scene, static, mat_lane, shp)
+
+            tex_planes = jax.lax.cond(pbr_any, _tex_full, _tex_ident, 0)
         if not env_mode:
             carry, state_p = _shade_call(
                 "full", layout, static, m_count, n_blocks,
@@ -1793,11 +1816,25 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
 
         # ---- env path: XLA background/pdf, S1, alias stage, shadow, S2
         from metal_pathtracer_tpu.ops import env as env_ops
-        bg = env_ops.environment_background(
-            env, d3, uniforms, static, cget("env_lod"),
-            cget("env_lod_act") > 0.5)
-        env_pdf_d = env_ops.environment_pdf(env, d3,
-                                            uniforms.environment_rotation)
+
+        # Per-chunk skip (~13 gathers/lane): the s1 kernel reads these
+        # planes only under where(miss, ...), and zeros produce a zero
+        # contribution with no non-finite intermediates — so chunks with
+        # no miss lane this depth skip the env lookups wholesale.
+        def _bg_run(_):
+            bg = env_ops.environment_background(
+                env, d3, uniforms, static, cget("env_lod"),
+                cget("env_lod_act") > 0.5)
+            pdf = env_ops.environment_pdf(env, d3,
+                                          uniforms.environment_rotation)
+            return bg, pdf
+
+        def _bg_skip(_):
+            return (jnp.zeros(d3.shape, jnp.float32),
+                    jnp.zeros(d3.shape[:-1], jnp.float32))
+
+        bg, env_pdf_d = jax.lax.cond(
+            jnp.any(alive & (tri_i < 0)), _bg_run, _bg_skip, 0)
         carry, state_p, trans = _shade_call(
             "s1", layout, static, m_count, n_blocks,
             carry=carry, state=state_p,
@@ -1856,6 +1893,26 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
     out_state = state_p.reshape(padded)[:n]
     stats = {"rays": n_rays, "shadow_rays": n_shadow}
     return out_state, radiance, aov_albedo, aov_normal, stats
+
+
+def _texture_identity(scene, static, mat_lane, shp):
+    """TEX planes for a chunk with no PBR hit lane: exactly what
+    apply_pbr_textures returns for non-PBR lanes (original material
+    values, occlusion 1, passthrough 0) at the cost of one material
+    fetch. mat_lane: per-lane material index (from shade_packed col 18 —
+    no extra gather)."""
+    from metal_pathtracer_tpu.ops import bsdf as bsdf_ops
+    from metal_pathtracer_tpu.ops.integrator import to_working_space
+
+    m = bsdf_ops.gather_material(scene.materials, mat_lane)
+    emissive = to_working_space(m.emission, static)
+    ones = jnp.ones(mat_lane.shape, jnp.float32)
+    return jnp.stack([
+        shp(m.base_color[:, 0]), shp(m.base_color[:, 1]),
+        shp(m.base_color[:, 2]),
+        shp(m.roughness), shp(m.pbr_metallic),
+        shp(emissive[:, 0]), shp(emissive[:, 1]), shp(emissive[:, 2]),
+        shp(ones), shp(jnp.zeros(mat_lane.shape, jnp.float32))])
 
 
 def _texture_stage(scene, uniforms, static, carry, layout, o3, d3, t, tri_i,
