@@ -739,14 +739,27 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
 
 
 def integrate_pixels(scene: SceneArrays, uniforms: Uniforms,
-                     static: StaticConfig, x, y, prev_count):
+                     static: StaticConfig, x, y, prev_count,
+                     frame_offset=None):
     """One sample for a batch of pixels (the kernel entry,
     reference: pathtrace.metal:9698-9815).
 
+    `frame_offset` (per-lane u32, optional) shifts the dispatch-scalar
+    frame/sample counters per lane — cross-sample batching traces several
+    consecutive sample ordinals of the same pixel strip in one wavefront
+    (renderer/frame.py), and each lane must reproduce exactly the seed its
+    ordinal would get from the reference's per-dispatch recipe
+    (pathtrace.metal:9735-9740).
+
     Returns (sample_rgb, aov_albedo, aov_normal) for the lanes.
     """
-    seed = rng_ops.make_seed(uniforms.fixed_rng_seed, uniforms.frame_index,
-                             x, y, uniforms.sample_count, prev_count)
+    frame_index = uniforms.frame_index
+    sample_count = uniforms.sample_count
+    if frame_offset is not None:
+        frame_index = frame_index + frame_offset
+        sample_count = sample_count + frame_offset
+    seed = rng_ops.make_seed(uniforms.fixed_rng_seed, frame_index,
+                             x, y, sample_count, prev_count)
     state = seed
     state, origin, direction = camera_ops.generate_primary_rays(
         uniforms.camera, x, y, static.width, static.height, state)

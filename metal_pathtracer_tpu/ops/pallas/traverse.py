@@ -175,7 +175,21 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         return margin, entry
 
     def slab_margin(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
-        return slab_test(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz)[0]
+        """Margin only (no entry minimum / hit mask — the callers gate on
+        sign alone); ~1/3 fewer vector ops than the full slab_test."""
+        t0x = (bminx - ox[:]) * inv_dx
+        t1x = (bmaxx - ox[:]) * inv_dx
+        t0y = (bminy - oy[:]) * inv_dy
+        t1y = (bmaxy - oy[:]) * inv_dy
+        t0z = (bminz - oz[:]) * inv_dz
+        t1z = (bmaxz - oz[:]) * inv_dz
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+        tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
+        return jnp.max(tfar - tnear, keepdims=True).reshape(1, 1)
 
     def flush_verdicts():
         """verdict_vmem lanes -> verdict_smem rows 0-1 (single DMA; rows
@@ -266,6 +280,10 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             bv_ref[:] = jnp.where(take, v, bv_ref[:])
             return 0
 
+        if "mtskip" in _DEBUG_SKIP:
+            # measurement mode: full traversal + leaf DMAs + verdicts, MT
+            # tests skipped — isolates DMA/verdict cost from MT compute
+            return
         for k in range(SUBCHUNKS):
             @pl.when(verdict_smem[bank, k] >= 0.0)
             def _():
@@ -342,30 +360,33 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         sp = sp0 - popped
 
         # ---- vector phase: 8 child boxes per popped node ---------------
-        def cand_body(i, acc):
-            margins, entries = acc
+        # margin-only: unlike the binary path, the wide push below never
+        # orders children by entry distance (fixed reverse-j order), so
+        # computing/flushing entry minima here was pure waste (~1/3 of the
+        # per-test vector ops) — removing it is bit-identical.
+        def cand_body(i, margins):
             node = cand[jnp.minimum(i, wwave - 1)]
             valid = node >= 0
             nodec = jnp.maximum(node, 0)
             for j in range(8):
                 base = 6 * j
-                margin, entry = slab_test(
+                margin = slab_margin(
                     nb[base + 0, nodec], nb[base + 1, nodec],
                     nb[base + 2, nodec], nb[base + 3, nodec],
                     nb[base + 4, nodec], nb[base + 5, nodec])
                 k = 8 * i + j
                 margin = jnp.where(valid, margin, -1.0)
                 margins = jnp.where(lane_iota == k, margin, margins)
-                entries = jnp.where(lane_iota == k, entry, entries)
-            return margins, entries
+            return margins
 
-        margins, entries = jax.lax.fori_loop(
+        margins = jax.lax.fori_loop(
             0, popped, cand_body,
-            (jnp.full((1, LANES), -1.0, jnp.float32),
-             jnp.full((1, LANES), 3.0e38, jnp.float32)))
+            jnp.full((1, LANES), -1.0, jnp.float32))
         verdict_vmem[0:1, :] = margins
-        verdict_vmem[1:2, :] = entries
-        flush_verdicts()
+        dma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
+                                    verdict_smem.at[pl.ds(0, 1)], vsem)
+        dma.start()
+        dma.wait()
 
         # ---- scalar phase: push internal survivors, queue leaf chunks --
         def push_body(p, carry):

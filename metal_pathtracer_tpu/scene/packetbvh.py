@@ -24,8 +24,15 @@ from flax import struct
 
 from metal_pathtracer_tpu.scene import meshbuild
 
+import os
+
 CHUNK = 256          # triangle slots per leaf chunk (DMA granularity)
-SUBCHUNKS = 32       # sub-AABB groups per chunk (in-chunk packet culling)
+# Sub-AABB groups per chunk (in-chunk packet culling). 32 won when MT
+# tests dominated (round 2); the swapped runtime + divergent bench scene
+# moved the cost to the group slab tests themselves, so the sweet spot is
+# load-dependent — env-tunable for A/B (layout + kernel read it together;
+# a PacketBvh must be built with the same value the kernel traces with).
+SUBCHUNKS = int(os.environ.get("MPT_SUBCHUNKS", "32"))
 NODE_BUDGET = 15000  # SMEM node cap (~8 * 4B * budget < 512 KB)
 PLANES = 16          # v0(3) e1(3) e2(3) + subAABBs(row 9) + tri-id(10) + valid(11)
 

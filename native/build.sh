@@ -4,7 +4,13 @@ set -euo pipefail
 cd "$(dirname "$0")"
 
 CXX=${CXX:-g++}
-FLAGS="-O3 -march=native -fPIC -shared -std=c++17 -Wall"
+# Fixed -march (x86-64-v3: AVX2/FMA, 2015+ hosts) instead of -march=native
+# so CI/bench hosts build the SAME oracle — parity RMSE gates are then
+# reproducible across machines (VERDICT r02 weak #8). Override with
+# MPT_NATIVE_ARCH=native for local tuning.
+ARCH=${MPT_NATIVE_ARCH:-x86-64-v3}
+FLAGS="-O3 -march=$ARCH -fPIC -shared -std=c++17 -Wall"
+echo "flags: $FLAGS"
 
 $CXX $FLAGS bvh_builder.cpp -o libbvh_builder.so
 echo "built libbvh_builder.so"

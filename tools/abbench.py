@@ -154,7 +154,7 @@ def make_kernel_loads(scene, static, uniforms):
     # full-frame tile order (8x128), matching renderer/frame.py coherence
     from metal_pathtracer_tpu.renderer.frame import _pixel_order
     n = static.width * static.height
-    xs, ys, _ = _pixel_order(static.height, static.width)
+    xs, ys, _, _ = _pixel_order(static.height, static.width)
     x = jnp.asarray(xs[:n])
     y = jnp.asarray(ys[:n])
     seed = rng_ops.make_seed(uniforms.fixed_rng_seed, uniforms.frame_index,

@@ -48,7 +48,7 @@ def main():
     rng = np.random.default_rng(0)
 
     from metal_pathtracer_tpu.renderer.frame import _pixel_order
-    xs, ys, _ = _pixel_order(512, 128)
+    xs, ys, _, _ = _pixel_order(512, 128)
     x = jnp.asarray(xs[:N])
     y = jnp.asarray(ys[:N])
     seed = rng_ops.make_seed(uniforms.fixed_rng_seed, uniforms.frame_index,
@@ -130,7 +130,7 @@ def main_2m():
 
     scene, uniforms, static = build_bench_scene()
     N = 1920 * 1080
-    xs, ys, _ = _pixel_order(1080, 1920)
+    xs, ys, _, _ = _pixel_order(1080, 1920)
     x = jnp.asarray(xs[:N])
     y = jnp.asarray(ys[:N])
     seed = rng_ops.make_seed(uniforms.fixed_rng_seed, uniforms.frame_index,
