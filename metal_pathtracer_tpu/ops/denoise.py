@@ -63,10 +63,84 @@ def atrous_denoise(color, albedo, normal, iterations: int = 4,
     return out
 
 
+def _gauss3(img):
+    """Separable 3x3 (1,2,1)/4 blur of (H,W) or (H,W,C)."""
+    w = (0.25, 0.5, 0.25)
+    out = sum(wk * jnp.roll(img, k, axis=0) for k, wk in zip((-1, 0, 1), w))
+    return sum(wk * jnp.roll(out, k, axis=1) for k, wk in zip((-1, 0, 1), w))
+
+
+def _luminance(rgb):
+    return (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1]
+            + 0.0722 * rgb[..., 2])
+
+
+def svgf_denoise(color, albedo, normal, variance, iterations: int = 4,
+                 sigma_lum: float = 1.5, sigma_normal_pow: float = 64.0,
+                 sigma_albedo: float = 0.25):
+    """Variance-guided à-trous filtering (the spatial core of SVGF,
+    Schied et al. 2017, without the temporal reprojection the progressive
+    accumulator already provides by averaging samples in place).
+
+    `variance` is the per-pixel per-channel variance of the accumulated
+    mean (RenderState.variance_of_mean). The luminance edge weight is
+    scaled by the locally smoothed standard deviation, so converged or
+    low-energy regions keep their edges while noisy regions smooth
+    aggressively — this is what a fixed sigma_color cannot do. Variance
+    is filtered alongside color with squared weights, as in the paper.
+    """
+    out = color
+    var = _luminance(variance)
+
+    for it in range(iterations):
+        step = 1 << it
+        gvar = jnp.maximum(_gauss3(var), 0.0)
+        denom = sigma_lum * jnp.sqrt(gvar) + 1e-4
+        lum_p = _luminance(out)
+        accum = jnp.zeros_like(out)
+        var_accum = jnp.zeros_like(var)
+        weight_sum = jnp.zeros(out.shape[:2], out.dtype)
+        for ky, wy in zip((-2, -1, 0, 1, 2), _KERNEL):
+            for kx, wx in zip((-2, -1, 0, 1, 2), _KERNEL):
+                w_k = wy * wx
+                shift = (ky * step, kx * step)
+                s_col = jnp.roll(out, shift, axis=(0, 1))
+                s_var = jnp.roll(var, shift, axis=(0, 1))
+                s_alb = jnp.roll(albedo, shift, axis=(0, 1))
+                s_nrm = jnp.roll(normal, shift, axis=(0, 1))
+                w_l = jnp.exp(-jnp.abs(_luminance(s_col) - lum_p) / denom)
+                # miss pixels carry a zero normal AOV: background-to-
+                # background taps must count as matching (else the center
+                # tap itself gets weight 0^p and miss pixels blow up)
+                both_bg = (dot(normal, normal) < 0.5) \
+                    & (dot(s_nrm, s_nrm) < 0.5)
+                w_n = jnp.where(
+                    both_bg, 1.0,
+                    jnp.maximum(dot(s_nrm, normal), 0.0)
+                    ** sigma_normal_pow)
+                da = s_alb - albedo
+                w_a = jnp.exp(-dot(da, da) / (2.0 * sigma_albedo ** 2))
+                w = w_k * w_l * w_n * w_a
+                accum = accum + s_col * w[..., None]
+                var_accum = var_accum + s_var * (w * w)
+                weight_sum = weight_sum + w
+        out = accum / jnp.maximum(weight_sum, 1e-6)[..., None]
+        var = var_accum / jnp.maximum(weight_sum, 1e-6) ** 2
+    return out
+
+
 def denoise_state(state, settings):
     """Denoise the averaged image using the RenderState AOVs; returns the
-    denoised (H,W,3) image. Normal AOV is stored in [0,1] encoding."""
+    denoised (H,W,3) image. Normal AOV is stored in [0,1] encoding.
+
+    Uses the SVGF-style variance-guided filter when the second radiance
+    moment is available (always, except resumes from pre-sq_sum
+    checkpoints, which fall back to the fixed-sigma à-trous pass)."""
     avg = state.present()
     iterations = 5 if settings.denoiseFilterType == 1 else 4
     normal = state.normal  # already world-space unit (pre-encode)
+    if state.radiance_sq_sum is not None:
+        return svgf_denoise(avg, state.albedo, normal,
+                            state.variance_of_mean(),
+                            iterations=iterations)
     return atrous_denoise(avg, state.albedo, normal, iterations=iterations)

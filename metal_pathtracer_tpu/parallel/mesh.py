@@ -42,7 +42,8 @@ def _state_specs(replicated_scalars=True):
     return RenderState(
         radiance_sum=img, sample_count=img, albedo=img, normal=img,
         frame_index=scalar, denoised=img,
-        ray_count=scalar, shadow_ray_count=scalar)
+        ray_count=scalar, shadow_ray_count=scalar,
+        radiance_sq_sum=img)
 
 
 def shard_state(state: RenderState, mesh: Mesh) -> RenderState:
@@ -52,6 +53,10 @@ def shard_state(state: RenderState, mesh: Mesh) -> RenderState:
     an equal slab; the pad rows hold off-screen pixels and are sliced off
     by `unpad_state` / at save time."""
     n_dev = mesh.devices.size
+    if state.radiance_sq_sum is None:
+        # pre-sq_sum checkpoint: the spec pytree needs a real leaf
+        state = state.replace(
+            radiance_sq_sum=jnp.zeros_like(state.radiance_sum))
     h = state.radiance_sum.shape[0]
     pad = (-h) % n_dev
     if pad:
@@ -63,7 +68,8 @@ def shard_state(state: RenderState, mesh: Mesh) -> RenderState:
             radiance_sum=pad_img(state.radiance_sum),
             sample_count=pad_img(state.sample_count),
             albedo=pad_img(state.albedo), normal=pad_img(state.normal),
-            denoised=pad_img(state.denoised))
+            denoised=pad_img(state.denoised),
+            radiance_sq_sum=pad_img(state.radiance_sq_sum))
     specs = _state_specs()
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
@@ -77,7 +83,8 @@ def unpad_state(state: RenderState, height: int) -> RenderState:
         radiance_sum=cut(state.radiance_sum),
         sample_count=cut(state.sample_count),
         albedo=cut(state.albedo), normal=cut(state.normal),
-        denoised=cut(state.denoised))
+        denoised=cut(state.denoised),
+        radiance_sq_sum=cut(state.radiance_sq_sum))
 
 
 def replicate(tree, mesh: Mesh):

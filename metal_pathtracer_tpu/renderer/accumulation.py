@@ -32,6 +32,10 @@ class RenderState:
     # reference: include/MetalShaderTypes.h PathtraceStats / RenderLoop.mm:511-513)
     ray_count: jnp.ndarray = None        # () f32 — scene traces issued
     shadow_ray_count: jnp.ndarray = None  # () f32 — shadow traces issued
+    # Second radiance moment for the SVGF-style variance-guided denoiser
+    # (the reference's OIDN has no analogue input; tracked per pixel so
+    # the filter can scale its color sigma by real sample variance).
+    radiance_sq_sum: jnp.ndarray = None  # (H,W,3) f32 — sum of sample^2
 
     @classmethod
     def create(cls, width: int, height: int) -> "RenderState":
@@ -44,6 +48,7 @@ class RenderState:
             denoised=jnp.zeros((height, width, 3), jnp.float32),
             ray_count=jnp.float32(0.0),
             shadow_ray_count=jnp.float32(0.0),
+            radiance_sq_sum=jnp.zeros((height, width, 3), jnp.float32),
         )
 
     @property
@@ -60,6 +65,17 @@ class RenderState:
         count = jnp.maximum(self.sample_count.astype(jnp.float32), 1.0)
         avg = self.radiance_sum / count[..., None]
         return jnp.where((self.sample_count > 0)[..., None], avg, 0.0)
+
+    def variance_of_mean(self) -> jnp.ndarray:
+        """Per-pixel per-channel variance of the accumulated mean:
+        max(E[x^2] - E[x]^2, 0) / n. Zero where moments are unavailable
+        (n < 2, or resume from a pre-sq_sum checkpoint)."""
+        if self.radiance_sq_sum is None:
+            return jnp.zeros_like(self.radiance_sum)
+        n = jnp.maximum(self.sample_count.astype(jnp.float32), 1.0)[..., None]
+        mean = self.radiance_sum / n
+        var = jnp.maximum(self.radiance_sq_sum / n - mean * mean, 0.0) / n
+        return jnp.where((self.sample_count > 1)[..., None], var, 0.0)
 
     def save(self, path: str, digest: str = "") -> None:
         """Checkpoint to .npz — resume is `RenderState.load(path)`.
@@ -88,6 +104,10 @@ class RenderState:
                 shadow_ray_count=np.asarray(
                     self.shadow_ray_count
                     if self.shadow_ray_count is not None else 0.0),
+                radiance_sq_sum=np.asarray(
+                    self.radiance_sq_sum
+                    if self.radiance_sq_sum is not None
+                    else np.zeros_like(np.asarray(self.radiance_sum))),
             )
 
     @classmethod
@@ -130,4 +150,6 @@ class RenderState:
             else jnp.float32(0.0),
             shadow_ray_count=jnp.asarray(data["shadow_ray_count"])
             if "shadow_ray_count" in data else jnp.float32(0.0),
+            radiance_sq_sum=jnp.asarray(data["radiance_sq_sum"])
+            if "radiance_sq_sum" in data else None,
         )

@@ -137,14 +137,19 @@ def render_rows(scene: SceneArrays, uniforms: Uniforms, state: RenderState,
                   + b_np.astype(np.uint32)).reshape(-1, chunk)
     # copy b=0 seeds from the running sum; copies b>0 start at zero so the
     # final cross-copy reduction counts the prior sum exactly once
-    lane_rad0 = jnp.where((b_np == 0)[:, None],
-                          state.radiance_sum.reshape(-1, 3)[lane_idx], 0.0)
+    b0 = (b_np == 0)[:, None]
+    lane_rad0 = jnp.where(b0, state.radiance_sum.reshape(-1, 3)[lane_idx],
+                          0.0)
+    sq_sum = state.radiance_sq_sum if state.radiance_sq_sum is not None \
+        else jnp.zeros_like(state.radiance_sum)
+    lane_sq0 = jnp.where(b0, sq_sum.reshape(-1, 3)[lane_idx], 0.0)
 
     def one_group(i, carry):
         # Per-dispatch uniforms: frameIndex == sampleCount == dispatch index
         # (reference: Accumulation.h incrementFrame:54-57, UniformBuilder.mm:31-33);
         # batched lanes add their ordinal offset b in integrate_pixels.
-        lane_rad, lane_alb, lane_nrm, frame_idx, n_rays, n_shadow = carry
+        lane_rad, lane_sq, lane_alb, lane_nrm, frame_idx, n_rays, \
+            n_shadow = carry
         u = uniforms.replace(frame_index=frame_idx, sample_count=frame_idx)
 
         def do_chunk(coords):
@@ -164,17 +169,18 @@ def render_rows(scene: SceneArrays, uniforms: Uniforms, state: RenderState,
             sample, albedo, normal, stats = jax.lax.map(
                 do_chunk, (xs, ys_local, bs, prev_lane0))
 
-        return (lane_rad + sample.reshape(-1, 3),
+        s = sample.reshape(-1, 3)
+        return (lane_rad + s, lane_sq + s * s,
                 albedo.reshape(-1, 3), normal.reshape(-1, 3),
                 frame_idx + jnp.uint32(B),
                 n_rays + jnp.sum(stats["rays"]),
                 n_shadow + jnp.sum(stats["shadow_rays"]))
 
     z_lane = jnp.zeros((padded, 3), jnp.float32)
-    lane_rad, lane_alb, lane_nrm, frame_idx, n_rays, n_shadow = \
+    lane_rad, lane_sq, lane_alb, lane_nrm, frame_idx, n_rays, n_shadow = \
         jax.lax.fori_loop(
             0, n_samples // B, one_group,
-            (lane_rad0, z_lane, z_lane, state.frame_index,
+            (lane_rad0, lane_sq0, z_lane, z_lane, state.frame_index,
              state.ray_count, state.shadow_ray_count))
 
     # Lanes are in tile order; the static inverse permutation restores
@@ -199,6 +205,7 @@ def render_rows(scene: SceneArrays, uniforms: Uniforms, state: RenderState,
 
     return state.replace(
         radiance_sum=collapse_sum(lane_rad),
+        radiance_sq_sum=collapse_sum(lane_sq),
         sample_count=state.sample_count + jnp.uint32(n_samples),
         albedo=collapse_last(lane_alb),
         normal=collapse_last(lane_nrm),
@@ -277,13 +284,15 @@ def render_samples(scene: SceneArrays, uniforms: Uniforms, state: RenderState,
             take = min(groups_per_dispatch * B, n_samples - done)
             frame0 = state.frame_index
             rays, shadow = state.ray_count, state.shadow_ray_count
-            rows = {"radiance_sum": [], "sample_count": [],
-                    "albedo": [], "normal": []}
+            rows = {"radiance_sum": [], "radiance_sq_sum": [],
+                    "sample_count": [], "albedo": [], "normal": []}
             out = None
             for s in range(B):
                 lo, hi = s * slab_h, (s + 1) * slab_h
                 slab = state.replace(
                     radiance_sum=state.radiance_sum[lo:hi],
+                    radiance_sq_sum=None if state.radiance_sq_sum is None
+                    else state.radiance_sq_sum[lo:hi],
                     sample_count=state.sample_count[lo:hi],
                     albedo=state.albedo[lo:hi],
                     normal=state.normal[lo:hi],
