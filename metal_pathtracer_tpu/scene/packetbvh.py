@@ -348,6 +348,12 @@ def _collapse_wide(bmin, bmax, is_leaf, right_child, chunk_of_leaf,
 def _build_nodes(v0, v1, v2, max_leaf):
     lib = meshbuild._native_lib()
     if lib is not None:
+        if os.environ.get("MPT_SBVH", "1") == "1" \
+                and hasattr(lib, "build_bvh_sbvh"):
+            try:
+                return _native_nodes_sbvh(lib, v0, v1, v2, max_leaf)
+            except Exception:
+                pass
         try:
             return _native_nodes(lib, v0, v1, v2, max_leaf)
         except Exception:
@@ -358,6 +364,66 @@ def _build_nodes(v0, v1, v2, max_leaf):
         return meshbuild._build_bvh_numpy(v0, v1, v2)
     finally:
         meshbuild.MAX_LEAF = old
+
+
+def _native_nodes_sbvh(lib, v0, v1, v2, max_leaf):
+    """SBVH spatial-split build (Stich et al. 2009; native builder).
+
+    Triangles may be referenced by several leaves with clipped bounds —
+    sibling overlap on displaced/long-triangle meshes drops, so packets
+    visit fewer nodes and pass fewer chunk verdicts. Duplicates are
+    transparent downstream: chunk slots carry original triangle ids, and a
+    hit against any reference is the same (id, t). Reference budget 35%
+    extra (SBVH paper's typical <30% at alpha=1e-5)."""
+    import ctypes
+
+    n = v0.shape[0]
+    verts = np.ascontiguousarray(np.concatenate(
+        [v0.astype(np.float32), v1.astype(np.float32), v2.astype(np.float32)],
+        axis=1))
+    max_refs = int(n * 1.35) + 64
+    max_nodes = max(3 * n, 2)
+    bounds_min = np.zeros((max_nodes, 3), np.float32)
+    bounds_max = np.zeros((max_nodes, 3), np.float32)
+    prim_offset = np.zeros(max_nodes, np.int32)
+    prim_count = np.zeros(max_nodes, np.int32)
+    exit_index = np.zeros(max_nodes, np.int32)
+    prim_indices = np.zeros(max_refs, np.int32)
+    n_refs = np.zeros(1, np.int32)
+    lib.build_bvh_sbvh.restype = ctypes.c_int
+    # explicit argtypes: a bare c_float would be promoted to double under
+    # the default (varargs-like) ctypes call and corrupt the ABI
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.build_bvh_sbvh.argtypes = [
+        ctypes.c_int, fp, fp, fp, ip, ip, ip, ip,
+        ctypes.c_int, ip, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+    ]
+    n_nodes = lib.build_bvh_sbvh(
+        ctypes.c_int(n),
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bounds_min.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bounds_max.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        prim_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        prim_count.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        exit_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        prim_indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.c_int(max_refs),
+        n_refs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.c_int(max_leaf),
+        ctypes.c_int(meshbuild.SAH_BINS),
+        ctypes.c_float(1e-5),
+    )
+    if n_nodes <= 0:
+        raise RuntimeError(f"native SBVH build failed ({n_nodes})")
+    return {
+        "bounds_min": bounds_min[:n_nodes],
+        "bounds_max": bounds_max[:n_nodes],
+        "prim_offset": prim_offset[:n_nodes],
+        "prim_count": prim_count[:n_nodes],
+        "exit_index": exit_index[:n_nodes],
+        "prim_indices": prim_indices[:int(n_refs[0])],
+    }
 
 
 def _native_nodes(lib, v0, v1, v2, max_leaf):

@@ -52,6 +52,135 @@ def test_native_builder_invariants():
     check_bvh_invariants(nodes, 513)
 
 
+def _mixed_scale_tris():
+    """Small-grid floor + large diagonal triangles: the mixed-scale case
+    spatial splits exist for (a big triangle's AABB overlaps everything)."""
+    rng = np.random.default_rng(1)
+    xs, ys = np.meshgrid(np.arange(20), np.arange(20))
+    gx = xs.ravel().astype(np.float32)
+    gy = ys.ravel().astype(np.float32)
+    v0s = np.stack([gx, gy, np.zeros_like(gx)], 1)
+    v1s = v0s + np.asarray([0.9, 0, 0], np.float32)
+    v2s = v0s + np.asarray([0, 0.9, 0], np.float32)
+    m = 25
+    a = rng.uniform(0, 20, (m, 2)).astype(np.float32)
+    b = rng.uniform(0, 20, (m, 2)).astype(np.float32)
+    v0b = np.concatenate([a, np.full((m, 1), 0.5, np.float32)], 1)
+    v1b = np.concatenate([b, np.full((m, 1), 0.6, np.float32)], 1)
+    v2b = v0b + np.asarray([0.2, 0.2, 0.3], np.float32)
+    return (np.concatenate([v0s, v0b]), np.concatenate([v1s, v1b]),
+            np.concatenate([v2s, v2b]))
+
+
+def _sah_cost(nodes):
+    bmn, bmx = nodes["bounds_min"], nodes["bounds_max"]
+    cnt = nodes["prim_count"]
+    ext = np.clip(bmx - bmn, 0, None)
+    area = 2 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+                + ext[:, 0] * ext[:, 2])
+    return (area[cnt == 0].sum()
+            + (area[cnt > 0] * cnt[cnt > 0]).sum()) / area[0]
+
+
+def _sbvh_nodes(v0, v1, v2, max_leaf):
+    from metal_pathtracer_tpu.scene import packetbvh
+
+    lib = meshbuild._native_lib()
+    if lib is None or not hasattr(lib, "build_bvh_sbvh"):
+        pytest.skip("native SBVH builder not built (run native/build.sh)")
+    return packetbvh._native_nodes_sbvh(lib, v0, v1, v2, max_leaf)
+
+
+def test_sbvh_invariants_allow_duplicates():
+    v0, v1, v2 = _mixed_scale_tris()
+    n = v0.shape[0]
+    nodes = _sbvh_nodes(v0, v1, v2, 16)
+    n_nodes = len(nodes["prim_count"])
+    assert (nodes["exit_index"] > np.arange(n_nodes)).all()
+    assert nodes["exit_index"].max() == n_nodes
+    leaf = nodes["prim_count"] > 0
+    seen = []
+    for off, cnt in zip(nodes["prim_offset"][leaf],
+                        nodes["prim_count"][leaf]):
+        ids = nodes["prim_indices"][off:off + cnt]
+        # no duplicate of one triangle within a single leaf
+        assert len(set(ids.tolist())) == cnt
+        seen.extend(ids)
+    # every triangle referenced at least once; duplication within budget
+    assert set(seen) == set(range(n))
+    assert len(seen) <= int(n * 1.35) + 64
+    assert nodes["prim_count"].max() <= 16
+    internal = np.nonzero(~leaf)[0]
+    for i in internal:
+        child = i + 1
+        assert (nodes["bounds_min"][child]
+                >= nodes["bounds_min"][i] - 1e-5).all()
+        assert (nodes["bounds_max"][child]
+                <= nodes["bounds_max"][i] + 1e-5).all()
+
+
+def test_sbvh_cuts_mixed_scale_cost():
+    """The point of spatial splits: SAH cost (expected tests per ray) must
+    drop materially on the mixed-scale scene vs the object-split builder."""
+    from metal_pathtracer_tpu.scene import packetbvh
+
+    v0, v1, v2 = _mixed_scale_tris()
+    lib = meshbuild._native_lib()
+    if lib is None or not hasattr(lib, "build_bvh_sbvh"):
+        pytest.skip("native SBVH builder not built")
+    sah = packetbvh._native_nodes(lib, v0, v1, v2, 16)
+    sbvh = packetbvh._native_nodes_sbvh(lib, v0, v1, v2, 16)
+    assert _sah_cost(sah) / _sah_cost(sbvh) > 1.3
+
+
+def test_sbvh_traversal_matches_brute_force():
+    """Duplicated clipped references must be invisible in the hits: the
+    exit-link traversal over SBVH nodes equals brute-force Möller–Trumbore
+    (same contract the object-split tree satisfies)."""
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.ops import traversal
+    from metal_pathtracer_tpu.schema import BvhSoA
+
+    v0, v1, v2 = _mixed_scale_tris()
+    # leaf width must not exceed the jnp traversal's static MAX_LEAF slots
+    nodes = _sbvh_nodes(v0, v1, v2, meshbuild.MAX_LEAF)
+    scene = _scene_with_tris(v0, v1, v2, "numpy")
+    j = jnp.asarray
+    scene = scene.replace(tri_bvh=BvhSoA(
+        bounds_min=j(nodes["bounds_min"]), bounds_max=j(nodes["bounds_max"]),
+        prim_offset=j(nodes["prim_offset"]),
+        prim_count=j(nodes["prim_count"]),
+        exit_index=j(nodes["exit_index"]),
+        prim_indices=j(nodes["prim_indices"])))
+
+    rng = np.random.default_rng(5)
+    origins = rng.uniform(-5, 25, size=(256, 3)).astype(np.float32)
+    dirs = rng.normal(size=(256, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    rec = traversal.trace_triangles(j(origins), j(dirs), scene, 1e-3, 1e20)
+    want_t, want_tri = brute_force_hits(origins, dirs, v0, v1, v2)
+    want_hit = np.isfinite(want_t)
+    np.testing.assert_array_equal(np.asarray(rec.hit), want_hit)
+    np.testing.assert_allclose(np.asarray(rec.t)[want_hit],
+                               want_t[want_hit], rtol=1e-4)
+
+
+def test_packet_bvh_sbvh_matches_object_split(monkeypatch):
+    """build_packet_bvh with the default SBVH nodes packs valid chunks and
+    the chunk contents cover every triangle (duplicates allowed)."""
+    from metal_pathtracer_tpu.scene import packetbvh
+
+    v0, v1, v2 = _mixed_scale_tris()
+    if meshbuild._native_lib() is None:
+        pytest.skip("native builder not built")
+    bvh = packetbvh.build_packet_bvh(v0, v1, v2)
+    tris = np.asarray(bvh.chunk_tris)
+    valid = tris[:, 11, :] > 0.5
+    ids = tris[:, 10, :][valid].astype(np.int64)
+    assert set(ids.tolist()) == set(range(v0.shape[0]))
+
+
 def _scene_with_tris(v0, v1, v2, builder="auto"):
     import jax.numpy as jnp
     from metal_pathtracer_tpu.schema import BvhSoA, SceneArrays, TrianglesSoA
@@ -279,9 +408,13 @@ mesh path={obj} material=0
 def test_packet_bvh_node_budget_split(monkeypatch):
     """Node-budget fallback: oversized SAH leaves split into multiple
     256-slot chunks — the kernel's CHUNK/PLANES tile shape must never
-    grow (ADVICE r02), and every triangle lands in exactly one slot."""
+    grow (ADVICE r02), and every triangle lands in exactly one slot.
+    Pinned to the object-split builder: the exactly-once and
+    tris-inside-leaf-bounds invariants below are its contract (SBVH
+    deliberately duplicates references with clipped bounds)."""
     from metal_pathtracer_tpu.scene import packetbvh
 
+    monkeypatch.setenv("MPT_SBVH", "0")
     v0, v1, v2 = random_tris(3000, seed=11)
     monkeypatch.setattr(packetbvh, "NODE_BUDGET", 16)
     bvh = packetbvh.build_packet_bvh(v0, v1, v2)
