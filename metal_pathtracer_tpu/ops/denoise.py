@@ -13,6 +13,7 @@ denoiser is ever needed.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from metal_pathtracer_tpu.ops.vecmath import dot
@@ -129,17 +130,119 @@ def svgf_denoise(color, albedo, normal, variance, iterations: int = 4,
     return out
 
 
+def _tap_features(lum_p, gstd, normal, albedo, s_col, s_nrm, s_alb,
+                  it, radius, iterations):
+    """Per-tap (H,W,F) feature planes for the learned weight net."""
+    both_bg = ((dot(normal, normal) < 0.5)
+               & (dot(s_nrm, s_nrm) < 0.5))
+    ndiff = jnp.where(both_bg, 0.0,
+                      jnp.maximum(1.0 - dot(s_nrm, normal), 0.0))
+    da = s_alb - albedo
+    f = jnp.stack([
+        jnp.abs(_luminance(s_col) - lum_p) / (gstd + 1e-4),
+        ndiff,
+        dot(da, da),
+        gstd,
+        jnp.full_like(lum_p, it / max(iterations - 1, 1)),
+        jnp.full_like(lum_p, radius),
+    ], axis=-1)
+    return f
+
+
+def _mlp_logit(params, f):
+    h = jnp.maximum(f @ params["w1"] + params["b1"], 0.0)
+    return (h @ params["w2"] + params["b2"])[..., 0]
+
+
+def learned_denoise(color, albedo, normal, variance, params,
+                    iterations: int = 4):
+    """À-trous filtering with LEARNED tap weights (the OIDN-role learned
+    prior, sized for the VPU instead of a conv net: the reference ships
+    OIDN 2.3.3, DenoiserContext.mm:251).
+
+    Same pyramid/variance propagation as svgf_denoise, but the per-tap
+    weight is w_k * exp(-softplus(mlp(features))): a ~300-parameter MLP on
+    (variance-normalized luminance delta, normal/albedo deltas, local
+    noise level, iteration, tap radius), trained end-to-end THROUGH the
+    4-iteration filter against high-spp references
+    (tools/train_denoiser.py). softplus >= 0 keeps every weight <= the
+    B3-spline tap weight, so the filter can only sharpen relative to a
+    plain blur — the same falloff structure the hand-tuned filters use.
+    """
+    out = color
+    var = _luminance(variance)
+
+    for it in range(iterations):
+        step = 1 << it
+        # the 1e-12 floor keeps sqrt differentiable where variance is
+        # identically zero (converged regions NaN'd the training grads)
+        gstd = jnp.sqrt(jnp.maximum(_gauss3(var), 1e-12))
+        lum_p = _luminance(out)
+        accum = jnp.zeros_like(out)
+        var_accum = jnp.zeros_like(var)
+        weight_sum = jnp.zeros(out.shape[:2], out.dtype)
+        for ky, wy in zip((-2, -1, 0, 1, 2), _KERNEL):
+            for kx, wx in zip((-2, -1, 0, 1, 2), _KERNEL):
+                w_k = wy * wx
+                shift = (ky * step, kx * step)
+                s_col = jnp.roll(out, shift, axis=(0, 1))
+                s_var = jnp.roll(var, shift, axis=(0, 1))
+                s_alb = jnp.roll(albedo, shift, axis=(0, 1))
+                s_nrm = jnp.roll(normal, shift, axis=(0, 1))
+                f = _tap_features(lum_p, gstd, normal, albedo,
+                                  s_col, s_nrm, s_alb, it,
+                                  (abs(ky) + abs(kx)) / 4.0, iterations)
+                z = _mlp_logit(params, f)
+                w = w_k * jnp.exp(-jax.nn.softplus(z))
+                accum = accum + s_col * w[..., None]
+                var_accum = var_accum + s_var * (w * w)
+                weight_sum = weight_sum + w
+        out = accum / jnp.maximum(weight_sum, 1e-6)[..., None]
+        var = var_accum / jnp.maximum(weight_sum, 1e-6) ** 2
+    return out
+
+
+_LEARNED_PARAMS = None
+
+
+def _learned_params():
+    """Vendored weights (data/denoiser_weights.npz); None if absent or
+    disabled via MPT_LEARNED_DENOISE=0."""
+    global _LEARNED_PARAMS
+    import os
+
+    if os.environ.get("MPT_LEARNED_DENOISE", "1") != "1":
+        return None
+    if _LEARNED_PARAMS is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "denoiser_weights.npz")
+        if not os.path.exists(path):
+            _LEARNED_PARAMS = False
+        else:
+            import numpy as np
+
+            with np.load(path) as z:
+                _LEARNED_PARAMS = {k: jnp.asarray(z[k]) for k in z.files}
+    return _LEARNED_PARAMS or None
+
+
 def denoise_state(state, settings):
     """Denoise the averaged image using the RenderState AOVs; returns the
     denoised (H,W,3) image. Normal AOV is stored in [0,1] encoding.
 
-    Uses the SVGF-style variance-guided filter when the second radiance
-    moment is available (always, except resumes from pre-sq_sum
-    checkpoints, which fall back to the fixed-sigma à-trous pass)."""
+    Filter choice, best first: learned tap weights (when the vendored
+    weights and the second radiance moment are available) -> SVGF-style
+    variance guiding -> fixed-sigma à-trous (resumes from pre-sq_sum
+    checkpoints)."""
     avg = state.present()
     iterations = 5 if settings.denoiseFilterType == 1 else 4
     normal = state.normal  # already world-space unit (pre-encode)
     if state.radiance_sq_sum is not None:
+        params = _learned_params()
+        if params is not None:
+            return learned_denoise(avg, state.albedo, normal,
+                                   state.variance_of_mean(), params,
+                                   iterations=iterations)
         return svgf_denoise(avg, state.albedo, normal,
                             state.variance_of_mean(),
                             iterations=iterations)

@@ -101,6 +101,29 @@ def test_svgf_beats_atrous(cornell_renders):
     assert abs(sv.mean() - reference.mean()) < 0.01
 
 
+@pytest.mark.slow
+def test_learned_beats_svgf(cornell_renders):
+    """The learned tap-weight filter (the OIDN-role learned prior; weights
+    vendored from tools/train_denoiser.py) must beat the hand-tuned SVGF
+    pass on this scene — which is HELD OUT of the training set."""
+    from metal_pathtracer_tpu.ops.denoise import _learned_params, learned_denoise
+
+    params = _learned_params()
+    if params is None:
+        pytest.skip("no vendored denoiser weights")
+    reference, st = cornell_renders
+    noisy = np.asarray(st.present())
+    sv = np.asarray(svgf_denoise(noisy, st.albedo, st.normal,
+                                 st.variance_of_mean()))
+    le = np.asarray(learned_denoise(noisy, st.albedo, st.normal,
+                                    st.variance_of_mean(), params))
+    err_sv = rmse(sv, reference)
+    err_le = rmse(le, reference)
+    assert err_le < err_sv, (
+        f"learned ({err_le:.4f}) should beat svgf ({err_sv:.4f})")
+    assert abs(le.mean() - reference.mean()) < 0.01
+
+
 def test_variance_of_mean_basics():
     """Second-moment accumulation: variance is zero for a deterministic
     constant signal and positive where samples disagree."""
