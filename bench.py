@@ -127,6 +127,34 @@ def _selfcheck() -> bool:
     return ok
 
 
+def _arm_watchdog(seconds: int):
+    """A hung TPU tunnel otherwise hangs bench forever and the round
+    records NOTHING (observed: jax.devices() blocking >10 min after a
+    worker swap). A daemon timer thread prints a diagnostic JSON line and
+    hard-exits on expiry. (A thread, not SIGALRM: Python signal handlers
+    only run between main-thread bytecodes, so they never fire while the
+    main thread is parked inside the blocking runtime call — the thread
+    runs as soon as that call releases the GIL, which grpc waits do.)"""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "bench_watchdog_timeout",
+            "value": 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "error": f"no result within {seconds}s "
+                     "(TPU tunnel hung or compile stuck)",
+        }))
+        sys.stdout.flush()
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--no-selfcheck", action="store_true")
@@ -134,7 +162,11 @@ def main(argv=None):
                         default="dragon")
     parser.add_argument("--spp", type=int, default=16)
     parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--watchdog", type=int, default=int(
+        os.environ.get("MPT_BENCH_TIMEOUT", "2700")))
     args = parser.parse_args(argv)
+
+    watchdog = _arm_watchdog(args.watchdog) if args.watchdog > 0 else None
 
     from metal_pathtracer_tpu.utils.compilecache import enable_cache
     enable_cache()
@@ -194,6 +226,8 @@ def main(argv=None):
         "vs_baseline": round(mrays / target, 4),
         "parity_ok": parity_ok,
     }
+    if watchdog is not None:
+        watchdog.cancel()
     print(json.dumps(result))
     print(f"# device={jax.devices()[0].device_kind} spp={args.spp} "
           f"x{args.reps} median_elapsed={elapsed:.2f}s "
