@@ -40,6 +40,10 @@ ROWS = 32                 # sublane rows per block => 4096 lanes/block
 BLOCK = ROWS * LANES
 
 U32 = jnp.uint32
+# shade_packed planes fed to the kernel: 0-8 verts, 9-17 normals (raw
+# normal for analytic prims), 18 material, 19 mesh, 20 two_sided,
+# 21 is_triangle (spare cols 22-23 stay host-side)
+ROW_PLANES = 22
 # python float (weak-typed) so constants fold exactly like the XLA path's
 # (bsdf.py PI); a jnp scalar here would be captured as a pallas_call
 # constant, which Pallas rejects
@@ -1101,8 +1105,15 @@ def _environment_lighting_roughness(m: Mat, types):
     return out
 
 
-def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex):
-    """One stage of the fused shade (see module docstring for the split)."""
+def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
+                  has_prims=False):
+    """One stage of the fused shade (see module docstring for the split).
+
+    has_prims: scene contains analytic spheres/rects — non-triangle hit
+    lanes ride the same rows planes with flags in the spare columns
+    (20 = geometric two_sided, 21 = is_triangle) and take the XLA
+    hit_spheres/hit_rects normal path exactly (raw normal in the n0
+    columns, NO renormalization — bit-parity with intersect.py)."""
     L = layout
     types = set(static.material_types)
 
@@ -1192,6 +1203,19 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex):
     geo_n = vsafe_normalize(vcross(tv1 - tv0, tv2 - tv0))
     front = vdot(ray_d, geo_n) < 0.0
     n_faced = vwhere(front, geo_n, -geo_n)
+    if has_prims:
+        is_tri = row_ref[21, 0] > 0.5
+        two_sided_geo = row_ref[20, 0] > 0.5
+        # sphere/rect lanes: raw normal rides the n0 columns; front and
+        # faceforward recompute intersect.hit_spheres/hit_rects exactly
+        raw_n = rowv(9)
+        front_nt = vdot(ray_d, raw_n) < 0.0
+        nf_nt = vwhere(front_nt, raw_n, -raw_n)
+        front = jnp.where(is_tri, front, front_nt)
+        n_faced = vwhere(is_tri, n_faced, nf_nt)
+    else:
+        is_tri = None
+        two_sided_geo = None
 
     if stage == "s2":
         shading_normal = V3(trans_in("snx"), trans_in("sny"), trans_in("snz"))
@@ -1215,6 +1239,10 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex):
         sn = vwhere(vdot(sn, n_faced) < 0.0, -sn, sn)
         sn = vsafe_normalize(sn)
         shading_normal = vwhere(sn_ok, sn, n_faced)
+        if has_prims:
+            # spheres/rects: shading normal IS the faceforwarded raw
+            # normal (no interpolation/renormalization — intersect.py)
+            shading_normal = vwhere(is_tri, shading_normal, n_faced)
         point = ray_o + ray_d * t_hit
 
     # ---- material fetch (+ texture-stage overrides) --------------------
@@ -1303,10 +1331,11 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex):
             active & jnp.logical_not(passthrough))
 
         # ---- PBR emissive additive -------------------------------------
-        two_sided = jnp.zeros_like(front)
+        # geometric two_sided: spheres always, rects per-SoA (rows col 20)
+        two_sided = two_sided_geo if has_prims else jnp.zeros_like(front)
         if C.MATERIAL_PBR in types:
-            two_sided = (m.mat_type == C.MATERIAL_PBR) \
-                & (m.pbr_double_sided > 0.5)
+            two_sided = two_sided | ((m.mat_type == C.MATERIAL_PBR)
+                                     & (m.pbr_double_sided > 0.5))
             has_em = (pbr_emissive.x != 0.0) | (pbr_emissive.y != 0.0) \
                 | (pbr_emissive.z != 0.0)
             pbr_emit = (active & jnp.logical_not(passthrough)
@@ -1524,8 +1553,12 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex):
     st("last_delta", sel(jnp.where(smp.is_delta, 1.0, 0.0),
                          ld("last_delta")))
     st("prev_valid", sel(jnp.where(hit, 1.0, 0.0), ld("prev_valid")))
-    st("prev_mesh", sel(jnp.where(hit, mesh_idx, -1.0), ld("prev_mesh")))
-    st("prev_prim", sel(jnp.where(hit, tri, -1.0), ld("prev_prim")))
+    # self-hit exclusion ids apply to TRIANGLES only (integrator commit:
+    # where(prim_type == TRIANGLE, ...) — spheres/rects rely on EPSILON_T)
+    hit_tri = (hit & is_tri) if has_prims else hit
+    st("prev_mesh", sel(jnp.where(hit_tri, mesh_idx, -1.0),
+                        ld("prev_mesh")))
+    st("prev_prim", sel(jnp.where(hit_tri, tri, -1.0), ld("prev_prim")))
     if stage == "full":
         st("first_hit", sel(jnp.where(first_hit_next, 1.0, 0.0),
                             ld("first_hit")))
@@ -1554,13 +1587,15 @@ def fused_supported(scene, static) -> bool:
     interp = os.environ.get("MPT_FUSED_INTERPRET", "0") == "1"
     if not interp and not _use_pallas():
         return False
-    if scene.triangles is None:
+    has_tri = scene.triangles is not None and scene.triangles.count > 0
+    if has_tri and scene.tri_packet is None and not interp:
         return False
-    if scene.tri_packet is None and not interp:
+    if not has_tri and not _scene_has_prims(scene):
         return False
-    if scene.triangles.count == 0:
-        return False
-    if scene.spheres.count > 0 or scene.rects.count > 0:
+    if _scene_has_prims(scene) and scene.textures is not None \
+            and C.MATERIAL_PBR in set(static.material_types):
+        # the texture stage gathers per-TRIANGLE UVs by tri id; analytic
+        # prims carry no UVs (XLA applies textures to triangles only)
         return False
     if getattr(scene, "instanced", ()):
         return False       # instanced groups trace on the XLA path
@@ -1610,12 +1645,14 @@ def _pack_scalars(uniforms, depth, env=None):
 
 def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
                 mat_table, scal, carry, state, t, tri, u, v, rows,
-                envbg=None, envpdf=None, trans=None, esmp=None, tex=None):
+                envbg=None, envpdf=None, trans=None, esmp=None, tex=None,
+                has_prims=False):
     env_mode = static.background_mode == 2
     has_tex = tex is not None
     kern = functools.partial(_shade_kernel, stage=stage, layout=layout,
                              static=static, m_count=m_count,
-                             env_mode=env_mode, has_tex=has_tex)
+                             env_mode=env_mode, has_tex=has_tex,
+                             has_prims=has_prims)
     grid = (n_blocks,)
 
     def plane_spec(p):
@@ -1629,7 +1666,7 @@ def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec(scal.shape, lambda g: (0,), memory_space=pltpu.SMEM),
         plane_spec(layout.P), lane_spec, lane_spec, lane_spec, lane_spec,
-        lane_spec, plane_spec(20),
+        lane_spec, plane_spec(ROW_PLANES),
     ]
     inputs = [mat_table, scal, carry, state, t, tri, u, v, rows]
     if env_mode and stage == "s1":
@@ -1677,6 +1714,112 @@ def _trace_raw(scene, o3, d3, t_min, lane_tmax, ex_mesh, ex_prim,
                                     exclude_prim=ex_prim)
     tri = jnp.where(rec.hit, rec.prim_index, -1)
     return rec.t, tri, rec.barycentric[..., 0], rec.barycentric[..., 1]
+
+
+def _scene_has_prims(scene) -> bool:
+    return scene.spheres.count > 0 or scene.rects.count > 0
+
+
+def _trace_merged(scene, o3, d3, t_min, lane_tmax, ex_mesh, ex_prim):
+    """Nearest-hit over spheres/rects/triangles with intersect.trace_scene's
+    exact merge order and tie semantics (spheres, then rects, then
+    triangles; strict `<` so the earlier family keeps ties).
+
+    Returns (t, idx, u, v, rows): idx >= 0 marks any hit; rows are
+    shade_packed-compatible planes where sphere/rect winners carry their
+    RAW (pre-faceforward) normal in the n0 columns, material in col 18,
+    geometric two_sided in col 20, and is_triangle in col 21.
+    """
+    from metal_pathtracer_tpu.ops import intersect
+
+    n = o3.shape[0]
+    has_tri = scene.triangles is not None and scene.triangles.count > 0
+    if has_tri:
+        t, idx, u, v = _trace_raw(scene, o3, d3, t_min, lane_tmax,
+                                  ex_mesh, ex_prim)
+        tri_i = idx.astype(jnp.int32)
+        rows = scene.triangles.shade_packed[
+            jnp.clip(tri_i, 0, scene.triangles.count - 1)]
+        tri_hit = idx >= 0
+    else:
+        t = jnp.full((n,), C.INFINITY_T, jnp.float32)
+        idx = jnp.full((n,), -1.0, jnp.float32)
+        u = jnp.zeros((n,), jnp.float32)
+        v = jnp.zeros((n,), jnp.float32)
+        rows = jnp.zeros((n, 24), jnp.float32)
+        tri_hit = jnp.zeros((n,), bool)
+    if not _scene_has_prims(scene):
+        return t, idx, u, v, rows
+    rows = rows.at[:, 21].set(jnp.where(tri_hit, 1.0, 0.0))
+
+    # analytic families (the XLA dispatchers: Pallas kernels on TPU, the
+    # jnp reference on CPU — the same path integrator.trace_scene takes)
+    best = {
+        "hit": tri_hit, "t": jnp.where(tri_hit, t, C.INFINITY_T),
+        "idx": idx, "raw_n": jnp.zeros((n, 3), jnp.float32),
+        "mat": jnp.zeros((n,), jnp.float32),
+        "two": jnp.zeros((n,), jnp.float32),
+    }
+
+    def fold(rec, two_sided):
+        # trace_scene folds spheres/rects BEFORE triangles, so at equal t
+        # the analytic prim wins: take when hit & (t <= best.t if best is
+        # the triangle layer). _closer keeps `a` on ties in its fold order
+        # (sphere < rect < triangle), which reduces to: analytic wins ties
+        # vs triangles; spheres win ties vs rects.
+        take = rec.hit & (~best["hit"] | (rec.t <= best["t"]))
+        raw = jnp.where(rec.front_face[..., None], rec.normal, -rec.normal)
+        best["hit"] = best["hit"] | rec.hit
+        best["t"] = jnp.where(take, rec.t, best["t"])
+        best["idx"] = jnp.where(take, rec.prim_index.astype(jnp.float32),
+                                best["idx"])
+        best["raw_n"] = jnp.where(take[..., None], raw, best["raw_n"])
+        best["mat"] = jnp.where(take, rec.material.astype(jnp.float32),
+                                best["mat"])
+        best["two"] = jnp.where(take, two_sided, best["two"])
+        best["nt"] = take if "nt" not in best else (best["nt"] | take)
+
+    # rects fold after spheres in trace_scene, so fold rects FIRST here
+    # against the triangle base, then spheres (earlier family wins ties)
+    if scene.rects.count > 0:
+        rec_r = intersect.hit_rects(o3, d3, scene.rects, t_min, lane_tmax)
+        fold(rec_r, rec_r.two_sided.astype(jnp.float32))
+    if scene.spheres.count > 0:
+        rec_s = intersect.hit_spheres(o3, d3, scene.spheres, t_min,
+                                      lane_tmax)
+        fold(rec_s, jnp.ones((n,), jnp.float32))
+
+    nt = best["nt"]
+    rows_nt = jnp.zeros((n, 24), jnp.float32)
+    rows_nt = rows_nt.at[:, 9:12].set(best["raw_n"])
+    rows_nt = rows_nt.at[:, 18].set(best["mat"])
+    rows_nt = rows_nt.at[:, 20].set(best["two"])
+    rows = jnp.where(nt[:, None], rows_nt, rows)
+    t = jnp.where(nt, best["t"], t)
+    idx = jnp.where(nt, best["idx"], idx)
+    u = jnp.where(nt, 0.0, u)
+    v = jnp.where(nt, 0.0, v)
+    return t, idx, u, v, rows
+
+
+def _occluded_merged(scene, o3, d3, t_min, shadow_max):
+    """Any-hit over all primitive families (intersect.trace_occluded
+    semantics) for the fused env-NEE shadow step."""
+    from metal_pathtracer_tpu.ops import intersect
+
+    if scene.triangles is not None and scene.triangles.count > 0:
+        _, s_tri, _, _ = _trace_raw(scene, o3, d3, t_min, shadow_max,
+                                    None, None, any_hit=True)
+        occ = s_tri >= 0
+    else:
+        occ = jnp.zeros(o3.shape[:-1], bool)
+    if scene.spheres.count > 0:
+        occ = occ | intersect.hit_spheres(o3, d3, scene.spheres, t_min,
+                                          shadow_max).hit
+    if scene.rects.count > 0:
+        occ = occ | intersect.hit_rects(o3, d3, scene.rects, t_min,
+                                        shadow_max).hit
+    return occ
 
 
 def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
@@ -1745,7 +1888,8 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
         short = padded - rows.shape[0]
         if short:
             rows = jnp.pad(rows, ((0, short), (0, 0)))
-        return rows.T[:20].reshape(20, n_blocks, ROWS, LANES)
+        return rows.T[:ROW_PLANES].reshape(ROW_PLANES, n_blocks,
+                                            ROWS, LANES)
 
     def cond(loop):
         depth, carry, state_p, n_rays, n_shadow = loop
@@ -1767,18 +1911,17 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
         ex_mesh = jnp.where(prev_valid, cget("prev_mesh"),
                             -1.0).astype(jnp.int32)
         lane_tmax = jnp.where(alive, C.INFINITY_T, 0.0)
-        t, tri, u, v = _trace_raw(scene, o3, d3, C.EPSILON_T, lane_tmax,
-                                  ex_mesh, ex_prim)
+        t, tri, u, v, rows = _trace_merged(scene, o3, d3, C.EPSILON_T,
+                                           lane_tmax, ex_mesh, ex_prim)
         tri_i = tri.astype(jnp.int32)
-        rows = scene.triangles.shade_packed[
-            jnp.clip(tri_i, 0, scene.triangles.count - 1)]   # (n, 24)
         rows_t = shp_rows(rows)
         scal = _pack_scalars(uniforms, depth, env)
         args = dict(
             mat_table=mat_table, scal=scal,
             t=shp(pad1(t)), tri=shp(pad1(tri.astype(jnp.float32),
                                          fill=-1.0)),
-            u=shp(pad1(u)), v=shp(pad1(v)), rows=rows_t)
+            u=shp(pad1(u)), v=shp(pad1(v)), rows=rows_t,
+            has_prims=_scene_has_prims(scene))
 
         tex_planes = None
         if has_tex:
@@ -1865,9 +2008,8 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
         shadow_o = (p3 + off_n * (sgn * dist)[..., None]
                     + e_dir * (C.RAY_ORIGIN_EPSILON * 0.5))
         shadow_max = jnp.where(do_shadow, C.INFINITY_T, 0.0)
-        _, s_tri, _, _ = _trace_raw(scene, shadow_o, e_dir, C.EPSILON_T,
-                                    shadow_max, None, None, any_hit=True)
-        occluded = s_tri >= 0
+        occluded = _occluded_merged(scene, shadow_o, e_dir, C.EPSILON_T,
+                                    shadow_max)
 
         esmp = jnp.stack([
             shp(e_dir[:, 0]), shp(e_dir[:, 1]), shp(e_dir[:, 2]),

@@ -36,7 +36,7 @@ def _render(scene, settings, res, w, h, spp=2):
             float(np.asarray(st.ray_count)))
 
 
-def _compare(settings, res, w=40, h=24):
+def _compare(settings, res, w=40, h=24, min_exact=0.98):
     import jax
 
     scene = res.build_arrays()
@@ -64,7 +64,11 @@ def _compare(settings, res, w=40, h=24):
     rmse = float(np.sqrt((d * d).mean()))
     frac_exact = float((d.max(-1) < 1e-5).mean())
     assert rmse < 2e-4, (rmse, float(d.max()))
-    assert frac_exact > 0.98, frac_exact
+    # min_exact: flat triangles keep >98% of pixels bit-ish exact; curved
+    # analytic prims re-derive normals from the drifted hit position every
+    # bounce, so drift compounds (depth-1 renders ARE exact — verified)
+    # while ray counts/branches stay identical.
+    assert frac_exact > min_exact, frac_exact
 
 
 def test_fused_matches_xla_lambert_gradient():
@@ -128,6 +132,68 @@ def test_fused_matches_xla_solid_background_rr():
     _compare(settings, res)
 
 
+def test_fused_matches_xla_sphere_scene():
+    """Pure analytic scene (RTOW class): no triangles at all — lambert
+    ground sphere + metal + dielectric under the gradient sky."""
+    from metal_pathtracer_tpu.scene.resources import Sphere
+
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.5, 0.0)
+    settings.cameraDistance = 4.0
+    settings.cameraYaw = 0.3
+    settings.cameraPitch = 0.15
+    settings.maxDepth = 6
+    settings.fixedRngSeed = 99
+    res = SceneResources()
+    m_g = res.add_material(Material(base_color=(0.5, 0.5, 0.5)))
+    m_m = res.add_material(Material(base_color=(0.8, 0.7, 0.4),
+                                    mat_type=C.MATERIAL_METAL,
+                                    roughness=0.2))
+    m_d = res.add_material(Material(mat_type=C.MATERIAL_DIELECTRIC,
+                                    ior=1.5))
+    res.spheres.append(Sphere(center=(0, -100, 0), radius=100.0,
+                              material=m_g))
+    res.spheres.append(Sphere(center=(-1.1, 0.5, 0), radius=0.5,
+                              material=m_m))
+    res.spheres.append(Sphere(center=(1.1, 0.5, 0), radius=0.5,
+                              material=m_d))
+    # depth-1 is bit-exact; multi-bounce curved-surface drift compounds
+    _compare(settings, res, min_exact=0.8)
+
+
+def test_fused_matches_xla_mixed_prims_light_sphere():
+    """Triangles + spheres + a non-light rect + an EMISSIVE sphere: the
+    merged trace's tie order, two_sided emission, and triangle-only
+    self-exclusion all in one scene."""
+    from metal_pathtracer_tpu.scene.resources import Rect, Sphere
+
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.5, 0.0)
+    settings.cameraDistance = 4.5
+    settings.cameraYaw = -0.4
+    settings.cameraPitch = 0.2
+    settings.maxDepth = 5
+    settings.fixedRngSeed = 4242
+    res = SceneResources()
+    m_mesh = res.add_material(Material(base_color=(0.6, 0.3, 0.3)))
+    m_s = res.add_material(Material(base_color=(0.3, 0.4, 0.7)))
+    m_l = res.add_material(Material(mat_type=C.MATERIAL_DIFFUSE_LIGHT,
+                                    emission=(9.0, 8.0, 7.0)))
+    m_r = res.add_material(Material(base_color=(0.5, 0.5, 0.45)))
+    res.add_mesh(dragon_class_scene_mesh(2, material=m_mesh))
+    res.spheres.append(Sphere(center=(1.4, 0.4, 0.6), radius=0.4,
+                              material=m_s))
+    res.spheres.append(Sphere(center=(-1.2, 1.6, -0.5), radius=0.35,
+                              material=m_l))
+    res.rects.append(Rect(
+        corner=np.array([-3, -0.8, -3], np.float32),
+        edge_u=np.array([6, 0, 0], np.float32),
+        edge_v=np.array([0, 0, 6], np.float32),
+        normal=np.array([0, 1, 0], np.float32),
+        material=m_r, two_sided=False))
+    _compare(settings, res, min_exact=0.8)
+
+
 def test_fused_gate_rejects_unsupported():
     """Configs outside the kernel's coverage must take the XLA path."""
     from metal_pathtracer_tpu.ops.pallas import shade
@@ -142,7 +208,7 @@ def test_fused_gate_rejects_unsupported():
         static = settings_to_static(settings, 8, 8,
                                     res.material_types_present())
         assert shade.fused_supported(scene, static)
-        # sphere scenes fall back
+        # sphere scenes are covered (r03); rect LIGHTS still fall back
         res2 = SceneResources()
         res2.add_material(Material(base_color=(0.5, 0.5, 0.5)))
         res2.add_mesh(dragon_class_scene_mesh(1, material=0))
@@ -150,7 +216,23 @@ def test_fused_gate_rejects_unsupported():
         res2.spheres.append(Sphere(center=(0, 0, 0), radius=1.0, material=0))
         static2 = settings_to_static(settings, 8, 8,
                                      res2.material_types_present())
-        assert not shade.fused_supported(res2.build_arrays(), static2)
+        assert shade.fused_supported(res2.build_arrays(), static2)
+        res3 = SceneResources()
+        res3.add_material(Material(base_color=(0.5, 0.5, 0.5)))
+        light = res3.add_material(Material(mat_type=C.MATERIAL_DIFFUSE_LIGHT,
+                                           emission=(5, 5, 5)))
+        res3.add_mesh(dragon_class_scene_mesh(1, material=0))
+        import numpy as _np
+        from metal_pathtracer_tpu.scene.resources import Rect
+        res3.rects.append(Rect(
+            corner=_np.array([-1, 2, -1], _np.float32),
+            edge_u=_np.array([2, 0, 0], _np.float32),
+            edge_v=_np.array([0, 0, 2], _np.float32),
+            normal=_np.array([0, -1, 0], _np.float32),
+            material=light, two_sided=False))
+        static3b = settings_to_static(settings, 8, 8,
+                                      res3.material_types_present())
+        assert not shade.fused_supported(res3.build_arrays(), static3b)
         # environment background falls back (phase 2)
         from metal_pathtracer_tpu.settings import BackgroundMode
         settings.backgroundMode = BackgroundMode.ENVIRONMENT
@@ -200,6 +282,45 @@ def _bench_like_scene(textured):
         for m in res.materials:
             m.texture_indices = (-1, -1, -1, -1, -1, -1)
     return settings, res, environment
+
+
+def test_fused_matches_xla_env_nee_spheres():
+    """Env alias NEE over ANALYTIC prims: the merged any-hit shadow trace
+    (spheres occluding env light) through the fused S1/shadow/S2 split."""
+    import jax
+
+    from metal_pathtracer_tpu.scene.resources import Sphere
+
+    settings, res, environment = _bench_like_scene(False)
+    # replace the meshes with spheres so the shadow rays must hit the
+    # analytic any-hit path
+    res.meshes.clear()
+    m_g = res.add_material(Material(base_color=(0.55, 0.55, 0.5)))
+    res.spheres.append(Sphere(center=(0, -30, 0), radius=30.0,
+                              material=m_g))
+    res.spheres.append(Sphere(center=(-1.2, 0.6, 0), radius=0.6,
+                              material=0))
+    res.spheres.append(Sphere(center=(1.2, 0.6, 0), radius=0.6,
+                              material=m_g))
+    scene = res.build_arrays(environment=environment)
+    w, h = 40, 24
+    static = settings_to_static(settings, w, h,
+                                res.material_types_present())
+    img_ref, rays_ref = _render(scene, settings, res, w, h)
+    jax.clear_caches()
+    os.environ["MPT_FUSED_INTERPRET"] = "1"
+    try:
+        from metal_pathtracer_tpu.ops.pallas import shade
+        assert shade.fused_supported(scene, static)
+        img_fused, rays_fused = _render(scene, settings, res, w, h)
+    finally:
+        del os.environ["MPT_FUSED_INTERPRET"]
+        jax.clear_caches()
+    assert abs(rays_fused - rays_ref) <= max(4.0, 1e-4 * rays_ref)
+    d = np.abs(img_fused - img_ref)
+    rmse = float(np.sqrt((d * d).mean()))
+    assert rmse < 5e-3, (rmse, float(d.max()))
+    assert float((d.max(-1) < 1e-4).mean()) > 0.8
 
 
 @pytest.mark.parametrize("textured", [False, True])
