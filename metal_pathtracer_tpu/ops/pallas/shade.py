@@ -1106,14 +1106,19 @@ def _environment_lighting_roughness(m: Mat, types):
 
 
 def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
-                  has_prims=False):
+                  has_prims=False, rect_nee=False):
     """One stage of the fused shade (see module docstring for the split).
 
     has_prims: scene contains analytic spheres/rects — non-triangle hit
     lanes ride the same rows planes with flags in the spare columns
     (20 = geometric two_sided, 21 = is_triangle) and take the XLA
     hit_spheres/hit_rects normal path exactly (raw normal in the n0
-    columns, NO renormalization — bit-parity with intersect.py)."""
+    columns, NO renormalization — bit-parity with intersect.py).
+
+    rect_nee: scene has emissive rectangles and no env map — the same
+    S1/shadow/S2 split as env NEE, with the XLA host sampling the rect
+    light from the exported u1-u3 draws; the envpdf input slot carries
+    _rect_light_pdf_for_hit for the emissive-hit MIS weight."""
     L = layout
     types = set(static.material_types)
 
@@ -1129,7 +1134,8 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
     v_ref = next(it)
     row_ref = next(it)
     envbg_ref = next(it) if (env_mode and stage in ("s1",)) else None
-    envpdf_ref = next(it) if (env_mode and stage in ("s1",)) else None
+    envpdf_ref = next(it) if ((env_mode or rect_nee)
+                              and stage in ("s1",)) else None
     trans_in_ref = next(it) if stage == "s2" else None
     esmp_ref = next(it) if stage == "s2" else None
     tex_ref = next(it) if has_tex else None
@@ -1352,8 +1358,24 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
             has_em = (emission.x != 0.0) | (emission.y != 0.0) \
                 | (emission.z != 0.0)
             emit_ok = has_em & (front | two_sided)
+            l_mis = jnp.ones_like(t_hit)
+            if rect_nee:
+                # emissive-hit MIS vs the rect-light pdf of THIS hit
+                # (integrator: _rect_light_pdf_for_hit, fed via the
+                # envpdf input slot)
+                use_specular_mis = jnp.logical_or(
+                    jnp.logical_not(ld("last_delta") > 0.5),
+                    static.enable_specular_nee or static.enable_mnee)
+                light_pdf = envpdf_ref[0]
+                last_pdf0 = ld("last_pdf")
+                denom = last_pdf0 + light_pdf
+                wmis = jnp.clip(last_pdf0 / jnp.maximum(denom, 1e-30),
+                                C.MIS_WEIGHT_CLAMP_MIN,
+                                C.MIS_WEIGHT_CLAMP_MAX)
+                l_mis = jnp.where(use_specular_mis & (denom > 0.0),
+                                  wmis, l_mis)
             add = light_hit & emit_ok
-            contrib = _clamp_firefly(throughput, emission, clamp_p)
+            contrib = _clamp_firefly(throughput, emission * l_mis, clamp_p)
             radiance = radiance + vwhere(add, contrib, zero3)
         active = active & jnp.logical_not(light_hit)
     else:
@@ -1601,8 +1623,11 @@ def fused_supported(scene, static) -> bool:
         return False       # instanced groups trace on the XLA path
     if scene.materials.count > 32:
         return False
-    if scene.light_rect_indices is not None and \
-            scene.light_rect_indices.shape[0] > 0:
+    if scene.light_rect_indices is not None \
+            and scene.light_rect_indices.shape[0] > 0 \
+            and static.background_mode == 2:
+        # rect NEE + env NEE together would need a second shadow split;
+        # rect lights are covered for sky/solid backgrounds (cornell class)
         return False
     if static.debug_specular_only:
         return False
@@ -1646,13 +1671,13 @@ def _pack_scalars(uniforms, depth, env=None):
 def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
                 mat_table, scal, carry, state, t, tri, u, v, rows,
                 envbg=None, envpdf=None, trans=None, esmp=None, tex=None,
-                has_prims=False):
+                has_prims=False, rect_nee=False):
     env_mode = static.background_mode == 2
     has_tex = tex is not None
     kern = functools.partial(_shade_kernel, stage=stage, layout=layout,
                              static=static, m_count=m_count,
                              env_mode=env_mode, has_tex=has_tex,
-                             has_prims=has_prims)
+                             has_prims=has_prims, rect_nee=rect_nee)
     grid = (n_blocks,)
 
     def plane_spec(p):
@@ -1672,6 +1697,9 @@ def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
     if env_mode and stage == "s1":
         in_specs += [plane_spec(3), lane_spec]
         inputs += [envbg, envpdf]
+    elif rect_nee and stage == "s1":
+        in_specs += [lane_spec]
+        inputs += [envpdf]   # rect-light pdf of the current hit
     if stage == "s2":
         in_specs += [plane_spec(len(TRANS)), plane_spec(len(ESMP))]
         inputs += [trans, esmp]
@@ -1725,7 +1753,8 @@ def _trace_merged(scene, o3, d3, t_min, lane_tmax, ex_mesh, ex_prim):
     exact merge order and tie semantics (spheres, then rects, then
     triangles; strict `<` so the earlier family keeps ties).
 
-    Returns (t, idx, u, v, rows): idx >= 0 marks any hit; rows are
+    Returns (t, idx, u, v, rows, kind): idx >= 0 marks any hit; kind is
+    the winning family (C.PRIMITIVE_* as f32, 0 = miss); rows are
     shade_packed-compatible planes where sphere/rect winners carry their
     RAW (pre-faceforward) normal in the n0 columns, material in col 18,
     geometric two_sided in col 20, and is_triangle in col 21.
@@ -1748,8 +1777,9 @@ def _trace_merged(scene, o3, d3, t_min, lane_tmax, ex_mesh, ex_prim):
         v = jnp.zeros((n,), jnp.float32)
         rows = jnp.zeros((n, 24), jnp.float32)
         tri_hit = jnp.zeros((n,), bool)
+    kind = jnp.where(tri_hit, float(C.PRIMITIVE_TRIANGLE), 0.0)
     if not _scene_has_prims(scene):
-        return t, idx, u, v, rows
+        return t, idx, u, v, rows, kind
     rows = rows.at[:, 21].set(jnp.where(tri_hit, 1.0, 0.0))
 
     # analytic families (the XLA dispatchers: Pallas kernels on TPU, the
@@ -1761,7 +1791,9 @@ def _trace_merged(scene, o3, d3, t_min, lane_tmax, ex_mesh, ex_prim):
         "two": jnp.zeros((n,), jnp.float32),
     }
 
-    def fold(rec, two_sided):
+    best["kind"] = kind
+
+    def fold(rec, two_sided, fam):
         # trace_scene folds spheres/rects BEFORE triangles, so at equal t
         # the analytic prim wins: take when hit & (t <= best.t if best is
         # the triangle layer). _closer keeps `a` on ties in its fold order
@@ -1777,17 +1809,19 @@ def _trace_merged(scene, o3, d3, t_min, lane_tmax, ex_mesh, ex_prim):
         best["mat"] = jnp.where(take, rec.material.astype(jnp.float32),
                                 best["mat"])
         best["two"] = jnp.where(take, two_sided, best["two"])
+        best["kind"] = jnp.where(take, float(fam), best["kind"])
         best["nt"] = take if "nt" not in best else (best["nt"] | take)
 
     # rects fold after spheres in trace_scene, so fold rects FIRST here
     # against the triangle base, then spheres (earlier family wins ties)
     if scene.rects.count > 0:
         rec_r = intersect.hit_rects(o3, d3, scene.rects, t_min, lane_tmax)
-        fold(rec_r, rec_r.two_sided.astype(jnp.float32))
+        fold(rec_r, rec_r.two_sided.astype(jnp.float32),
+             C.PRIMITIVE_RECTANGLE)
     if scene.spheres.count > 0:
         rec_s = intersect.hit_spheres(o3, d3, scene.spheres, t_min,
                                       lane_tmax)
-        fold(rec_s, jnp.ones((n,), jnp.float32))
+        fold(rec_s, jnp.ones((n,), jnp.float32), C.PRIMITIVE_SPHERE)
 
     nt = best["nt"]
     rows_nt = jnp.zeros((n, 24), jnp.float32)
@@ -1799,7 +1833,7 @@ def _trace_merged(scene, o3, d3, t_min, lane_tmax, ex_mesh, ex_prim):
     idx = jnp.where(nt, best["idx"], idx)
     u = jnp.where(nt, 0.0, u)
     v = jnp.where(nt, 0.0, v)
-    return t, idx, u, v, rows
+    return t, idx, u, v, rows, best["kind"]
 
 
 def _occluded_merged(scene, o3, d3, t_min, shadow_max):
@@ -1833,6 +1867,8 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
 
     types = set(static.material_types)
     env_mode = static.background_mode == 2
+    rect_nee = (not env_mode and scene.light_rect_indices is not None
+                and scene.light_rect_indices.shape[0] > 0)
     has_medium = bool(types & {C.MATERIAL_DIELECTRIC, C.MATERIAL_PBR,
                                C.MATERIAL_SUBSURFACE})
     has_tex = (scene.textures is not None and C.MATERIAL_PBR in types)
@@ -1911,8 +1947,8 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
         ex_mesh = jnp.where(prev_valid, cget("prev_mesh"),
                             -1.0).astype(jnp.int32)
         lane_tmax = jnp.where(alive, C.INFINITY_T, 0.0)
-        t, tri, u, v, rows = _trace_merged(scene, o3, d3, C.EPSILON_T,
-                                           lane_tmax, ex_mesh, ex_prim)
+        t, tri, u, v, rows, kind = _trace_merged(scene, o3, d3, C.EPSILON_T,
+                                                 lane_tmax, ex_mesh, ex_prim)
         tri_i = tri.astype(jnp.int32)
         rows_t = shp_rows(rows)
         scal = _pack_scalars(uniforms, depth, env)
@@ -1951,6 +1987,99 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 return _texture_identity(scene, static, mat_lane, shp)
 
             tex_planes = jax.lax.cond(pbr_any, _tex_full, _tex_ident, 0)
+        if rect_nee:
+            # ---- rect-light NEE: S1 (emissive MIS via pdf-for-hit,
+            # export u1-u3 + hit transients), XLA light sample + shadow
+            # trace, S2 (NEE commit + BSDF sample) — the env split's twin
+            # (integrator: _sample_rect_light + NEE rect block)
+            from types import SimpleNamespace
+
+            from metal_pathtracer_tpu.ops.integrator import (
+                _rect_light_pdf_for_hit,
+            )
+
+            point_xla = o3 + t[..., None] * d3
+            rec_shim = SimpleNamespace(
+                prim_index=tri_i, point=point_xla,
+                prim_type=kind.astype(jnp.int32))
+            lpdf = _rect_light_pdf_for_hit(scene, rec_shim, o3)
+            carry, state_p, trans = _shade_call(
+                "s1", layout, static, m_count, n_blocks,
+                carry=carry, state=state_p,
+                envpdf=shp(pad1(lpdf)), tex=tex_planes, rect_nee=True,
+                **args)
+
+            tget = lambda nm: unshp(trans[TRANS_IDX[nm]])
+            rects = scene.rects
+            mats = scene.materials
+            n_lights = scene.light_rect_indices.shape[0]
+            sel = jnp.minimum(
+                (tget("u1") * float(n_lights)).astype(jnp.uint32),
+                jnp.uint32(n_lights - 1)).astype(jnp.int32)
+            rect_idx = scene.light_rect_indices[sel]
+            uu = tget("u2")
+            vv = tget("u3")
+            p3 = jnp.stack([tget("px"), tget("py"), tget("pz")], -1)
+            edge_u = rects.edge_u[rect_idx]
+            edge_v = rects.edge_v[rect_idx]
+            sample_point = (rects.corner[rect_idx] + uu[..., None] * edge_u
+                            + vv[..., None] * edge_v)
+            to_light = sample_point - p3
+            dist_sq = jnp.sum(to_light * to_light, -1)
+            l_dist = jnp.sqrt(jnp.maximum(dist_sq, 1e-30))
+            l_dir = to_light / l_dist[..., None]
+            cr_uv = jnp.cross(edge_u, edge_v)
+            area = jnp.sqrt(jnp.maximum(jnp.sum(cr_uv * cr_uv, -1), 0.0))
+            normal = rects.normal[rect_idx]
+            cos_light = jnp.sum(-l_dir * normal, -1)
+            two_s = rects.two_sided[rect_idx] > 0.5
+            cos_ok = jnp.where(two_s, True, cos_light > 0.0)
+            cos_light = jnp.where(two_s, jnp.abs(cos_light), cos_light)
+            l_pdf = ((1.0 / jnp.maximum(area, 1e-20)) * dist_sq
+                     / jnp.maximum(cos_light, 1e-6)) / float(n_lights)
+            mat_idx = jnp.clip(rects.material[rect_idx], 0, mats.count - 1)
+            l_emission = mats.emission[mat_idx]
+            l_valid = ((dist_sq > 0.0) & (area > 0.0) & cos_ok
+                       & (cos_light > 0.0) & (l_pdf > 0.0)
+                       & jnp.isfinite(l_pdf)
+                       & jnp.any(l_emission != 0.0, -1))
+            l_pdf = jnp.where(l_valid, l_pdf, 0.0)
+
+            sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
+            nf3 = jnp.stack([tget("nfx"), tget("nfy"), tget("nfz")], -1)
+            n_dot_l = jnp.maximum(jnp.sum(sn3 * l_dir, -1), 0.0)
+            nee_lanes = ((tget("active") > 0.5) & (tget("delta") < 0.5))
+            if has_tex:
+                nee_lanes = nee_lanes & (
+                    unshp(tex_planes[TEX_IDX["tpass"]]) < 0.5)
+            do_shadow = nee_lanes & l_valid & (l_pdf > 0.0) & (n_dot_l > 0.0)
+            n_shadow = n_shadow + jnp.sum(do_shadow.astype(jnp.float32))
+            # offset_ray_origin twin (same as the env split)
+            sn_len2 = jnp.sum(sn3 * sn3, -1)
+            off_bad = ~jnp.all(jnp.isfinite(sn3), -1) | (sn_len2 <= 0.0)
+            off_n = jnp.where(off_bad[..., None], nf3, sn3)
+            sgn = jnp.where(jnp.sum(l_dir * off_n, -1) >= 0.0, 1.0, -1.0)
+            dist = jnp.maximum(jnp.abs(pad1(t)) * 1e-4,
+                               C.RAY_ORIGIN_EPSILON)
+            shadow_o = (p3 + off_n * (sgn * dist)[..., None]
+                        + l_dir * (C.RAY_ORIGIN_EPSILON * 0.5))
+            shadow_max = jnp.where(
+                do_shadow,
+                jnp.maximum(l_dist - C.EPSILON_T, C.EPSILON_T), 0.0)
+            occluded = _occluded_merged(scene, shadow_o, l_dir,
+                                        C.EPSILON_T, shadow_max)
+            esmp = jnp.stack([
+                shp(l_dir[:, 0]), shp(l_dir[:, 1]), shp(l_dir[:, 2]),
+                shp(l_emission[:, 0]), shp(l_emission[:, 1]),
+                shp(l_emission[:, 2]),
+                shp(l_pdf), shp(l_valid.astype(jnp.float32)),
+                shp(occluded.astype(jnp.float32))])
+            carry, state_p = _shade_call(
+                "s2", layout, static, m_count, n_blocks,
+                carry=carry, state=state_p, trans=trans, esmp=esmp,
+                tex=tex_planes, rect_nee=True, **args)
+            return depth + 1, carry, state_p, n_rays, n_shadow
+
         if not env_mode:
             carry, state_p = _shade_call(
                 "full", layout, static, m_count, n_blocks,

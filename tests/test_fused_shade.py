@@ -36,7 +36,8 @@ def _render(scene, settings, res, w, h, spp=2):
             float(np.asarray(st.ray_count)))
 
 
-def _compare(settings, res, w=40, h=24, min_exact=0.98):
+def _compare(settings, res, w=40, h=24, min_exact=0.98,
+             max_rmse=2e-4):
     import jax
 
     scene = res.build_arrays()
@@ -63,7 +64,7 @@ def _compare(settings, res, w=40, h=24, min_exact=0.98):
     d = np.abs(img_fused - img_ref)
     rmse = float(np.sqrt((d * d).mean()))
     frac_exact = float((d.max(-1) < 1e-5).mean())
-    assert rmse < 2e-4, (rmse, float(d.max()))
+    assert rmse < max_rmse, (rmse, float(d.max()))
     # min_exact: flat triangles keep >98% of pixels bit-ish exact; curved
     # analytic prims re-derive normals from the drifted hit position every
     # bounce, so drift compounds (depth-1 renders ARE exact — verified)
@@ -194,6 +195,58 @@ def test_fused_matches_xla_mixed_prims_light_sphere():
     _compare(settings, res, min_exact=0.8)
 
 
+def test_fused_matches_xla_cornell_rect_nee():
+    """The cornell class: rect geometry + emissive rect lights with NEE +
+    MIS through the fused S1/shadow/S2 split (reference's canonical
+    scene, pathtrace.metal sample_rect_light/NEE:6487-6556)."""
+    from metal_pathtracer_tpu.scene import dsl
+
+    settings = RenderSettings()
+    res = SceneResources()
+    dsl.parse_scene(
+        "camera target=0,1,0 distance=3.9 yaw=1.5708 pitch=0 vfov=40\n"
+        "renderer maxDepth=4 seed=7\n"
+        "material type=lambert albedo=0.73,0.73,0.73\n"
+        "material type=lambert albedo=0.65,0.05,0.05\n"
+        "material type=lambert albedo=0.12,0.45,0.15\n"
+        "material type=light emit=15,15,15\n"
+        "rectangle x=-1,1 y=0 z=-1,1 normal=1 material=0\n"
+        "rectangle x=-1,1 y=2 z=-1,1 normal=-1 material=0\n"
+        "rectangle x=-1 y=0,2 z=-1,1 normal=1 material=2\n"
+        "rectangle x=1 y=0,2 z=-1,1 normal=-1 material=1\n"
+        "rectangle x=-1,1 y=0,2 z=-1 normal=1 material=0\n"
+        "rectangle x=-0.4,0.4 y=1.99 z=-0.4,0.4 normal=-1 material=3\n",
+        settings, res)
+    # pure-rect: flat geometry -> measured 100% exact at depth 4
+    _compare(settings, res)
+
+
+def test_fused_matches_xla_cornell_with_metal_sphere():
+    """Cornell + a curved metal sphere: rect NEE over mixed prim
+    families; curved-bounce drift bounds apply (see _compare note)."""
+    from metal_pathtracer_tpu.scene import dsl
+
+    settings = RenderSettings()
+    res = SceneResources()
+    dsl.parse_scene(
+        "camera target=0,1,0 distance=3.9 yaw=1.5708 pitch=0 vfov=40\n"
+        "renderer maxDepth=4 seed=7\n"
+        "material type=lambert albedo=0.73,0.73,0.73\n"
+        "material type=lambert albedo=0.65,0.05,0.05\n"
+        "material type=lambert albedo=0.12,0.45,0.15\n"
+        "material type=light emit=15,15,15\n"
+        "material type=metal albedo=0.9,0.85,0.7 roughness=0.15\n"
+        "rectangle x=-1,1 y=0 z=-1,1 normal=1 material=0\n"
+        "rectangle x=-1,1 y=2 z=-1,1 normal=-1 material=0\n"
+        "rectangle x=-1 y=0,2 z=-1,1 normal=1 material=2\n"
+        "rectangle x=1 y=0,2 z=-1,1 normal=-1 material=1\n"
+        "rectangle x=-1,1 y=0,2 z=-1 normal=1 material=0\n"
+        "rectangle x=-0.4,0.4 y=1.99 z=-0.4,0.4 normal=-1 material=3\n"
+        "sphere center=0.35,0.35,0.3 radius=0.35 material=4\n",
+        settings, res)
+    _compare(settings, res, min_exact=0.8, max_rmse=1e-3)
+
+
 def test_fused_gate_rejects_unsupported():
     """Configs outside the kernel's coverage must take the XLA path."""
     from metal_pathtracer_tpu.ops.pallas import shade
@@ -232,7 +285,17 @@ def test_fused_gate_rejects_unsupported():
             material=light, two_sided=False))
         static3b = settings_to_static(settings, 8, 8,
                                       res3.material_types_present())
-        assert not shade.fused_supported(res3.build_arrays(), static3b)
+        # rect lights are covered for sky/solid backgrounds (r03)...
+        assert shade.fused_supported(res3.build_arrays(), static3b)
+        # ...but rect NEE + env NEE together still falls back
+        from metal_pathtracer_tpu.settings import BackgroundMode
+        s_env = RenderSettings()
+        s_env.backgroundMode = BackgroundMode.ENVIRONMENT
+        s_env.enableSpecularNee = False
+        s_env.enableMnee = False
+        static3c = settings_to_static(s_env, 8, 8,
+                                      res3.material_types_present())
+        assert not shade.fused_supported(res3.build_arrays(), static3c)
         # environment background falls back (phase 2)
         from metal_pathtracer_tpu.settings import BackgroundMode
         settings.backgroundMode = BackgroundMode.ENVIRONMENT
