@@ -1210,17 +1210,25 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
     front = vdot(ray_d, geo_n) < 0.0
     n_faced = vwhere(front, geo_n, -geo_n)
     if has_prims:
-        is_tri = row_ref[21, 0] > 0.5
+        # rows col 21 flavor: 1 = plain triangle (full reconstruction),
+        # 0 = analytic sphere/rect (raw normal in n0 cols, XLA
+        # hit_spheres/hit_rects semantics), 2 = precomputed (instanced
+        # triangles: raw geo normal in n0 cols, FINAL shading normal
+        # passthrough in the n1 cols — trace_instanced computed it)
+        flavor = row_ref[21, 0]
+        is_tri = flavor > 0.5           # triangle prev-id semantics
+        plain_tri = is_tri & (flavor < 1.5)
+        precomp = flavor > 1.5
         two_sided_geo = row_ref[20, 0] > 0.5
-        # sphere/rect lanes: raw normal rides the n0 columns; front and
-        # faceforward recompute intersect.hit_spheres/hit_rects exactly
         raw_n = rowv(9)
         front_nt = vdot(ray_d, raw_n) < 0.0
         nf_nt = vwhere(front_nt, raw_n, -raw_n)
-        front = jnp.where(is_tri, front, front_nt)
-        n_faced = vwhere(is_tri, n_faced, nf_nt)
+        front = jnp.where(plain_tri, front, front_nt)
+        n_faced = vwhere(plain_tri, n_faced, nf_nt)
     else:
         is_tri = None
+        plain_tri = None
+        precomp = None
         two_sided_geo = None
 
     if stage == "s2":
@@ -1247,8 +1255,11 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
         shading_normal = vwhere(sn_ok, sn, n_faced)
         if has_prims:
             # spheres/rects: shading normal IS the faceforwarded raw
-            # normal (no interpolation/renormalization — intersect.py)
-            shading_normal = vwhere(is_tri, shading_normal, n_faced)
+            # normal (no interpolation/renormalization — intersect.py);
+            # instanced: the XLA-computed shading normal passes through
+            shading_normal = vwhere(
+                plain_tri, shading_normal,
+                vwhere(precomp, tn1, n_faced))
         point = ray_o + ray_d * t_hit
 
     # ---- material fetch (+ texture-stage overrides) --------------------
@@ -1616,11 +1627,15 @@ def fused_supported(scene, static) -> bool:
         return False
     if _scene_has_prims(scene) and scene.textures is not None \
             and C.MATERIAL_PBR in set(static.material_types):
-        # the texture stage gathers per-TRIANGLE UVs by tri id; analytic
-        # prims carry no UVs (XLA applies textures to triangles only)
+        # the texture stage gathers per-SOUP-TRIANGLE UVs by tri id;
+        # analytic prims carry no UVs and instanced ids index their
+        # group's arrays (XLA applies textures per family)
         return False
     if getattr(scene, "instanced", ()):
-        return False       # instanced groups trace on the XLA path
+        # instanced groups need the packet kernel (or the interpreted jnp
+        # path) per group, same requirement as the soup triangles
+        if not interp and any(g.tri_packet is None for g in scene.instanced):
+            return False
     if scene.materials.count > 32:
         return False
     if scene.light_rect_indices is not None \
@@ -1745,27 +1760,41 @@ def _trace_raw(scene, o3, d3, t_min, lane_tmax, ex_mesh, ex_prim,
 
 
 def _scene_has_prims(scene) -> bool:
-    return scene.spheres.count > 0 or scene.rects.count > 0
+    """Any hit family beyond plain soup triangles (analytic prims or
+    instanced groups) — these ride the flavored rows planes."""
+    return (scene.spheres.count > 0 or scene.rects.count > 0
+            or bool(getattr(scene, "instanced", ())))
 
 
 def _trace_merged(scene, o3, d3, t_min, lane_tmax, ex_mesh, ex_prim):
-    """Nearest-hit over spheres/rects/triangles with intersect.trace_scene's
-    exact merge order and tie semantics (spheres, then rects, then
-    triangles; strict `<` so the earlier family keeps ties).
+    """Nearest-hit over spheres/rects/triangles/instanced groups with
+    intersect.trace_scene's exact merge order and tie semantics (spheres,
+    rects, triangles, instanced; strict `<` at each fold so the earlier
+    family keeps ties).
 
     Returns (t, idx, u, v, rows, kind): idx >= 0 marks any hit; kind is
     the winning family (C.PRIMITIVE_* as f32, 0 = miss); rows are
-    shade_packed-compatible planes where sphere/rect winners carry their
-    RAW (pre-faceforward) normal in the n0 columns, material in col 18,
-    geometric two_sided in col 20, and is_triangle in col 21.
+    shade_packed-compatible planes where non-plain-triangle winners carry
+    flags in the spare columns — raw (pre-faceforward) normal in the n0
+    columns, the XLA-computed shading normal in the n1 columns (instanced
+    only), material in col 18, mesh/instance id in col 19, geometric
+    two_sided in col 20, flavor in col 21 (1 = plain triangle,
+    0 = analytic sphere/rect, 2 = precomputed instanced triangle).
     """
     from metal_pathtracer_tpu.ops import intersect
 
     n = o3.shape[0]
     has_tri = scene.triangles is not None and scene.triangles.count > 0
+    instanced = getattr(scene, "instanced", ())
     if has_tri:
+        ex_p_tri = ex_prim
+        if instanced and ex_prim is not None and ex_mesh is not None:
+            # an instanced prev-hit's OBJECT tri id must not exclude a
+            # soup triangle (trace_triangles' packet branch does the same)
+            soup_meshes = instanced[0].base_id
+            ex_p_tri = jnp.where(ex_mesh < soup_meshes, ex_prim, -1)
         t, idx, u, v = _trace_raw(scene, o3, d3, t_min, lane_tmax,
-                                  ex_mesh, ex_prim)
+                                  ex_mesh, ex_p_tri)
         tri_i = idx.astype(jnp.int32)
         rows = scene.triangles.shade_packed[
             jnp.clip(tri_i, 0, scene.triangles.count - 1)]
@@ -1782,52 +1811,70 @@ def _trace_merged(scene, o3, d3, t_min, lane_tmax, ex_mesh, ex_prim):
         return t, idx, u, v, rows, kind
     rows = rows.at[:, 21].set(jnp.where(tri_hit, 1.0, 0.0))
 
-    # analytic families (the XLA dispatchers: Pallas kernels on TPU, the
+    # other families (the XLA dispatchers: Pallas kernels on TPU, the
     # jnp reference on CPU — the same path integrator.trace_scene takes)
     best = {
         "hit": tri_hit, "t": jnp.where(tri_hit, t, C.INFINITY_T),
         "idx": idx, "raw_n": jnp.zeros((n, 3), jnp.float32),
+        "sn": jnp.zeros((n, 3), jnp.float32),
         "mat": jnp.zeros((n,), jnp.float32),
+        "mesh": jnp.zeros((n,), jnp.float32),
         "two": jnp.zeros((n,), jnp.float32),
+        "flavor": jnp.zeros((n,), jnp.float32),
+        "kind": kind,
     }
 
-    best["kind"] = kind
-
-    def fold(rec, two_sided, fam):
-        # trace_scene folds spheres/rects BEFORE triangles, so at equal t
-        # the analytic prim wins: take when hit & (t <= best.t if best is
-        # the triangle layer). _closer keeps `a` on ties in its fold order
-        # (sphere < rect < triangle), which reduces to: analytic wins ties
-        # vs triangles; spheres win ties vs rects.
-        take = rec.hit & (~best["hit"] | (rec.t <= best["t"]))
+    def fold(rec, two_sided, fam, flavor, strict):
+        # trace_scene fold order is spheres, rects, triangles, instanced
+        # with strict `<` at each _closer — on exact-t ties:
+        # sphere > rect > triangle > instanced. Rebuilt from the triangle
+        # base: instanced folds FIRST with strict < (loses ties to the
+        # base), then rects and spheres with <= (they win ties against
+        # everything already folded).
+        closer = (rec.t < best["t"]) if strict else (rec.t <= best["t"])
+        take = rec.hit & (~best["hit"] | closer)
         raw = jnp.where(rec.front_face[..., None], rec.normal, -rec.normal)
         best["hit"] = best["hit"] | rec.hit
         best["t"] = jnp.where(take, rec.t, best["t"])
         best["idx"] = jnp.where(take, rec.prim_index.astype(jnp.float32),
                                 best["idx"])
         best["raw_n"] = jnp.where(take[..., None], raw, best["raw_n"])
+        best["sn"] = jnp.where(take[..., None], rec.shading_normal,
+                               best["sn"])
         best["mat"] = jnp.where(take, rec.material.astype(jnp.float32),
                                 best["mat"])
+        best["mesh"] = jnp.where(take, rec.mesh_index.astype(jnp.float32),
+                                 best["mesh"])
         best["two"] = jnp.where(take, two_sided, best["two"])
         best["kind"] = jnp.where(take, float(fam), best["kind"])
+        best["flavor"] = jnp.where(take, flavor, best["flavor"])
         best["nt"] = take if "nt" not in best else (best["nt"] | take)
 
-    # rects fold after spheres in trace_scene, so fold rects FIRST here
-    # against the triangle base, then spheres (earlier family wins ties)
+    if instanced:
+        from metal_pathtracer_tpu.ops import traversal
+        rec_i = traversal.trace_instanced(o3, d3, scene, t_min, lane_tmax,
+                                          exclude_mesh=ex_mesh,
+                                          exclude_prim=ex_prim)
+        fold(rec_i, rec_i.two_sided.astype(jnp.float32),
+             C.PRIMITIVE_TRIANGLE, 2.0, strict=True)
     if scene.rects.count > 0:
         rec_r = intersect.hit_rects(o3, d3, scene.rects, t_min, lane_tmax)
         fold(rec_r, rec_r.two_sided.astype(jnp.float32),
-             C.PRIMITIVE_RECTANGLE)
+             C.PRIMITIVE_RECTANGLE, 0.0, strict=False)
     if scene.spheres.count > 0:
         rec_s = intersect.hit_spheres(o3, d3, scene.spheres, t_min,
                                       lane_tmax)
-        fold(rec_s, jnp.ones((n,), jnp.float32), C.PRIMITIVE_SPHERE)
+        fold(rec_s, jnp.ones((n,), jnp.float32), C.PRIMITIVE_SPHERE, 0.0,
+             strict=False)
 
     nt = best["nt"]
     rows_nt = jnp.zeros((n, 24), jnp.float32)
     rows_nt = rows_nt.at[:, 9:12].set(best["raw_n"])
+    rows_nt = rows_nt.at[:, 12:15].set(best["sn"])
     rows_nt = rows_nt.at[:, 18].set(best["mat"])
+    rows_nt = rows_nt.at[:, 19].set(best["mesh"])
     rows_nt = rows_nt.at[:, 20].set(best["two"])
+    rows_nt = rows_nt.at[:, 21].set(best["flavor"])
     rows = jnp.where(nt[:, None], rows_nt, rows)
     t = jnp.where(nt, best["t"], t)
     idx = jnp.where(nt, best["idx"], idx)
@@ -1853,6 +1900,10 @@ def _occluded_merged(scene, o3, d3, t_min, shadow_max):
     if scene.rects.count > 0:
         occ = occ | intersect.hit_rects(o3, d3, scene.rects, t_min,
                                         shadow_max).hit
+    if getattr(scene, "instanced", ()):
+        from metal_pathtracer_tpu.ops import traversal
+        occ = occ | traversal.trace_instanced_occluded(
+            o3, d3, scene, t_min, shadow_max)
     return occ
 
 

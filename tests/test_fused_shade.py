@@ -247,6 +247,41 @@ def test_fused_matches_xla_cornell_with_metal_sphere():
     _compare(settings, res, min_exact=0.8, max_rmse=1e-3)
 
 
+def test_fused_matches_xla_instanced():
+    """Instanced groups through the fused path: the merged trace folds
+    trace_instanced (world-space records pass through the precomputed
+    rows flavor) + a soup ground mesh, with per-instance self-exclusion
+    preserved."""
+    import math
+
+    from metal_pathtracer_tpu.utils.procgen import dragon_class_mesh
+    from metal_pathtracer_tpu.scene.resources import Mesh
+
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.0, 0.0)
+    settings.cameraDistance = 7.0
+    settings.cameraPitch = 0.35
+    settings.maxDepth = 4
+    settings.fixedRngSeed = 55
+    res = SceneResources()
+    m0 = res.add_material(Material(base_color=(0.7, 0.4, 0.3)))
+    m_g = res.add_material(Material(base_color=(0.5, 0.5, 0.55)))
+    pos, normals, faces = dragon_class_mesh(2)
+    uv = np.zeros((len(pos), 2), np.float32)
+    src = Mesh(name="blob", vertices=pos, normals=normals, uv0=uv,
+               uv1=uv.copy(), tangents=np.zeros((len(pos), 4), np.float32),
+               indices=faces, material=m0)
+    for i, (tx, s, ry) in enumerate([(-2.2, 0.8, 0.3), (0.0, 1.0, 0.0),
+                                     (2.3, 1.25, -0.7)]):
+        c, sn = math.cos(ry), math.sin(ry)
+        m = np.eye(4)
+        m[:3, :3] = np.array([[c, 0, sn], [0, 1, 0], [-sn, 0, c]]) * s
+        m[:3, 3] = [tx, 0.15 * i, 0.0]
+        res.add_mesh_instance(src, m)
+    res.add_mesh(_ground_mesh(m_g))
+    _compare(settings, res, min_exact=0.9)
+
+
 def test_fused_gate_rejects_unsupported():
     """Configs outside the kernel's coverage must take the XLA path."""
     from metal_pathtracer_tpu.ops.pallas import shade
