@@ -416,3 +416,136 @@ def test_fused_shade_matches_xla_on_tpu():
     assert rays_fused == rays_ref
     d = np.abs(img_fused - img_ref)
     assert float(np.sqrt((d * d).mean())) < 2e-3, float(d.max())
+
+
+def _fused_vs_xla_on_tpu(settings, res, w=64, h=40, spp=2, rmse_tol=2e-3):
+    """Compiled fused-vs-XLA comparison harness (hardware)."""
+    import jax
+    from metal_pathtracer_tpu.ops.camera import build_camera
+    from metal_pathtracer_tpu.renderer import frame
+    from metal_pathtracer_tpu.renderer.accumulation import RenderState
+    from metal_pathtracer_tpu.schema import (
+        settings_to_static,
+        settings_to_uniforms,
+    )
+    from metal_pathtracer_tpu.ops.pallas import shade
+
+    scene = res.build_arrays()
+    static = settings_to_static(settings, w, h,
+                                res.material_types_present())
+    assert shade.fused_supported(scene, static)
+    uni = settings_to_uniforms(settings, build_camera(settings, w, h), 0, 0)
+
+    def render():
+        st = frame.render_samples(scene, uni, RenderState.create(w, h),
+                                  static, spp)
+        return (np.asarray(st.present())[..., :3],
+                float(np.asarray(st.ray_count)))
+
+    os.environ["MPT_FUSED_SHADE"] = "0"
+    img_ref, rays_ref = render()
+    jax.clear_caches()
+    os.environ["MPT_FUSED_SHADE"] = "1"
+    img_fused, rays_fused = render()
+    os.environ.pop("MPT_FUSED_SHADE", None)
+    jax.clear_caches()
+    assert rays_fused == rays_ref
+    d = np.abs(img_fused - img_ref)
+    assert float(np.sqrt((d * d).mean())) < rmse_tol, float(d.max())
+
+
+def test_fused_cornell_rect_nee_on_tpu():
+    """r03 rect-light NEE coverage, compiled on hardware."""
+    from metal_pathtracer_tpu.scene import dsl
+    from metal_pathtracer_tpu.scene.resources import SceneResources
+    from metal_pathtracer_tpu.settings import RenderSettings
+
+    settings = RenderSettings()
+    res = SceneResources()
+    dsl.parse_scene(
+        "camera target=0,1,0 distance=3.9 yaw=1.5708 pitch=0 vfov=40\n"
+        "renderer maxDepth=4 seed=7\n"
+        "material type=lambert albedo=0.73,0.73,0.73\n"
+        "material type=lambert albedo=0.65,0.05,0.05\n"
+        "material type=lambert albedo=0.12,0.45,0.15\n"
+        "material type=light emit=15,15,15\n"
+        "rectangle x=-1,1 y=0 z=-1,1 normal=1 material=0\n"
+        "rectangle x=-1,1 y=2 z=-1,1 normal=-1 material=0\n"
+        "rectangle x=-1 y=0,2 z=-1,1 normal=1 material=2\n"
+        "rectangle x=1 y=0,2 z=-1,1 normal=-1 material=1\n"
+        "rectangle x=-1,1 y=0,2 z=-1 normal=1 material=0\n"
+        "rectangle x=-0.4,0.4 y=1.99 z=-0.4,0.4 normal=-1 material=3\n",
+        settings, res)
+    _fused_vs_xla_on_tpu(settings, res)
+
+
+def test_fused_sphere_scene_on_tpu():
+    """r03 analytic-prim coverage (RTOW class), compiled on hardware —
+    also exercises the Morton-chunked sphere kernel end-to-end when the
+    scene exceeds the chunking threshold."""
+    from metal_pathtracer_tpu import constants as C
+    from metal_pathtracer_tpu.scene.resources import (
+        Material,
+        SceneResources,
+        Sphere,
+    )
+    from metal_pathtracer_tpu.settings import RenderSettings
+
+    rng = np.random.default_rng(3)
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.5, 0.0)
+    settings.cameraDistance = 6.0
+    settings.cameraPitch = 0.25
+    settings.maxDepth = 5
+    settings.fixedRngSeed = 99
+    res = SceneResources()
+    m_g = res.add_material(Material(base_color=(0.5, 0.5, 0.5)))
+    m_m = res.add_material(Material(base_color=(0.8, 0.7, 0.4),
+                                    mat_type=C.MATERIAL_METAL,
+                                    roughness=0.2))
+    res.spheres.append(Sphere(center=(0, -100, 0), radius=100.0,
+                              material=m_g))
+    for i in range(40):  # > 2 chunks -> chunked sphere kernel
+        c = rng.uniform(-3, 3, 2)
+        res.spheres.append(Sphere(center=(float(c[0]), 0.3, float(c[1])),
+                                  radius=0.3,
+                                  material=m_m if i % 2 else m_g))
+    _fused_vs_xla_on_tpu(settings, res)
+
+
+def test_fused_instanced_on_tpu():
+    """r03 instanced coverage, compiled on hardware."""
+    import math
+
+    from metal_pathtracer_tpu.scene.resources import (
+        Material,
+        Mesh,
+        SceneResources,
+    )
+    from metal_pathtracer_tpu.settings import RenderSettings
+    from metal_pathtracer_tpu.utils.benchscene import _ground_mesh
+    from metal_pathtracer_tpu.utils.procgen import dragon_class_mesh
+
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.0, 0.0)
+    settings.cameraDistance = 7.0
+    settings.cameraPitch = 0.35
+    settings.maxDepth = 4
+    settings.fixedRngSeed = 55
+    res = SceneResources()
+    m0 = res.add_material(Material(base_color=(0.7, 0.4, 0.3)))
+    m_g = res.add_material(Material(base_color=(0.5, 0.5, 0.55)))
+    pos, normals, faces = dragon_class_mesh(2)
+    uv = np.zeros((len(pos), 2), np.float32)
+    src = Mesh(name="blob", vertices=pos, normals=normals, uv0=uv,
+               uv1=uv.copy(), tangents=np.zeros((len(pos), 4), np.float32),
+               indices=faces, material=m0)
+    for i, (tx, s, ry) in enumerate([(-2.2, 0.8, 0.3), (0.0, 1.0, 0.0),
+                                     (2.3, 1.25, -0.7)]):
+        c, sn = math.cos(ry), math.sin(ry)
+        m = np.eye(4)
+        m[:3, :3] = np.array([[c, 0, sn], [0, 1, 0], [-sn, 0, c]]) * s
+        m[:3, 3] = [tx, 0.15 * i, 0.0]
+        res.add_mesh_instance(src, m)
+    res.add_mesh(_ground_mesh(m_g))
+    _fused_vs_xla_on_tpu(settings, res)
