@@ -37,6 +37,31 @@ SPP_REF = 512
 ITERS = 4
 STEPS = 600
 
+def _env_scene(subdivisions=2):
+    """A toy bench-class scene: HDR sun/sky env alias NEE + dielectric +
+    lambert — the noise character the headline/viewer scenes have."""
+    from metal_pathtracer_tpu.utils.benchscene import build_bench_scene
+
+    settings, res, environment = build_bench_scene(subdivisions)
+    settings.maxDepth = 5
+    # drop textures: keep the material mix simple for the 64x64 crop
+    res.texture_images.clear()
+    res.texture_srgb.clear()
+    res.texture_wrap.clear()
+    for m in res.materials:
+        m.texture_indices = (-1, -1, -1, -1, -1, -1)
+    return settings, res, environment
+
+
+def _env_scene_dim(subdivisions=2):
+    settings, res, environment = _env_scene(subdivisions)
+    settings.environmentIntensity = 0.25
+    settings.cameraYaw += 1.2
+    settings.fixedRngSeed = 77
+    return settings, res, environment
+
+
+
 # Training scenes: spheres, metal, dielectric, colored walls, emissive
 # rects, open sky — diverse transport, all distinct from the held-out
 # cornell gate scene in tests/test_denoise_quality.py.
@@ -96,10 +121,12 @@ sphere center=0.8,0.5,0.4 radius=0.5 material=2
 sphere center=-0.9,0.9,-0.5 radius=0.35 material=1
 rectangle x=-3,3 y=0 z=-3,3 normal=1 material=0
 """,
+    _env_scene,       # HDR env alias NEE (the headline scene's class)
+    _env_scene_dim,   # same under 0.25x intensity (high-noise regime)
 ]
 
 
-def render_pair(text):
+def render_pair(spec):
     from metal_pathtracer_tpu.ops.camera import build_camera
     from metal_pathtracer_tpu.renderer import frame
     from metal_pathtracer_tpu.renderer.accumulation import RenderState
@@ -108,10 +135,14 @@ def render_pair(text):
         settings_to_uniforms,
     )
 
-    settings = RenderSettings()
-    res = SceneResources()
-    dsl.parse_scene(text, settings, res)
-    scene = res.build_arrays()
+    if callable(spec):
+        settings, res, environment = spec()
+    else:
+        settings = RenderSettings()
+        res = SceneResources()
+        dsl.parse_scene(spec, settings, res)
+        environment = None
+    scene = res.build_arrays(environment=environment)
     static = settings_to_static(settings, W, H, res.material_types_present())
     cam = build_camera(settings, W, H)
     uni = settings_to_uniforms(settings, cam, 0, 0)
