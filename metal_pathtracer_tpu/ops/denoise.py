@@ -239,7 +239,10 @@ def denoise_state(state, settings):
     normal = state.normal  # already world-space unit (pre-encode)
     if state.radiance_sq_sum is not None:
         params = _learned_params()
-        if params is not None:
+        # the MLP was trained THROUGH exactly 4 iterations; a 5th pass
+        # (and the rescaled it/max feature) is out-of-distribution, so
+        # the RTLightmap-strength filter type stays on hand-tuned SVGF
+        if params is not None and iterations == 4:
             return learned_denoise(avg, state.albedo, normal,
                                    state.variance_of_mean(), params,
                                    iterations=iterations)

@@ -122,29 +122,25 @@ def _rect_light_pdf_for_hit(scene: SceneArrays, rec, origin):
     return jnp.where(valid, pdf, 0.0)
 
 
-def _sample_rect_light(scene: SceneArrays, rec, state, static: StaticConfig,
-                       uniforms: Uniforms):
-    """NEE light sample over the scene's emissive rectangles
-    (reference: pathtrace.metal sample_rect_light). Draws 3 uniforms.
-
-    Returns (state, direction, distance, pdf, emission, valid).
-    """
+def _rect_light_sample_from_uniforms(scene: SceneArrays, point, sel_u, u, v,
+                                     static: StaticConfig,
+                                     uniforms: Uniforms):
+    """Rect-light NEE sample math from three pre-drawn uniforms — shared
+    by the XLA body (which draws them via rng_ops) and the fused S1/S2
+    split (which exports the kernel's draws). Returns
+    (direction, distance, pdf, emission, valid)."""
     n_lights = scene.light_rect_indices.shape[0]
     rects = scene.rects
     mats = scene.materials
 
-    state, sel_u = rng_ops.rand_uniform(state)
     selected = jnp.minimum((sel_u * float(n_lights)).astype(jnp.uint32),
                            jnp.uint32(n_lights - 1)).astype(jnp.int32)
     rect_idx = scene.light_rect_indices[selected]
 
-    state, u = rng_ops.rand_uniform(state)
-    state, v = rng_ops.rand_uniform(state)
-
     edge_u = rects.edge_u[rect_idx]
     edge_v = rects.edge_v[rect_idx]
     sample_point = rects.corner[rect_idx] + u[..., None] * edge_u + v[..., None] * edge_v
-    to_light = sample_point - rec.point
+    to_light = sample_point - point
     dist_sq = dot(to_light, to_light)
     distance = jnp.sqrt(jnp.maximum(dist_sq, 1e-30))
     direction = to_light / distance[..., None]
@@ -173,7 +169,23 @@ def _sample_rect_light(scene: SceneArrays, rec, state, static: StaticConfig,
     valid = ((dist_sq > 0.0) & (area > 0.0) & cos_ok & (cos_light > 0.0)
              & (pdf > 0.0) & jnp.isfinite(pdf)
              & jnp.any(emission != 0.0, -1))
-    return state, direction, distance, jnp.where(valid, pdf, 0.0), emission, valid
+    return direction, distance, jnp.where(valid, pdf, 0.0), emission, valid
+
+
+def _sample_rect_light(scene: SceneArrays, rec, state, static: StaticConfig,
+                       uniforms: Uniforms):
+    """NEE light sample over the scene's emissive rectangles
+    (reference: pathtrace.metal sample_rect_light). Draws 3 uniforms.
+
+    Returns (state, direction, distance, pdf, emission, valid).
+    """
+    state, sel_u = rng_ops.rand_uniform(state)
+    state, u = rng_ops.rand_uniform(state)
+    state, v = rng_ops.rand_uniform(state)
+    direction, distance, pdf, emission, valid = \
+        _rect_light_sample_from_uniforms(scene, rec.point, sel_u, u, v,
+                                         static, uniforms)
+    return state, direction, distance, pdf, emission, valid
 
 
 #: per-bounce probe record fields (the TPU analogue of the reference's

@@ -1639,11 +1639,20 @@ def fused_supported(scene, static) -> bool:
     if scene.materials.count > 32:
         return False
     if scene.light_rect_indices is not None \
-            and scene.light_rect_indices.shape[0] > 0 \
-            and static.background_mode == 2:
-        # rect NEE + env NEE together would need a second shadow split;
-        # rect lights are covered for sky/solid backgrounds (cornell class)
-        return False
+            and scene.light_rect_indices.shape[0] > 0:
+        if static.background_mode == 2:
+            # rect NEE + env NEE together would need a second shadow
+            # split; rect lights are covered for sky/solid backgrounds
+            return False
+        if (static.enable_specular_nee or static.enable_mnee) and \
+                (set(static.material_types)
+                 & {C.MATERIAL_DIELECTRIC, C.MATERIAL_METAL,
+                    C.MATERIAL_PBR}):
+            # the XLA path adds spec-NEE/MNEE delta-chain estimators
+            # toward rect lights (integrator.py:593-602) which the fused
+            # kernel lacks; the chains only fire on delta lanes, so
+            # delta-incapable type sets (lambert/light) stay fused
+            return False
     if static.debug_specular_only:
         return False
     types = set(static.material_types)
@@ -2061,40 +2070,14 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 **args)
 
             tget = lambda nm: unshp(trans[TRANS_IDX[nm]])
-            rects = scene.rects
-            mats = scene.materials
-            n_lights = scene.light_rect_indices.shape[0]
-            sel = jnp.minimum(
-                (tget("u1") * float(n_lights)).astype(jnp.uint32),
-                jnp.uint32(n_lights - 1)).astype(jnp.int32)
-            rect_idx = scene.light_rect_indices[sel]
-            uu = tget("u2")
-            vv = tget("u3")
             p3 = jnp.stack([tget("px"), tget("py"), tget("pz")], -1)
-            edge_u = rects.edge_u[rect_idx]
-            edge_v = rects.edge_v[rect_idx]
-            sample_point = (rects.corner[rect_idx] + uu[..., None] * edge_u
-                            + vv[..., None] * edge_v)
-            to_light = sample_point - p3
-            dist_sq = jnp.sum(to_light * to_light, -1)
-            l_dist = jnp.sqrt(jnp.maximum(dist_sq, 1e-30))
-            l_dir = to_light / l_dist[..., None]
-            cr_uv = jnp.cross(edge_u, edge_v)
-            area = jnp.sqrt(jnp.maximum(jnp.sum(cr_uv * cr_uv, -1), 0.0))
-            normal = rects.normal[rect_idx]
-            cos_light = jnp.sum(-l_dir * normal, -1)
-            two_s = rects.two_sided[rect_idx] > 0.5
-            cos_ok = jnp.where(two_s, True, cos_light > 0.0)
-            cos_light = jnp.where(two_s, jnp.abs(cos_light), cos_light)
-            l_pdf = ((1.0 / jnp.maximum(area, 1e-20)) * dist_sq
-                     / jnp.maximum(cos_light, 1e-6)) / float(n_lights)
-            mat_idx = jnp.clip(rects.material[rect_idx], 0, mats.count - 1)
-            l_emission = mats.emission[mat_idx]
-            l_valid = ((dist_sq > 0.0) & (area > 0.0) & cos_ok
-                       & (cos_light > 0.0) & (l_pdf > 0.0)
-                       & jnp.isfinite(l_pdf)
-                       & jnp.any(l_emission != 0.0, -1))
-            l_pdf = jnp.where(l_valid, l_pdf, 0.0)
+            from metal_pathtracer_tpu.ops.integrator import (
+                _rect_light_sample_from_uniforms,
+            )
+            l_dir, l_dist, l_pdf, l_emission, l_valid = \
+                _rect_light_sample_from_uniforms(
+                    scene, p3, tget("u1"), tget("u2"), tget("u3"),
+                    static, uniforms)
 
             sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
             nf3 = jnp.stack([tget("nfx"), tget("nfy"), tget("nfz")], -1)

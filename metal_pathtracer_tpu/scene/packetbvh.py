@@ -382,7 +382,9 @@ def _native_nodes_sbvh(lib, v0, v1, v2, max_leaf):
         [v0.astype(np.float32), v1.astype(np.float32), v2.astype(np.float32)],
         axis=1))
     max_refs = int(n * 1.35) + 64
-    max_nodes = max(3 * n, 2)
+    # worst case 2*refs-1 nodes (unbalanced singleton splits on tiny
+    # meshes exceed 3n); the builder returns -3 if this is ever short
+    max_nodes = 2 * max_refs
     bounds_min = np.zeros((max_nodes, 3), np.float32)
     bounds_max = np.zeros((max_nodes, 3), np.float32)
     prim_offset = np.zeros(max_nodes, np.int32)
@@ -397,7 +399,8 @@ def _native_nodes_sbvh(lib, v0, v1, v2, max_leaf):
     ip = ctypes.POINTER(ctypes.c_int)
     lib.build_bvh_sbvh.argtypes = [
         ctypes.c_int, fp, fp, fp, ip, ip, ip, ip,
-        ctypes.c_int, ip, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, ip,
+        ctypes.c_int, ctypes.c_int, ctypes.c_float,
     ]
     n_nodes = lib.build_bvh_sbvh(
         ctypes.c_int(n),
@@ -409,6 +412,7 @@ def _native_nodes_sbvh(lib, v0, v1, v2, max_leaf):
         exit_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         prim_indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         ctypes.c_int(max_refs),
+        ctypes.c_int(max_nodes),
         n_refs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         ctypes.c_int(max_leaf),
         ctypes.c_int(meshbuild.SAH_BINS),

@@ -414,7 +414,11 @@ struct SbvhBuilder {
                     Aabb acc;
                     int cnt = 0;
                     for (int b = n_bins - 1; b >= 0; --b) {
-                        if (exit_[b] || entry[b]) acc.grow(bb[b]);
+                        // unconditional: a bin crossed only by MIDDLE
+                        // portions of straddlers has entry==exit==0 but
+                        // non-empty clipped bounds (growing an empty
+                        // Aabb is a no-op anyway)
+                        acc.grow(bb[b]);
                         cnt += exit_[b];
                         r_area[b] = cnt ? acc.area() : 0.0f;
                         r_cnt[b] = cnt;
@@ -423,7 +427,7 @@ struct SbvhBuilder {
                 Aabb acc;
                 int cnt = 0;
                 for (int b = 0; b < n_bins - 1; ++b) {
-                    if (entry[b] || exit_[b]) acc.grow(bb[b]);
+                    acc.grow(bb[b]);
                     cnt += entry[b];
                     if (cnt == 0 || r_cnt[b + 1] == 0) continue;
                     float cost =
@@ -577,6 +581,7 @@ extern "C" int build_bvh_sbvh(int n_tris,
                               int32_t* out_exit_index,
                               int32_t* out_prim_indices,  // (max_refs)
                               int max_refs,
+                              int max_nodes,
                               int32_t* out_n_refs,
                               int max_leaf,
                               int n_bins,
@@ -614,6 +619,9 @@ extern "C" int build_bvh_sbvh(int n_tris,
     if (builder.prim_order.size() > static_cast<size_t>(max_refs))
         return -2;  // caller retries with a bigger buffer (shouldn't happen:
                     // the budget gate bounds duplication below max_refs)
+    if (builder.nodes.size() > static_cast<size_t>(max_nodes))
+        return -3;  // node buffers too small (worst case 2*refs-1 nodes —
+                    // unbalanced singleton splits on tiny meshes)
     *out_n_refs = static_cast<int32_t>(builder.prim_order.size());
     return emit_flat(builder.nodes, builder.prim_order, out_bounds_min,
                      out_bounds_max, out_prim_offset, out_prim_count,

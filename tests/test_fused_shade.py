@@ -223,10 +223,14 @@ def test_fused_matches_xla_cornell_rect_nee():
 
 def test_fused_matches_xla_cornell_with_metal_sphere():
     """Cornell + a curved metal sphere: rect NEE over mixed prim
-    families; curved-bounce drift bounds apply (see _compare note)."""
+    families; curved-bounce drift bounds apply (see _compare note).
+    Spec-NEE must be off: with delta-capable types + rect lights the XLA
+    path adds delta-chain estimators the kernel lacks (gate enforces)."""
     from metal_pathtracer_tpu.scene import dsl
 
     settings = RenderSettings()
+    settings.enableSpecularNee = False
+    settings.enableMnee = False
     res = SceneResources()
     dsl.parse_scene(
         "camera target=0,1,0 distance=3.9 yaw=1.5708 pitch=0 vfov=40\n"
@@ -331,6 +335,13 @@ def test_fused_gate_rejects_unsupported():
         static3c = settings_to_static(s_env, 8, 8,
                                       res3.material_types_present())
         assert not shade.fused_supported(res3.build_arrays(), static3c)
+        # ...and rect lights + spec-NEE + delta-capable types fall back
+        # (the XLA path adds delta-chain estimators the kernel lacks)
+        res3.add_material(Material(mat_type=C.MATERIAL_DIELECTRIC))
+        static3d = settings_to_static(settings, 8, 8,
+                                      res3.material_types_present())
+        assert settings.enableSpecularNee  # the default
+        assert not shade.fused_supported(res3.build_arrays(), static3d)
         # environment background falls back (phase 2)
         from metal_pathtracer_tpu.settings import BackgroundMode
         settings.backgroundMode = BackgroundMode.ENVIRONMENT

@@ -244,6 +244,9 @@ def main():
             print(f"step {step}: loss {float(loss):.5f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
 
+    if best is None:
+        print("training produced no finite loss; weights NOT written")
+        sys.exit(1)
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "metal_pathtracer_tpu", "data")
     os.makedirs(out_dir, exist_ok=True)
