@@ -549,3 +549,33 @@ def test_fused_instanced_on_tpu():
         res.add_mesh_instance(src, m)
     res.add_mesh(_ground_mesh(m_g))
     _fused_vs_xla_on_tpu(settings, res)
+
+
+def test_sphere_chunked_matches_brute_on_tpu():
+    """Morton-chunked sphere culling vs the brute kernel, both COMPILED
+    (the CPU suite proves interpreter parity; this catches Mosaic
+    lowering drift in the chunked kernel's verdict DMA path)."""
+    import jax.numpy as jnp
+    from metal_pathtracer_tpu.ops.pallas import primitives as pk
+
+    rng = np.random.default_rng(7)
+    S = 120
+    centers = jnp.asarray(rng.uniform(-5, 5, (S, 3)).astype(np.float32))
+    radii = jnp.asarray(rng.uniform(0.1, 0.5, S).astype(np.float32))
+    N = 8192
+    o = rng.uniform(-6, 6, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    os.environ["MPT_SPHERE_BVH"] = "0"
+    t_ref, i_ref = pk.sphere_nearest(jnp.asarray(o), jnp.asarray(d),
+                                     1e-3, 1e20, centers, radii)
+    t_ref, i_ref = np.asarray(t_ref), np.asarray(i_ref)
+    os.environ["MPT_SPHERE_BVH"] = "1"
+    try:
+        t_got, i_got = pk.sphere_nearest(jnp.asarray(o), jnp.asarray(d),
+                                         1e-3, 1e20, centers, radii)
+    finally:
+        os.environ.pop("MPT_SPHERE_BVH", None)
+    np.testing.assert_array_equal(i_ref, np.asarray(i_got))
+    np.testing.assert_array_equal(t_ref, np.asarray(t_got))
