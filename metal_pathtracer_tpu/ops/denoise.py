@@ -239,10 +239,10 @@ def denoise_state(state, settings):
     normal = state.normal  # already world-space unit (pre-encode)
     if state.radiance_sq_sum is not None:
         params = _learned_params()
-        # the MLP was trained THROUGH exactly 4 iterations; a 5th pass
-        # (and the rescaled it/max feature) is out-of-distribution, so
-        # the RTLightmap-strength filter type stays on hand-tuned SVGF
-        if params is not None and iterations == 4:
+        # the vendored MLP is trained end-to-end through BOTH iteration
+        # counts denoise_state can run (4 = RT, 5 = RTLightmap); other
+        # depths would be out-of-distribution -> hand-tuned SVGF
+        if params is not None and iterations in (4, 5):
             return learned_denoise(avg, state.albedo, normal,
                                    state.variance_of_mean(), params,
                                    iterations=iterations)

@@ -212,7 +212,8 @@ class Layout:
     """Plane indices of the packed f32 carry. i32-valued quantities
     (ids, depths) ride as exact small floats (< 2^24)."""
 
-    def __init__(self, has_medium: bool, env_mode: bool = False):
+    def __init__(self, has_medium: bool, env_mode: bool = False,
+                 chains: bool = False):
         names = ["ox", "oy", "oz", "dx", "dy", "dz",
                  "tpr", "tpg", "tpb", "rr", "rg", "rb",
                  "alive", "last_pdf", "last_delta",
@@ -221,6 +222,7 @@ class Layout:
                  "cone_w", "cone_s"]
         self.has_medium = has_medium
         self.env_mode = env_mode
+        self.chains = chains
         self.med_slots = C.MAX_MEDIUM_STACK if has_medium else 0
         if has_medium:
             names.append("med_depth")
@@ -228,6 +230,10 @@ class Layout:
                 names += [f"med{s}r", f"med{s}g", f"med{s}b"]
         if env_mode:
             names += ["env_lod", "env_lod_act"]
+        if chains:
+            # integrator PathCarry.specular_depth (MNEE eligibility
+            # tests next_specular_depth == 1)
+            names.append("specular_depth")
         self.names = names
         self.index = {n: i for i, n in enumerate(names)}
         self.P = len(names)
@@ -1089,6 +1095,11 @@ TRANS_IDX = {n: i for i, n in enumerate(TRANS)}
 ESMP = ["edx", "edy", "edz", "err", "erg", "erb", "epdf", "evalid", "occl"]
 ESMP_IDX = {n: i for i, n in enumerate(ESMP)}
 
+#: spec-NEE/MNEE chain exports, S2 -> XLA (specnee.delta_chain_estimators;
+#: direction/is_delta/specular_depth/next_origin ride the committed carry)
+CHAIN = ["wr", "wg", "wb", "dpdf", "medev", "active"]
+CHAIN_IDX = {n: i for i, n in enumerate(CHAIN)}
+
 #: XLA texture-stage override planes (apply_pbr_textures outputs)
 TEX = ["tbr", "tbg", "tbb", "trough", "tmetal",
        "temr", "temg", "temb", "tocc", "tpass"]
@@ -1106,7 +1117,7 @@ def _environment_lighting_roughness(m: Mat, types):
 
 
 def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
-                  has_prims=False, rect_nee=False):
+                  has_prims=False, rect_nee=False, chains=False):
     """One stage of the fused shade (see module docstring for the split).
 
     has_prims: scene contains analytic spheres/rects — non-triangle hit
@@ -1142,6 +1153,8 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
     out_ref = next(it)
     ostate_ref = next(it)
     trans_out_ref = next(it) if stage == "s1" else None
+    chain_ref = next(it) if (chains and stage == "s2") else None
+    chain_state_ref = next(it) if (chains and stage == "s2") else None
 
     def ld(name):
         return carry_ref[L[name], 0]
@@ -1493,6 +1506,21 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
 
     active = active & (smp.pdf > 0.0)
 
+    if chains and stage == "s2":
+        # spec-NEE/MNEE delta-chain exports: the XLA host runs
+        # specnee.delta_chain_estimators after this stage (the chains are
+        # pure XLA incl. their traces, and consume the RNG fork-point
+        # state READ-ONLY). Captured HERE = the integrator's exact chain
+        # call point: post-sampling commit, post-pdf-gate, pre-RR.
+        chain_ref[CHAIN_IDX["wr"], 0] = smp.weight.x
+        chain_ref[CHAIN_IDX["wg"], 0] = smp.weight.y
+        chain_ref[CHAIN_IDX["wb"], 0] = smp.weight.z
+        chain_ref[CHAIN_IDX["dpdf"], 0] = smp.directional_pdf
+        chain_ref[CHAIN_IDX["medev"], 0] = smp.medium_event
+        chain_ref[CHAIN_IDX["active"], 0] = jnp.where(
+            active & jnp.logical_not(passthrough), 1.0, 0.0)
+        chain_state_ref[0] = state
+
     # ---- medium stack push/pop -----------------------------------------
     if L.has_medium:
         med_depth = ld("med_depth")
@@ -1585,6 +1613,9 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
     st("last_pdf", sel(last_pdf, ld("last_pdf")))
     st("last_delta", sel(jnp.where(smp.is_delta, 1.0, 0.0),
                          ld("last_delta")))
+    if L.chains:
+        spec_d = jnp.where(smp.is_delta, ld("specular_depth") + 1.0, 0.0)
+        st("specular_depth", sel(spec_d, ld("specular_depth")))
     st("prev_valid", sel(jnp.where(hit, 1.0, 0.0), ld("prev_valid")))
     # self-hit exclusion ids apply to TRIANGLES only (integrator commit:
     # where(prim_type == TRIANGLE, ...) — spheres/rects rely on EPSILON_T)
@@ -1644,15 +1675,6 @@ def fused_supported(scene, static) -> bool:
             # rect NEE + env NEE together would need a second shadow
             # split; rect lights are covered for sky/solid backgrounds
             return False
-        if (static.enable_specular_nee or static.enable_mnee) and \
-                (set(static.material_types)
-                 & {C.MATERIAL_DIELECTRIC, C.MATERIAL_METAL,
-                    C.MATERIAL_PBR}):
-            # the XLA path adds spec-NEE/MNEE delta-chain estimators
-            # toward rect lights (integrator.py:593-602) which the fused
-            # kernel lacks; the chains only fire on delta lanes, so
-            # delta-incapable type sets (lambert/light) stay fused
-            return False
     if static.debug_specular_only:
         return False
     types = set(static.material_types)
@@ -1663,9 +1685,6 @@ def fused_supported(scene, static) -> bool:
     env_mode = static.background_mode == 2
     if env_mode:
         if scene.environment is None:
-            return False
-        # spec-NEE/MNEE chains would fire with an env map: XLA path
-        if static.enable_specular_nee or static.enable_mnee:
             return False
         # env-modulated light emission needs env gathers per light hit
         if C.MATERIAL_DIFFUSE_LIGHT in types:
@@ -1695,13 +1714,14 @@ def _pack_scalars(uniforms, depth, env=None):
 def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
                 mat_table, scal, carry, state, t, tri, u, v, rows,
                 envbg=None, envpdf=None, trans=None, esmp=None, tex=None,
-                has_prims=False, rect_nee=False):
+                has_prims=False, rect_nee=False, chains=False):
     env_mode = static.background_mode == 2
     has_tex = tex is not None
     kern = functools.partial(_shade_kernel, stage=stage, layout=layout,
                              static=static, m_count=m_count,
                              env_mode=env_mode, has_tex=has_tex,
-                             has_prims=has_prims, rect_nee=rect_nee)
+                             has_prims=has_prims, rect_nee=rect_nee,
+                             chains=chains)
     grid = (n_blocks,)
 
     def plane_spec(p):
@@ -1738,6 +1758,13 @@ def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
         out_specs.append(plane_spec(len(TRANS)))
         out_shape.append(jax.ShapeDtypeStruct(
             (len(TRANS), n_blocks, ROWS, LANES), jnp.float32))
+    if chains and stage == "s2":
+        out_specs += [plane_spec(len(CHAIN)), lane_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((len(CHAIN), n_blocks, ROWS, LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct(state.shape, jnp.uint32),
+        ]
 
     outs = pl.pallas_call(
         kern,
@@ -1916,6 +1943,61 @@ def _occluded_merged(scene, o3, d3, t_min, shadow_max):
     return occ
 
 
+def _front_face_xla(scene, rows, d3):
+    """The kernel's front-face decision, recomputed XLA-side for the
+    chain estimators (sign of dot(d, geo) is normalize-invariant, so the
+    normalization steps drop out)."""
+    geo = jnp.cross(rows[:, 3:6] - rows[:, 0:3], rows[:, 6:9] - rows[:, 0:3])
+    front_tri = jnp.sum(d3 * geo, -1) < 0.0
+    if not _scene_has_prims(scene):
+        return front_tri
+    plain_tri = (rows[:, 21] > 0.5) & (rows[:, 21] < 1.5)
+    front_nt = jnp.sum(d3 * rows[:, 9:12], -1) < 0.0
+    return jnp.where(plain_tri, front_tri, front_nt)
+
+
+def _apply_delta_chains(scene, uniforms, static, layout, carry_s1, carry,
+                        trans, chainp, chain_state, rows, d3, shp, unshp):
+    """Run specnee.delta_chain_estimators over the S2 exports and add the
+    result into the committed radiance planes (the chains are pure XLA —
+    including their traces — and consume the fork-point RNG state
+    read-only, exactly like the integrator's call)."""
+    from types import SimpleNamespace
+
+    from metal_pathtracer_tpu.ops import bsdf as bsdf_ops
+    from metal_pathtracer_tpu.ops import specnee
+
+    cpost = lambda nm: unshp(carry[layout[nm]])
+    cpre = lambda nm: unshp(carry_s1[layout[nm]])
+    chget = lambda nm: unshp(chainp[CHAIN_IDX[nm]])
+    tget = lambda nm: unshp(trans[TRANS_IDX[nm]])
+
+    smp_shim = SimpleNamespace(
+        direction=jnp.stack([cpost("dx"), cpost("dy"), cpost("dz")], -1),
+        is_delta=cpost("last_delta") > 0.5,
+        weight=jnp.stack([chget("wr"), chget("wg"), chget("wb")], -1),
+        directional_pdf=chget("dpdf"),
+        medium_event=chget("medev"),
+    )
+    next_origin = jnp.stack([cpost("ox"), cpost("oy"), cpost("oz")], -1)
+    sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
+    throughput_pre = jnp.stack([cpre("tpr"), cpre("tpg"), cpre("tpb")], -1)
+    rec_shim = SimpleNamespace(front_face=_front_face_xla(scene, rows, d3))
+    mat_lane = jnp.clip(rows[:, 18].astype(jnp.int32), 0,
+                        scene.materials.count - 1)
+    is_dielectric = (scene.materials.mat_type[mat_lane]
+                     == C.MATERIAL_DIELECTRIC)
+    clamp_p = bsdf_ops.make_clamp_params(uniforms)
+    chain_add = specnee.delta_chain_estimators(
+        scene, uniforms, static, clamp_p, throughput_pre, smp_shim,
+        next_origin, rec_shim, sn3,
+        cpost("specular_depth").astype(jnp.int32),
+        unshp(chain_state), chget("active") > 0.5, is_dielectric)
+    for i, nm in enumerate(("rr", "rg", "rb")):
+        carry = carry.at[layout[nm]].add(shp(chain_add[:, i]))
+    return carry
+
+
 def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
     """Drop-in for integrator.trace_paths on fused-supported configs.
 
@@ -1929,10 +2011,14 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
     env_mode = static.background_mode == 2
     rect_nee = (not env_mode and scene.light_rect_indices is not None
                 and scene.light_rect_indices.shape[0] > 0)
+    # spec-NEE/MNEE delta chains: run XLA-side off the S2 exports exactly
+    # when the integrator would run them (lights + flags)
+    chains_on = ((static.enable_specular_nee or static.enable_mnee)
+                 and (env_mode or rect_nee))
     has_medium = bool(types & {C.MATERIAL_DIELECTRIC, C.MATERIAL_PBR,
                                C.MATERIAL_SUBSURFACE})
     has_tex = (scene.textures is not None and C.MATERIAL_PBR in types)
-    layout = Layout(has_medium, env_mode)
+    layout = Layout(has_medium, env_mode, chains_on)
     m_count = int(scene.materials.count)
     mat_table = pack_material_table(scene.materials)
     env = scene.environment
@@ -2108,10 +2194,18 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 shp(l_emission[:, 2]),
                 shp(l_pdf), shp(l_valid.astype(jnp.float32)),
                 shp(occluded.astype(jnp.float32))])
-            carry, state_p = _shade_call(
+            carry_s1 = carry
+            outs = _shade_call(
                 "s2", layout, static, m_count, n_blocks,
                 carry=carry, state=state_p, trans=trans, esmp=esmp,
-                tex=tex_planes, rect_nee=True, **args)
+                tex=tex_planes, rect_nee=True, chains=chains_on, **args)
+            if chains_on:
+                carry, state_p, chainp, chain_state = outs
+                carry = _apply_delta_chains(
+                    scene, uniforms, static, layout, carry_s1, carry,
+                    trans, chainp, chain_state, rows, d3, shp, unshp)
+            else:
+                carry, state_p = outs
             return depth + 1, carry, state_p, n_rays, n_shadow
 
         if not env_mode:
@@ -2179,10 +2273,18 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
             shp(e_rad[:, 0]), shp(e_rad[:, 1]), shp(e_rad[:, 2]),
             shp(e_pdf), shp(e_valid.astype(jnp.float32)),
             shp(occluded.astype(jnp.float32))])
-        carry, state_p = _shade_call(
+        carry_s1 = carry
+        outs = _shade_call(
             "s2", layout, static, m_count, n_blocks,
             carry=carry, state=state_p, trans=trans, esmp=esmp,
-            tex=tex_planes, **args)
+            tex=tex_planes, chains=chains_on, **args)
+        if chains_on:
+            carry, state_p, chainp, chain_state = outs
+            carry = _apply_delta_chains(
+                scene, uniforms, static, layout, carry_s1, carry,
+                trans, chainp, chain_state, rows, d3, shp, unshp)
+        else:
+            carry, state_p = outs
         return depth + 1, carry, state_p, n_rays, n_shadow
 
     depth0 = jnp.int32(0)

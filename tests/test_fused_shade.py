@@ -286,6 +286,69 @@ def test_fused_matches_xla_instanced():
     _compare(settings, res, min_exact=0.9)
 
 
+def test_fused_matches_xla_env_specnee_glass():
+    """Spec-NEE delta chains with an env map and a glass mesh — the
+    reference DEFAULT configuration (enableSpecularNee=True). The fused
+    S2 exports feed specnee.delta_chain_estimators XLA-side; parity vs
+    the monolithic XLA body."""
+    import jax
+
+    settings, res, environment = _bench_like_scene(False)
+    settings.enableSpecularNee = True
+    settings.enableMnee = False
+    m_glass = res.add_material(Material(mat_type=C.MATERIAL_DIELECTRIC,
+                                        ior=1.5))
+    res.add_mesh(_sphere_mesh(2, (0.0, 1.8, 0.0), 0.7, m_glass, "orb"))
+    scene = res.build_arrays(environment=environment)
+    w, h = 40, 24
+    static = settings_to_static(settings, w, h,
+                                res.material_types_present())
+    img_ref, rays_ref = _render(scene, settings, res, w, h)
+    jax.clear_caches()
+    os.environ["MPT_FUSED_INTERPRET"] = "1"
+    try:
+        from metal_pathtracer_tpu.ops.pallas import shade
+        assert shade.fused_supported(scene, static)
+        img_fused, rays_fused = _render(scene, settings, res, w, h)
+    finally:
+        del os.environ["MPT_FUSED_INTERPRET"]
+        jax.clear_caches()
+    assert abs(rays_fused - rays_ref) <= max(4.0, 1e-4 * rays_ref)
+    d = np.abs(img_fused - img_ref)
+    rmse = float(np.sqrt((d * d).mean()))
+    assert rmse < 5e-3, (rmse, float(d.max()))
+    assert float((d.max(-1) < 1e-4).mean()) > 0.8
+
+
+def test_fused_matches_xla_cornell_specnee_mnee_glass():
+    """Rect-light delta chains INCLUDING the MNEE secondary chain:
+    cornell + a glass sphere with enableSpecularNee + enableMnee on
+    (the reference defaults + MNEE)."""
+    from metal_pathtracer_tpu.scene import dsl
+
+    settings = RenderSettings()
+    settings.enableSpecularNee = True
+    settings.enableMnee = True
+    res = SceneResources()
+    dsl.parse_scene(
+        "camera target=0,1,0 distance=3.9 yaw=1.5708 pitch=0 vfov=40\n"
+        "renderer maxDepth=5 seed=7\n"
+        "material type=lambert albedo=0.73,0.73,0.73\n"
+        "material type=lambert albedo=0.65,0.05,0.05\n"
+        "material type=lambert albedo=0.12,0.45,0.15\n"
+        "material type=light emit=15,15,15\n"
+        "material type=dielectric ior=1.5\n"
+        "rectangle x=-1,1 y=0 z=-1,1 normal=1 material=0\n"
+        "rectangle x=-1,1 y=2 z=-1,1 normal=-1 material=0\n"
+        "rectangle x=-1 y=0,2 z=-1,1 normal=1 material=2\n"
+        "rectangle x=1 y=0,2 z=-1,1 normal=-1 material=1\n"
+        "rectangle x=-1,1 y=0,2 z=-1 normal=1 material=0\n"
+        "rectangle x=-0.4,0.4 y=1.99 z=-0.4,0.4 normal=-1 material=3\n"
+        "sphere center=0.35,0.5,0.3 radius=0.4 material=4\n",
+        settings, res)
+    _compare(settings, res, min_exact=0.75, max_rmse=1e-3)
+
+
 def test_fused_gate_rejects_unsupported():
     """Configs outside the kernel's coverage must take the XLA path."""
     from metal_pathtracer_tpu.ops.pallas import shade
@@ -335,13 +398,21 @@ def test_fused_gate_rejects_unsupported():
         static3c = settings_to_static(s_env, 8, 8,
                                       res3.material_types_present())
         assert not shade.fused_supported(res3.build_arrays(), static3c)
-        # ...and rect lights + spec-NEE + delta-capable types fall back
-        # (the XLA path adds delta-chain estimators the kernel lacks)
+        # ...and rect lights + spec-NEE + delta types are now covered via
+        # the XLA-side chain estimators over the S2 exports
         res3.add_material(Material(mat_type=C.MATERIAL_DIELECTRIC))
         static3d = settings_to_static(settings, 8, 8,
                                       res3.material_types_present())
         assert settings.enableSpecularNee  # the default
-        assert not shade.fused_supported(res3.build_arrays(), static3d)
+        assert shade.fused_supported(res3.build_arrays(), static3d)
+        # SSS stays on the XLA path (random-walk traces inside sampling)
+        res4 = SceneResources()
+        res4.add_material(Material(base_color=(0.5, 0.5, 0.5)))
+        res4.add_material(Material(mat_type=C.MATERIAL_SUBSURFACE))
+        res4.add_mesh(dragon_class_scene_mesh(1, material=1))
+        static4 = settings_to_static(settings, 8, 8,
+                                     res4.material_types_present())
+        assert not shade.fused_supported(res4.build_arrays(), static4)
         # environment background falls back (phase 2)
         from metal_pathtracer_tpu.settings import BackgroundMode
         settings.backgroundMode = BackgroundMode.ENVIRONMENT

@@ -209,12 +209,17 @@ def main():
     n_scenes = data_j["ref"].shape[0]
 
     # one vmapped filter over the scene axis -> ONE compile for the whole
-    # step (per-scene python-loop graphs compiled for minutes on CPU)
+    # step (per-scene python-loop graphs compiled for minutes on CPU).
+    # Trains through BOTH iteration counts denoise_state can run (4 = RT,
+    # 5 = RTLightmap) so the weights are in-distribution for either.
     def one_scene_sq_err(params, noisy, albedo, normal, variance, ref):
-        out = denoise.learned_denoise(noisy, albedo, normal, variance,
-                                      params, iterations=ITERS)
         scale = jnp.mean(ref ** 2) + 1e-3  # relative MSE: dim scenes count
-        return jnp.mean((out - ref) ** 2) / scale
+        err = 0.0
+        for iters in (ITERS, ITERS + 1):
+            out = denoise.learned_denoise(noisy, albedo, normal, variance,
+                                          params, iterations=iters)
+            err = err + jnp.mean((out - ref) ** 2) / scale
+        return err / 2.0
 
     def loss_fn(params):
         errs = jax.vmap(one_scene_sq_err,
