@@ -124,10 +124,10 @@ def build_bench_scene(subdivisions: int = 8):
     settings.fixedRngSeed = 1234
     from metal_pathtracer_tpu.settings import BackgroundMode
     settings.backgroundMode = BackgroundMode.ENVIRONMENT
-    # Specular-NEE delta chains run extra traces per bounce and are not
-    # yet covered by the fused shade path; the headline measures the env
-    # alias-NEE pipeline (the chains remain available on the XLA path).
-    settings.enableSpecularNee = False
+    # Reference DEFAULTS: spec-NEE on, MNEE off (RenderSettings.h). The
+    # fused path covers the delta chains (XLA estimators over the S2
+    # exports), so the headline no longer trims the transport.
+    settings.enableSpecularNee = True
     settings.enableMnee = False
 
     res = SceneResources()
