@@ -164,8 +164,8 @@ def learned_denoise(color, albedo, normal, variance, params,
     weight is w_k * exp(-softplus(mlp(features))): a ~300-parameter MLP on
     (variance-normalized luminance delta, normal/albedo deltas, local
     noise level, iteration, tap radius), trained end-to-end THROUGH the
-    4-iteration filter against high-spp references
-    (tools/train_denoiser.py). softplus >= 0 keeps every weight <= the
+    filter — through both iteration counts denoise_state runs (4 and 5)
+    — against high-spp references (tools/train_denoiser.py). softplus >= 0 keeps every weight <= the
     B3-spline tap weight, so the filter can only sharpen relative to a
     plain blur — the same falloff structure the hand-tuned filters use.
     """

@@ -1097,7 +1097,7 @@ ESMP_IDX = {n: i for i, n in enumerate(ESMP)}
 
 #: spec-NEE/MNEE chain exports, S2 -> XLA (specnee.delta_chain_estimators;
 #: direction/is_delta/specular_depth/next_origin ride the committed carry)
-CHAIN = ["wr", "wg", "wb", "dpdf", "medev", "active"]
+CHAIN = ["wr", "wg", "wb", "dpdf", "medev", "active", "front"]
 CHAIN_IDX = {n: i for i, n in enumerate(CHAIN)}
 
 #: XLA texture-stage override planes (apply_pbr_textures outputs)
@@ -1519,6 +1519,10 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
         chain_ref[CHAIN_IDX["medev"], 0] = smp.medium_event
         chain_ref[CHAIN_IDX["active"], 0] = jnp.where(
             active & jnp.logical_not(passthrough), 1.0, 0.0)
+        # the front-face bit the kernel actually sampled with — exported
+        # rather than recomputed host-side (a raw-cross recompute could
+        # flip sign vs the normalized kernel dot on near-tangent lanes)
+        chain_ref[CHAIN_IDX["front"], 0] = jnp.where(front, 1.0, 0.0)
         chain_state_ref[0] = state
 
     # ---- medium stack push/pop -----------------------------------------
@@ -1943,21 +1947,8 @@ def _occluded_merged(scene, o3, d3, t_min, shadow_max):
     return occ
 
 
-def _front_face_xla(scene, rows, d3):
-    """The kernel's front-face decision, recomputed XLA-side for the
-    chain estimators (sign of dot(d, geo) is normalize-invariant, so the
-    normalization steps drop out)."""
-    geo = jnp.cross(rows[:, 3:6] - rows[:, 0:3], rows[:, 6:9] - rows[:, 0:3])
-    front_tri = jnp.sum(d3 * geo, -1) < 0.0
-    if not _scene_has_prims(scene):
-        return front_tri
-    plain_tri = (rows[:, 21] > 0.5) & (rows[:, 21] < 1.5)
-    front_nt = jnp.sum(d3 * rows[:, 9:12], -1) < 0.0
-    return jnp.where(plain_tri, front_tri, front_nt)
-
-
 def _apply_delta_chains(scene, uniforms, static, layout, carry_s1, carry,
-                        trans, chainp, chain_state, rows, d3, shp, unshp):
+                        trans, chainp, chain_state, rows, shp, unshp):
     """Run specnee.delta_chain_estimators over the S2 exports and add the
     result into the committed radiance planes (the chains are pure XLA —
     including their traces — and consume the fork-point RNG state
@@ -1982,7 +1973,7 @@ def _apply_delta_chains(scene, uniforms, static, layout, carry_s1, carry,
     next_origin = jnp.stack([cpost("ox"), cpost("oy"), cpost("oz")], -1)
     sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
     throughput_pre = jnp.stack([cpre("tpr"), cpre("tpg"), cpre("tpb")], -1)
-    rec_shim = SimpleNamespace(front_face=_front_face_xla(scene, rows, d3))
+    rec_shim = SimpleNamespace(front_face=chget("front") > 0.5)
     mat_lane = jnp.clip(rows[:, 18].astype(jnp.int32), 0,
                         scene.materials.count - 1)
     is_dielectric = (scene.materials.mat_type[mat_lane]
@@ -2011,10 +2002,16 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
     env_mode = static.background_mode == 2
     rect_nee = (not env_mode and scene.light_rect_indices is not None
                 and scene.light_rect_indices.shape[0] > 0)
-    # spec-NEE/MNEE delta chains: run XLA-side off the S2 exports exactly
-    # when the integrator would run them (lights + flags)
+    # spec-NEE/MNEE delta chains: run XLA-side off the S2 exports when the
+    # integrator would run them (lights + flags) AND a material type that
+    # can set smp.is_delta exists — without one, chain_add is identically
+    # zero (bsdf.material_is_delta needs dielectric/metal/PBR and alpha
+    # passthrough needs PBR), so lambert/light scenes skip the chain
+    # traces the XLA body would still pay for
     chains_on = ((static.enable_specular_nee or static.enable_mnee)
-                 and (env_mode or rect_nee))
+                 and (env_mode or rect_nee)
+                 and bool(types & {C.MATERIAL_DIELECTRIC, C.MATERIAL_METAL,
+                                   C.MATERIAL_PBR}))
     has_medium = bool(types & {C.MATERIAL_DIELECTRIC, C.MATERIAL_PBR,
                                C.MATERIAL_SUBSURFACE})
     has_tex = (scene.textures is not None and C.MATERIAL_PBR in types)
@@ -2203,7 +2200,7 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 carry, state_p, chainp, chain_state = outs
                 carry = _apply_delta_chains(
                     scene, uniforms, static, layout, carry_s1, carry,
-                    trans, chainp, chain_state, rows, d3, shp, unshp)
+                    trans, chainp, chain_state, rows, shp, unshp)
             else:
                 carry, state_p = outs
             return depth + 1, carry, state_p, n_rays, n_shadow
@@ -2282,7 +2279,7 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
             carry, state_p, chainp, chain_state = outs
             carry = _apply_delta_chains(
                 scene, uniforms, static, layout, carry_s1, carry,
-                trans, chainp, chain_state, rows, d3, shp, unshp)
+                trans, chainp, chain_state, rows, shp, unshp)
         else:
             carry, state_p = outs
         return depth + 1, carry, state_p, n_rays, n_shadow

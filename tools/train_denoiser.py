@@ -7,7 +7,8 @@ cornell scene — that one is held out by tests/test_denoise_quality.py) at
 ~300-parameter MLP end-to-end through the 4-iteration à-trous filter with
 Adam on relative-MSE. Writes metal_pathtracer_tpu/data/denoiser_weights.npz.
 
-Runs on CPU in a few minutes: `python tools/train_denoiser.py`.
+Trains through BOTH iteration counts denoise_state can run (4 and 5).
+Runs on CPU in ~40 minutes: `python tools/train_denoiser.py`.
 Deterministic (fixed seeds) so the vendored weights are reproducible.
 """
 
@@ -181,9 +182,27 @@ def init_params(key, n_feat=6, hidden=16):
     }
 
 
+def _cache_path():
+    """Cache keyed by the scene specs + render config, so edits to the
+    DSL scenes, the env-scene builders (incl. their transport defaults
+    via benchscene), or W/H/spp invalidate stale renders."""
+    import hashlib
+    import inspect
+
+    from metal_pathtracer_tpu.utils import benchscene
+
+    key = hashlib.sha1()
+    for spec in SCENES:
+        key.update((spec if isinstance(spec, str)
+                    else inspect.getsource(spec)).encode())
+    key.update(inspect.getsource(benchscene.build_bench_scene).encode())
+    key.update(f"{W}x{H}:{SPP_IN}:{SPP_REF}".encode())
+    return f"/tmp/denoiser_train_data_{key.hexdigest()[:12]}.npz"
+
+
 def main():
     t0 = time.time()
-    cache = "/tmp/denoiser_train_data.npz"
+    cache = _cache_path()
     if os.path.exists(cache):
         with np.load(cache) as z:
             stacked = {k: z[k] for k in z.files}
