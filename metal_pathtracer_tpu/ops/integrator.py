@@ -607,12 +607,15 @@ def trace_paths(scene: SceneArrays, uniforms: Uniforms, static: StaticConfig,
                 (env_sampling or n_rect_lights > 0):
             from metal_pathtracer_tpu.ops import specnee
             is_dielectric_lane = m.mat_type == C.MATERIAL_DIELECTRIC
-            chain_add = specnee.delta_chain_estimators(
-                scene, uniforms, static, clamp_p, throughput, smp,
-                next_origin, rec, shading_normal, next_specular_depth,
-                state, active & jnp.logical_not(passthrough),
-                is_dielectric_lane)
+            chain_add, chain_scene, chain_shadow = \
+                specnee.delta_chain_estimators(
+                    scene, uniforms, static, clamp_p, throughput, smp,
+                    next_origin, rec, shading_normal, next_specular_depth,
+                    state, active & jnp.logical_not(passthrough),
+                    is_dielectric_lane)
             radiance = radiance + chain_add
+            n_rays = n_rays + chain_scene
+            n_shadow_rays = n_shadow_rays + chain_shadow
 
         # ---- throughput update (reference: pathtrace.metal:7237-7248) --
         throughput_next = throughput * smp.weight

@@ -1979,14 +1979,14 @@ def _apply_delta_chains(scene, uniforms, static, layout, carry_s1, carry,
     is_dielectric = (scene.materials.mat_type[mat_lane]
                      == C.MATERIAL_DIELECTRIC)
     clamp_p = bsdf_ops.make_clamp_params(uniforms)
-    chain_add = specnee.delta_chain_estimators(
+    chain_add, chain_scene, chain_shadow = specnee.delta_chain_estimators(
         scene, uniforms, static, clamp_p, throughput_pre, smp_shim,
         next_origin, rec_shim, sn3,
         cpost("specular_depth").astype(jnp.int32),
         unshp(chain_state), chget("active") > 0.5, is_dielectric)
     for i, nm in enumerate(("rr", "rg", "rb")):
         carry = carry.at[layout[nm]].add(shp(chain_add[:, i]))
-    return carry
+    return carry, chain_scene, chain_shadow
 
 
 def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
@@ -2198,9 +2198,11 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 tex=tex_planes, rect_nee=True, chains=chains_on, **args)
             if chains_on:
                 carry, state_p, chainp, chain_state = outs
-                carry = _apply_delta_chains(
+                carry, chain_scene, chain_shadow = _apply_delta_chains(
                     scene, uniforms, static, layout, carry_s1, carry,
                     trans, chainp, chain_state, rows, shp, unshp)
+                n_rays = n_rays + chain_scene
+                n_shadow = n_shadow + chain_shadow
             else:
                 carry, state_p = outs
             return depth + 1, carry, state_p, n_rays, n_shadow
@@ -2277,9 +2279,11 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
             tex=tex_planes, chains=chains_on, **args)
         if chains_on:
             carry, state_p, chainp, chain_state = outs
-            carry = _apply_delta_chains(
+            carry, chain_scene, chain_shadow = _apply_delta_chains(
                 scene, uniforms, static, layout, carry_s1, carry,
                 trans, chainp, chain_state, rows, shp, unshp)
+            n_rays = n_rays + chain_scene
+            n_shadow = n_shadow + chain_shadow
         else:
             carry, state_p = outs
         return depth + 1, carry, state_p, n_rays, n_shadow

@@ -65,19 +65,25 @@ def delta_chain_estimators(scene, uniforms, static, clamp_p, throughput,
                            next_specular_depth, state, active, is_dielectric):
     """All spec-NEE / MNEE contributions for this bounce.
 
-    Returns (radiance_delta (N,3)). `state` is consumed read-only — the
-    reference forks a copy for the secondary chain (pathtrace.metal:7113).
+    Returns (radiance_delta (N,3), n_scene_traces (), n_shadow_traces ())
+    — the counts feed the Mrays/s perf counters (chain traces are real
+    scene traces; leaving them out understates throughput whenever
+    spec-NEE is on, the reference default). `state` is consumed
+    read-only — the reference forks a copy for the secondary chain
+    (pathtrace.metal:7113).
     """
     shape = active.shape
     radiance = jnp.zeros(shape + (3,), jnp.float32)
+    n_scene = jnp.float32(0.0)
+    n_shadow = jnp.float32(0.0)
 
     env_sampling = (static.background_mode == 2 and scene.environment is not None)
     n_rect_lights = (scene.light_rect_indices.shape[0]
                      if scene.light_rect_indices is not None else 0)
     if not (static.enable_specular_nee or static.enable_mnee):
-        return radiance
+        return radiance, n_scene, n_shadow
     if not env_sampling and n_rect_lights == 0:
-        return radiance
+        return radiance, n_scene, n_shadow
 
     dir_len_sq = dot(smp.direction, smp.direction)
     dir_valid = (dir_len_sq > 0.0) & jnp.all(jnp.isfinite(smp.direction), -1)
@@ -138,9 +144,11 @@ def delta_chain_estimators(scene, uniforms, static, clamp_p, throughput,
     if env_sampling:
         radiance = radiance + env_estimator(primary_lanes, next_origin,
                                             nee_dir, smp.weight, bsdf_pdf)
+        n_shadow = n_shadow + jnp.sum(primary_lanes.astype(jnp.float32))
     if n_rect_lights > 0:
         radiance = radiance + rect_estimator(primary_lanes, next_origin,
                                              nee_dir, smp.weight, bsdf_pdf)
+        n_scene = n_scene + jnp.sum(primary_lanes.astype(jnp.float32))
 
     # ---- secondary chain (reference: pathtrace.metal:7060-7232) --------
     if static.enable_mnee and static.enable_mnee_secondary:
@@ -148,6 +156,7 @@ def delta_chain_estimators(scene, uniforms, static, clamp_p, throughput,
         chain_tmax = jnp.where(chain_lanes, C.INFINITY_T, 0.0)
         chain_rec = intersect.trace_scene(next_origin, nee_dir, scene,
                                           C.EPSILON_T, chain_tmax)
+        n_scene = n_scene + jnp.sum(chain_lanes.astype(jnp.float32))
         # skip chain hits that are themselves lights
         if n_rect_lights > 0:
             _, _, hit_is_light = _rect_hit_light(scene, uniforms, static,
@@ -190,9 +199,11 @@ def delta_chain_estimators(scene, uniforms, static, clamp_p, throughput,
             radiance = radiance + env_estimator(chain_ok, chain_origin,
                                                 chain_dir, combined_weight,
                                                 combined_pdf)
+            n_shadow = n_shadow + jnp.sum(chain_ok.astype(jnp.float32))
         if n_rect_lights > 0:
             radiance = radiance + rect_estimator(chain_ok, chain_origin,
                                                  chain_dir, combined_weight,
                                                  combined_pdf)
+            n_scene = n_scene + jnp.sum(chain_ok.astype(jnp.float32))
 
-    return radiance
+    return radiance, n_scene, n_shadow

@@ -15,7 +15,13 @@ def _tpu_only_invocation() -> bool:
     `python -m pytest tests/tpu/ -q` on a TPU host must run on the real
     device; a mixed or whole-tree run pins CPU and the tpu tests skip.
     """
-    paths = [a for a in sys.argv[1:] if not a.startswith("-")]
+    # Only args that name real paths count: bare option values like the
+    # `no:cacheprovider` in `-p no:cacheprovider` don't start with `-`
+    # but aren't test paths (this mis-pinned CPU and skipped the whole
+    # tpu suite under the round-3 validation queue).
+    paths = [a for a in sys.argv[1:]
+             if not a.startswith("-")
+             and os.path.exists(a.split("::")[0])]
     return bool(paths) and all(
         "tpu" in p.replace("\\", "/").split("/") or "tests/tpu" in p
         for p in paths)
