@@ -59,13 +59,14 @@ LEAF_QUEUE = 128           # leaf chunks queued per wave (8-wide worst case)
 
 def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             wide: bool, _DEBUG_SKIP: str, group: int, wwave: int,
+            bitv: bool,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
             out_t, out_tri, out_u, out_v, out_stats,
             stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
             bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
-            presence_smem, counters):
+            presence_smem, counters, bits_vmem, bits_smem):
     if _DEBUG_SKIP == "all":
         out_t[:] = tmax[:]
         out_tri[:] = jnp.full((group * SUBLANES, LANES), -1, jnp.int32)
@@ -92,24 +93,24 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
     for g in range(group):
         sl = slice(g * SUBLANES, (g + 1) * SUBLANES)
         _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                     wwave,
+                     wwave, bitv,
                      nb, nm,
                      ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl],
                      tmax[sl], excl[sl], chunks,
                      out_t, out_tri, out_u, out_v, out_stats, sl,
                      stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
                      bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
-                     presence_smem, counters)
+                     presence_smem, counters, bits_vmem, bits_smem)
 
 
 def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                 wwave, nb, nm,
+                 wwave, bitv, nb, nm,
                  ox, oy, oz, dx, dy, dz, tmax, excl,
                  chunks,
                  out_t, out_tri, out_u, out_v, out_stats, sl,
                  stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
                  bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
-                 presence_smem, counters):
+                 presence_smem, counters, bits_vmem, bits_smem):
     """Trace ONE (8,128) packet; ray inputs are jnp values (pre-sliced),
     outputs written to the `sl` rows of the out refs."""
     inv_dx = 1.0 / jnp.where(jnp.abs(dx[:]) < 1e-20,
@@ -191,6 +192,35 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                            jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
         return jnp.max(tfar - tnear, keepdims=True).reshape(1, 1)
 
+    def slab_hit(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
+        """(8,128) bool per-lane hit mask — tfar >= tnear, the exact same
+        comparison slab_margin's `margin >= 0` resolves to, with the
+        per-candidate max-reduce (+ lane placement) elided: the bit-packed
+        verdict path ORs these masks and reduces ONCE per super/chunk."""
+        t0x = (bminx - ox[:]) * inv_dx
+        t1x = (bmaxx - ox[:]) * inv_dx
+        t0y = (bminy - oy[:]) * inv_dy
+        t1y = (bmaxy - oy[:]) * inv_dy
+        t0z = (bminz - oz[:]) * inv_dz
+        t1z = (bmaxz - oz[:]) * inv_dz
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+        tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
+        return tfar >= tnear
+
+    def or_reduce_full(acc):
+        """(8,128) uint32 -> (1,1) bitwise-OR of every element via log
+        rolls (a max/sum reduce would merge different lanes' bit SETS
+        wrongly; OR is what 'any lane hit child j' needs)."""
+        for s in (4, 2, 1):
+            acc = acc | pltpu.roll(acc, s, axis=0)
+        for s in (64, 32, 16, 8, 4, 2, 1):
+            acc = acc | pltpu.roll(acc, s, axis=1)
+        return acc[0:1, 0:1]
+
     def flush_verdicts():
         """verdict_vmem lanes -> verdict_smem rows 0-1 (single DMA; rows
         2-3 are the pipelined leaf-drain banks)."""
@@ -214,6 +244,28 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         per-axis min/max re-sorts the interval — so without the flag
         every empty group was MT-tested (measured 61% wasted MT work).
         """
+        if bitv:
+            # bit-packed: one uint32 carries all 32 sub-chunk verdicts;
+            # ONE OR-reduce per chunk replaces 32 max-reduce+place pairs
+            # (the reduces were ~30% of each verdict's vector ops).
+            # Culling decisions are bit-identical: `tfar >= tnear` is the
+            # comparison `margin >= 0` resolves to.
+            acc = jnp.zeros(tmax.shape, jnp.uint32)
+            for k in range(SUBCHUNKS):
+                base = k * 6
+                hit = slab_hit(
+                    tri_buf[slot, 9, base + 0], tri_buf[slot, 9, base + 1],
+                    tri_buf[slot, 9, base + 2], tri_buf[slot, 9, base + 3],
+                    tri_buf[slot, 9, base + 4], tri_buf[slot, 9, base + 5])
+                hit = hit & (tri_buf[slot, 9, 6 * SUBCHUNKS + k] > 0.5)
+                acc = acc | jnp.where(hit, jnp.uint32(1 << k),
+                                      jnp.uint32(0))
+            bits = or_reduce_full(acc)
+            bits_vmem[0:1, :] = jnp.broadcast_to(bits, (1, LANES))
+            dma = pltpu.make_async_copy(bits_vmem.at[pl.ds(0, 1)],
+                                        bits_smem.at[pl.ds(bank, 1)], vsem)
+            dma.start()
+            return dma
         acc = jnp.full((1, LANES), -1.0, jnp.float32)
         for k in range(SUBCHUNKS):
             base = k * 6
@@ -284,8 +336,12 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             # measurement mode: full traversal + leaf DMAs + verdicts, MT
             # tests skipped — isolates DMA/verdict cost from MT compute
             return
+        bits = bits_smem[bank, 0] if bitv else None
         for k in range(SUBCHUNKS):
-            @pl.when(verdict_smem[bank, k] >= 0.0)
+            gate = (((bits >> k) & jnp.uint32(1)) != 0) if bitv \
+                else verdict_smem[bank, k] >= 0.0
+
+            @pl.when(gate)
             def _():
                 # static unroll: the 8 slots' scalar load chains are
                 # independent, so Mosaic pipelines them instead of paying
@@ -328,13 +384,19 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
 
                 # the flush started above lands while the previous chunk's
                 # triangles were testing; wait before the next step reuses
-                # verdict_vmem row 0 / this bank
+                # the verdict vmem row / this bank
                 @pl.when(i < n_leaf)
                 def _():
-                    pltpu.make_async_copy(
-                        verdict_vmem.at[pl.ds(0, 1)],
-                        verdict_smem.at[pl.ds(2 + jax.lax.rem(i, 2), 1)],
-                        vsem).wait()
+                    if bitv:
+                        pltpu.make_async_copy(
+                            bits_vmem.at[pl.ds(0, 1)],
+                            bits_smem.at[pl.ds(2 + jax.lax.rem(i, 2), 1)],
+                            vsem).wait()
+                    else:
+                        pltpu.make_async_copy(
+                            verdict_vmem.at[pl.ds(0, 1)],
+                            verdict_smem.at[pl.ds(2 + jax.lax.rem(i, 2), 1)],
+                            vsem).wait()
                 return 0
 
             jax.lax.fori_loop(0, n_leaf + 1, body, 0)
@@ -364,29 +426,59 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         # orders children by entry distance (fixed reverse-j order), so
         # computing/flushing entry minima here was pure waste (~1/3 of the
         # per-test vector ops) — removing it is bit-identical.
-        def cand_body(i, margins):
-            node = cand[jnp.minimum(i, wwave - 1)]
-            valid = node >= 0
-            nodec = jnp.maximum(node, 0)
-            for j in range(8):
-                base = 6 * j
-                margin = slab_margin(
-                    nb[base + 0, nodec], nb[base + 1, nodec],
-                    nb[base + 2, nodec], nb[base + 3, nodec],
-                    nb[base + 4, nodec], nb[base + 5, nodec])
-                k = 8 * i + j
-                margin = jnp.where(valid, margin, -1.0)
-                margins = jnp.where(lane_iota == k, margin, margins)
-            return margins
+        if bitv:
+            # bit-packed: each super's 8 child hit-masks OR into one
+            # uint32 (bit j = child j), ONE OR-reduce per super instead
+            # of a max-reduce + lane placement per child.
+            def cand_body_bits(i, bits_vec):
+                node = cand[jnp.minimum(i, wwave - 1)]
+                valid = node >= 0
+                nodec = jnp.maximum(node, 0)
+                acc = jnp.zeros(tmax.shape, jnp.uint32)
+                for j in range(8):
+                    base = 6 * j
+                    hit = slab_hit(
+                        nb[base + 0, nodec], nb[base + 1, nodec],
+                        nb[base + 2, nodec], nb[base + 3, nodec],
+                        nb[base + 4, nodec], nb[base + 5, nodec])
+                    acc = acc | jnp.where(hit, jnp.uint32(1 << j),
+                                          jnp.uint32(0))
+                bits = or_reduce_full(acc)
+                bits = jnp.where(valid, bits, jnp.uint32(0))
+                return jnp.where(lane_iota == i, bits, bits_vec)
 
-        margins = jax.lax.fori_loop(
-            0, popped, cand_body,
-            jnp.full((1, LANES), -1.0, jnp.float32))
-        verdict_vmem[0:1, :] = margins
-        dma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
-                                    verdict_smem.at[pl.ds(0, 1)], vsem)
-        dma.start()
-        dma.wait()
+            bits_vec = jax.lax.fori_loop(
+                0, popped, cand_body_bits,
+                jnp.zeros((1, LANES), jnp.uint32))
+            bits_vmem[0:1, :] = bits_vec
+            dma = pltpu.make_async_copy(bits_vmem.at[pl.ds(0, 1)],
+                                        bits_smem.at[pl.ds(0, 1)], vsem)
+            dma.start()
+            dma.wait()
+        else:
+            def cand_body(i, margins):
+                node = cand[jnp.minimum(i, wwave - 1)]
+                valid = node >= 0
+                nodec = jnp.maximum(node, 0)
+                for j in range(8):
+                    base = 6 * j
+                    margin = slab_margin(
+                        nb[base + 0, nodec], nb[base + 1, nodec],
+                        nb[base + 2, nodec], nb[base + 3, nodec],
+                        nb[base + 4, nodec], nb[base + 5, nodec])
+                    k = 8 * i + j
+                    margin = jnp.where(valid, margin, -1.0)
+                    margins = jnp.where(lane_iota == k, margin, margins)
+                return margins
+
+            margins = jax.lax.fori_loop(
+                0, popped, cand_body,
+                jnp.full((1, LANES), -1.0, jnp.float32))
+            verdict_vmem[0:1, :] = margins
+            dma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
+                                        verdict_smem.at[pl.ds(0, 1)], vsem)
+            dma.start()
+            dma.wait()
 
         # ---- scalar phase: push internal survivors, queue leaf chunks --
         def push_body(p, carry):
@@ -395,10 +487,15 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             node = cand[jnp.clip(i, 0, wwave - 1)]
             nodec = jnp.maximum(node, 0)
             n_desc = jnp.int32(0)
+            if bitv:
+                super_bits = bits_smem[0, jnp.clip(i, 0, LANES - 1)]
             for j in range(7, -1, -1):
                 k = 8 * i + j
                 child = nm[j, nodec]
-                hit = verdict_smem[0, jnp.clip(k, 0, LANES - 1)] >= 0.0
+                if bitv:
+                    hit = ((super_bits >> j) & jnp.uint32(1)) != 0
+                else:
+                    hit = verdict_smem[0, jnp.clip(k, 0, LANES - 1)] >= 0.0
                 ok = (node >= 0) & hit
                 stack[jnp.minimum(sp, STACK_DEPTH - 1)] = child
                 sp = sp + jnp.where(ok & (child >= 0), 1, 0)
@@ -564,10 +661,11 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
                                              "any_hit", "n_passes", "wide",
-                                             "debug", "group", "wwave"))
+                                             "debug", "group", "wwave",
+                                             "bitv"))
 def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
           n_nodes, n_chunks, t_min, any_hit=False, n_passes=1, wide=False,
-          debug="", group=1, wwave=8):
+          debug="", group=1, wwave=8, bitv=False):
     rows = rays7[0].shape[0]
     grid = rows // (group * SUBLANES)
     # index maps receive (grid_idx, *scalar_prefetch_refs)
@@ -601,6 +699,9 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # pass window (wt)
             pltpu.SMEM((8,), jnp.int32),                 # octant presence
             pltpu.SMEM((4,), jnp.int32),                 # stats counters
+            pltpu.VMEM((1, LANES), jnp.uint32),          # bit verdicts
+            pltpu.SMEM((4, LANES), jnp.uint32),          # bit verdicts:
+            # row 0 wave supers, rows 2-3 leaf-drain banks (bitv mode)
         ],
     )
     # Grid steps (packets) are independent: PARALLEL semantics lets
@@ -612,7 +713,7 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             dimension_semantics=("parallel",))
     return pl.pallas_call(
         functools.partial(_kernel, n_nodes, t_min, any_hit, n_passes, wide,
-                          debug, group, wwave),
+                          debug, group, wwave, bitv),
         grid_spec=grid_spec,
         compiler_params=compiler_params,
         out_shape=[
@@ -746,18 +847,29 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
     # 8 children per wide node; >16 waves could queue more than LEAF_QUEUE
     # chunks and the clamp at the leafq write would silently drop hits.
     wwave = min(max(int(os.environ.get("MPT_WWAVE", "8")), 1), LEAF_QUEUE // 8)
+    # Bit-packed verdicts (MPT_BITVERDICT=1): OR per-lane hit masks into
+    # one uint32 per super/chunk, ONE log-roll OR-reduce instead of a
+    # max-reduce + lane-place per candidate. Measured on-chip
+    # (tools/abbench.py kernel BITV=1 BITV=0, r03): BIT-IDENTICAL results
+    # but 20-40% SLOWER on every load (primary 29 vs 35, bounce-real 19
+    # vs 24 Mrays/s) — Mosaic's native (8,128)->scalar max-reduce is far
+    # cheaper than the roll chain + uint32 selects that replace it, so
+    # the "reduce is ~10 ops" cost model was wrong. Kept as a measured
+    # negative (same policy as culltrace.py); default OFF.
+    bitv = os.environ.get("MPT_BITVERDICT", "0") == "1"
     if wide:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.wnode_cbounds,
                                     bvh.wnode_child, bvh.chunk_tris,
                                     bvh.n_wnodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes, True,
-                                    debug, group, wwave)
+                                    debug, group, wwave, bitv)
     else:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds,
                                     bvh.node_meta, bvh.chunk_tris,
                                     bvh.n_nodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes,
-                                    debug=debug, group=group, wwave=wwave)
+                                    debug=debug, group=group, wwave=wwave,
+                                    bitv=bitv)
     flat = lambda x: x.reshape(-1)[:n]
     if return_stats:
         # per-packet counters (reference PathtraceStats nodesVisited /

@@ -31,13 +31,14 @@ def parse_variant(spec):
         k, v = kv.split("=")
         env[{"SORT": "MPT_RAY_SORT", "OCT": "MPT_OCTANT_PASSES",
              "DBG": "MPT_TRAVERSE_DEBUG", "WIDE": "MPT_WIDE",
-             "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE"}.get(k, k)] = v
+             "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE",
+             "BITV": "MPT_BITVERDICT"}.get(k, k)] = v
     return env
 
 
 def set_env(env):
     for k in ("MPT_RAY_SORT", "MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG",
-              "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE"):
+              "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE", "MPT_BITVERDICT"):
         os.environ.pop(k, None)
     os.environ.update(env)
 
