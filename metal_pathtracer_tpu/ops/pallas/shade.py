@@ -1989,6 +1989,42 @@ def _apply_delta_chains(scene, uniforms, static, layout, carry_s1, carry,
     return carry, chain_scene, chain_shadow
 
 
+def _octmorton_key(carry_flat, layout, alive_flat):
+    """Per-lane u32 compaction sort key: dead(1) | dir-octant(3) |
+    origin Morton(24). Dead lanes to the tail; alive lanes grouped by
+    ray heading, Morton-ordered by origin inside each octant — the
+    ordering the r03 reorder-ceiling experiment measured best on
+    divergent bounce wavefronts."""
+    ox = carry_flat[layout["ox"]]
+    oy = carry_flat[layout["oy"]]
+    oz = carry_flat[layout["oz"]]
+    dx = carry_flat[layout["dx"]]
+    dy = carry_flat[layout["dy"]]
+    dz = carry_flat[layout["dz"]]
+    octant = ((dx < 0).astype(jnp.uint32)
+              | ((dy < 0).astype(jnp.uint32) << 1)
+              | ((dz < 0).astype(jnp.uint32) << 2))
+
+    def q8(v):
+        lo = jnp.min(jnp.where(alive_flat, v, jnp.inf))
+        hi = jnp.max(jnp.where(alive_flat, v, -jnp.inf))
+        t = (v - lo) / jnp.maximum(hi - lo, 1e-20)
+        return jnp.clip(t * 255.0, 0.0, 255.0).astype(jnp.uint32)
+
+    def part1by2(x):
+        # spread 8 bits to every 3rd position (Morton interleave)
+        x = (x | (x << 16)) & jnp.uint32(0xFF0000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    morton = (part1by2(q8(ox)) | (part1by2(q8(oy)) << 1)
+              | (part1by2(q8(oz)) << 2))          # 24 bits
+    dead = jnp.logical_not(alive_flat).astype(jnp.uint32)
+    return (dead << 31) | (octant << 28) | morton
+
+
 def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
     """Drop-in for integrator.trace_paths on fused-supported configs.
 
@@ -2020,22 +2056,257 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
     mat_table = pack_material_table(scene.materials)
     env = scene.environment
 
-    def pad1(a, fill=0.0):
-        # inputs are (n,) (host wavefront) or already (padded,) (trace
-        # outputs / derived planes) — pad only what needs it
-        short = padded - a.shape[0]
-        if short == 0:
-            return a
-        return jnp.pad(a, (0, short), constant_values=fill)
+    def _stage_fns(padded_l):
+        """Size-parameterized depth-loop machinery: the survivor-
+        compaction phase re-runs the SAME body over a smaller dense
+        wavefront, so every helper closes over the stage width."""
+        n_blocks_l = padded_l // BLOCK
 
-    def shp(a):
-        return a.reshape(n_blocks, ROWS, LANES)
+        def pad1(a, fill=0.0):
+            # inputs are (n,) (host wavefront) or already (padded,) (trace
+            # outputs / derived planes) — pad only what needs it
+            short = padded_l - a.shape[0]
+            if short == 0:
+                return a
+            return jnp.pad(a, (0, short), constant_values=fill)
 
-    def unshp(a):
-        return a.reshape(padded)
+        def shp(a):
+            return a.reshape(n_blocks_l, ROWS, LANES)
 
-    def planes3(x, y, z):
-        return jnp.stack([shp(pad1(x)), shp(pad1(y)), shp(pad1(z))])
+        def unshp(a):
+            return a.reshape(padded_l)
+
+        def planes3(x, y, z):
+            return jnp.stack([shp(pad1(x)), shp(pad1(y)), shp(pad1(z))])
+
+        def shp_rows(rows):
+            short = padded_l - rows.shape[0]
+            if short:
+                rows = jnp.pad(rows, ((0, short), (0, 0)))
+            return rows.T[:ROW_PLANES].reshape(ROW_PLANES, n_blocks_l,
+                                                ROWS, LANES)
+
+        def cond(loop):
+            depth, carry, state_p, n_rays, n_shadow = loop
+            return jnp.logical_and(
+                depth < static.max_depth,
+                jnp.any(carry[layout["alive"]] > 0.5))
+
+        def body(loop):
+            depth, carry, state_p, n_rays, n_shadow = loop
+            alive = unshp(carry[layout["alive"]]) > 0.5
+            n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
+
+            cget = lambda nm: unshp(carry[layout[nm]])
+            o3 = jnp.stack([cget(c) for c in ("ox", "oy", "oz")], -1)
+            d3 = jnp.stack([cget(c) for c in ("dx", "dy", "dz")], -1)
+            prev_valid = cget("prev_valid") > 0.5
+            ex_prim = jnp.where(prev_valid, cget("prev_prim"),
+                                -1.0).astype(jnp.int32)
+            ex_mesh = jnp.where(prev_valid, cget("prev_mesh"),
+                                -1.0).astype(jnp.int32)
+            lane_tmax = jnp.where(alive, C.INFINITY_T, 0.0)
+            t, tri, u, v, rows, kind = _trace_merged(scene, o3, d3, C.EPSILON_T,
+                                                     lane_tmax, ex_mesh, ex_prim)
+            tri_i = tri.astype(jnp.int32)
+            rows_t = shp_rows(rows)
+            scal = _pack_scalars(uniforms, depth, env)
+            args = dict(
+                mat_table=mat_table, scal=scal,
+                t=shp(pad1(t)), tri=shp(pad1(tri.astype(jnp.float32),
+                                             fill=-1.0)),
+                u=shp(pad1(u)), v=shp(pad1(v)), rows=rows_t,
+                has_prims=_scene_has_prims(scene))
+
+            tex_planes = None
+            if has_tex:
+                # Per-chunk skip: material index rides shade_packed col 18
+                # (already gathered), so "any active PBR lane?" costs one
+                # small matmul; chunks without PBR hits export identity
+                # planes (what apply_pbr_textures returns for non-PBR lanes)
+                # without the ~25 gathers/lane texture stage.
+                mat_lane = jnp.clip(rows[:, 18].astype(jnp.int32), 0,
+                                    scene.materials.count - 1)
+                is_pbr_m = (scene.materials.mat_type == C.MATERIAL_PBR
+                            ).astype(jnp.float32)
+                onehot = (mat_lane[:, None] ==
+                          jnp.arange(scene.materials.count)[None, :]
+                          ).astype(jnp.float32)
+                lane_pbr = jax.lax.dot_general(
+                    onehot, is_pbr_m, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST) > 0.5
+                pbr_any = jnp.any(alive & (tri_i >= 0) & lane_pbr)
+
+                def _tex_full(_):
+                    return _texture_stage(scene, uniforms, static, carry,
+                                          layout, o3, d3, t, tri_i, u, v,
+                                          depth, pad1, shp, unshp)
+
+                def _tex_ident(_):
+                    return _texture_identity(scene, static, mat_lane, shp)
+
+                tex_planes = jax.lax.cond(pbr_any, _tex_full, _tex_ident, 0)
+            if rect_nee:
+                # ---- rect-light NEE: S1 (emissive MIS via pdf-for-hit,
+                # export u1-u3 + hit transients), XLA light sample + shadow
+                # trace, S2 (NEE commit + BSDF sample) — the env split's twin
+                # (integrator: _sample_rect_light + NEE rect block)
+                from types import SimpleNamespace
+
+                from metal_pathtracer_tpu.ops.integrator import (
+                    _rect_light_pdf_for_hit,
+                )
+
+                point_xla = o3 + t[..., None] * d3
+                rec_shim = SimpleNamespace(
+                    prim_index=tri_i, point=point_xla,
+                    prim_type=kind.astype(jnp.int32))
+                lpdf = _rect_light_pdf_for_hit(scene, rec_shim, o3)
+                carry, state_p, trans = _shade_call(
+                    "s1", layout, static, m_count, n_blocks_l,
+                    carry=carry, state=state_p,
+                    envpdf=shp(pad1(lpdf)), tex=tex_planes, rect_nee=True,
+                    **args)
+
+                tget = lambda nm: unshp(trans[TRANS_IDX[nm]])
+                p3 = jnp.stack([tget("px"), tget("py"), tget("pz")], -1)
+                from metal_pathtracer_tpu.ops.integrator import (
+                    _rect_light_sample_from_uniforms,
+                )
+                l_dir, l_dist, l_pdf, l_emission, l_valid = \
+                    _rect_light_sample_from_uniforms(
+                        scene, p3, tget("u1"), tget("u2"), tget("u3"),
+                        static, uniforms)
+
+                sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
+                nf3 = jnp.stack([tget("nfx"), tget("nfy"), tget("nfz")], -1)
+                n_dot_l = jnp.maximum(jnp.sum(sn3 * l_dir, -1), 0.0)
+                nee_lanes = ((tget("active") > 0.5) & (tget("delta") < 0.5))
+                if has_tex:
+                    nee_lanes = nee_lanes & (
+                        unshp(tex_planes[TEX_IDX["tpass"]]) < 0.5)
+                do_shadow = nee_lanes & l_valid & (l_pdf > 0.0) & (n_dot_l > 0.0)
+                n_shadow = n_shadow + jnp.sum(do_shadow.astype(jnp.float32))
+                # offset_ray_origin twin (same as the env split)
+                sn_len2 = jnp.sum(sn3 * sn3, -1)
+                off_bad = ~jnp.all(jnp.isfinite(sn3), -1) | (sn_len2 <= 0.0)
+                off_n = jnp.where(off_bad[..., None], nf3, sn3)
+                sgn = jnp.where(jnp.sum(l_dir * off_n, -1) >= 0.0, 1.0, -1.0)
+                dist = jnp.maximum(jnp.abs(pad1(t)) * 1e-4,
+                                   C.RAY_ORIGIN_EPSILON)
+                shadow_o = (p3 + off_n * (sgn * dist)[..., None]
+                            + l_dir * (C.RAY_ORIGIN_EPSILON * 0.5))
+                shadow_max = jnp.where(
+                    do_shadow,
+                    jnp.maximum(l_dist - C.EPSILON_T, C.EPSILON_T), 0.0)
+                occluded = _occluded_merged(scene, shadow_o, l_dir,
+                                            C.EPSILON_T, shadow_max)
+                esmp = jnp.stack([
+                    shp(l_dir[:, 0]), shp(l_dir[:, 1]), shp(l_dir[:, 2]),
+                    shp(l_emission[:, 0]), shp(l_emission[:, 1]),
+                    shp(l_emission[:, 2]),
+                    shp(l_pdf), shp(l_valid.astype(jnp.float32)),
+                    shp(occluded.astype(jnp.float32))])
+                carry_s1 = carry
+                outs = _shade_call(
+                    "s2", layout, static, m_count, n_blocks_l,
+                    carry=carry, state=state_p, trans=trans, esmp=esmp,
+                    tex=tex_planes, rect_nee=True, chains=chains_on, **args)
+                if chains_on:
+                    carry, state_p, chainp, chain_state = outs
+                    carry, chain_scene, chain_shadow = _apply_delta_chains(
+                        scene, uniforms, static, layout, carry_s1, carry,
+                        trans, chainp, chain_state, rows, shp, unshp)
+                    n_rays = n_rays + chain_scene
+                    n_shadow = n_shadow + chain_shadow
+                else:
+                    carry, state_p = outs
+                return depth + 1, carry, state_p, n_rays, n_shadow
+
+            if not env_mode:
+                carry, state_p = _shade_call(
+                    "full", layout, static, m_count, n_blocks_l,
+                    carry=carry, state=state_p, tex=tex_planes, **args)
+                return depth + 1, carry, state_p, n_rays, n_shadow
+
+            # ---- env path: XLA background/pdf, S1, alias stage, shadow, S2
+            from metal_pathtracer_tpu.ops import env as env_ops
+
+            # Per-chunk skip (~13 gathers/lane): the s1 kernel reads these
+            # planes only under where(miss, ...), and zeros produce a zero
+            # contribution with no non-finite intermediates — so chunks with
+            # no miss lane this depth skip the env lookups wholesale.
+            def _bg_run(_):
+                bg = env_ops.environment_background(
+                    env, d3, uniforms, static, cget("env_lod"),
+                    cget("env_lod_act") > 0.5)
+                pdf = env_ops.environment_pdf(env, d3,
+                                              uniforms.environment_rotation)
+                return bg, pdf
+
+            def _bg_skip(_):
+                return (jnp.zeros(d3.shape, jnp.float32),
+                        jnp.zeros(d3.shape[:-1], jnp.float32))
+
+            bg, env_pdf_d = jax.lax.cond(
+                jnp.any(alive & (tri_i < 0)), _bg_run, _bg_skip, 0)
+            carry, state_p, trans = _shade_call(
+                "s1", layout, static, m_count, n_blocks_l,
+                carry=carry, state=state_p,
+                envbg=planes3(bg[:, 0], bg[:, 1], bg[:, 2]),
+                envpdf=shp(pad1(env_pdf_d)), tex=tex_planes, **args)
+
+            tget = lambda nm: unshp(trans[TRANS_IDX[nm]])
+            e_dir, e_rad, e_pdf, e_valid = \
+                env_ops.sample_environment_from_uniforms(
+                    env, tget("u1"), tget("u2"), tget("u3"), uniforms, static,
+                    tget("lrough"))
+            sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
+            nf3 = jnp.stack([tget("nfx"), tget("nfy"), tget("nfz")], -1)
+            p3 = jnp.stack([tget("px"), tget("py"), tget("pz")], -1)
+            n_dot_l = jnp.maximum(jnp.sum(sn3 * e_dir, -1), 0.0)
+            nee_lanes = ((tget("active") > 0.5) & (tget("delta") < 0.5))
+            if has_tex:
+                nee_lanes = nee_lanes & (unshp(tex_planes[TEX_IDX["tpass"]])
+                                         < 0.5)
+            do_shadow = nee_lanes & e_valid & (e_pdf > 0.0) & (n_dot_l > 0.0)
+            n_shadow = n_shadow + jnp.sum(do_shadow.astype(jnp.float32))
+            # offset_ray_origin twin over the exported hit planes
+            sn_len2 = jnp.sum(sn3 * sn3, -1)
+            off_bad = ~jnp.all(jnp.isfinite(sn3), -1) | (sn_len2 <= 0.0)
+            off_n = jnp.where(off_bad[..., None], nf3, sn3)
+            sgn = jnp.where(jnp.sum(e_dir * off_n, -1) >= 0.0, 1.0, -1.0)
+            dist = jnp.maximum(jnp.abs(t) * 1e-4, C.RAY_ORIGIN_EPSILON)
+            shadow_o = (p3 + off_n * (sgn * dist)[..., None]
+                        + e_dir * (C.RAY_ORIGIN_EPSILON * 0.5))
+            shadow_max = jnp.where(do_shadow, C.INFINITY_T, 0.0)
+            occluded = _occluded_merged(scene, shadow_o, e_dir, C.EPSILON_T,
+                                        shadow_max)
+
+            esmp = jnp.stack([
+                shp(e_dir[:, 0]), shp(e_dir[:, 1]), shp(e_dir[:, 2]),
+                shp(e_rad[:, 0]), shp(e_rad[:, 1]), shp(e_rad[:, 2]),
+                shp(e_pdf), shp(e_valid.astype(jnp.float32)),
+                shp(occluded.astype(jnp.float32))])
+            carry_s1 = carry
+            outs = _shade_call(
+                "s2", layout, static, m_count, n_blocks_l,
+                carry=carry, state=state_p, trans=trans, esmp=esmp,
+                tex=tex_planes, chains=chains_on, **args)
+            if chains_on:
+                carry, state_p, chainp, chain_state = outs
+                carry, chain_scene, chain_shadow = _apply_delta_chains(
+                    scene, uniforms, static, layout, carry_s1, carry,
+                    trans, chainp, chain_state, rows, shp, unshp)
+                n_rays = n_rays + chain_scene
+                n_shadow = n_shadow + chain_shadow
+            else:
+                carry, state_p = outs
+            return depth + 1, carry, state_p, n_rays, n_shadow
+
+        return cond, body, pad1, shp, unshp
+
+    cond, body, pad1, shp, unshp = _stage_fns(padded)
 
     # initial carry planes (integrator.trace_paths init twin)
     zero = jnp.zeros(padded, jnp.float32)
@@ -2063,234 +2334,104 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
     n_rays0 = jnp.float32(0.0)
     n_shadow0 = jnp.float32(0.0)
 
-    def shp_rows(rows):
-        short = padded - rows.shape[0]
-        if short:
-            rows = jnp.pad(rows, ((0, short), (0, 0)))
-        return rows.T[:ROW_PLANES].reshape(ROW_PLANES, n_blocks,
-                                            ROWS, LANES)
-
-    def cond(loop):
-        depth, carry, state_p, n_rays, n_shadow = loop
-        return jnp.logical_and(
-            depth < static.max_depth,
-            jnp.any(carry[layout["alive"]] > 0.5))
-
-    def body(loop):
-        depth, carry, state_p, n_rays, n_shadow = loop
-        alive = unshp(carry[layout["alive"]]) > 0.5
-        n_rays = n_rays + jnp.sum(alive.astype(jnp.float32))
-
-        cget = lambda nm: unshp(carry[layout[nm]])
-        o3 = jnp.stack([cget(c) for c in ("ox", "oy", "oz")], -1)
-        d3 = jnp.stack([cget(c) for c in ("dx", "dy", "dz")], -1)
-        prev_valid = cget("prev_valid") > 0.5
-        ex_prim = jnp.where(prev_valid, cget("prev_prim"),
-                            -1.0).astype(jnp.int32)
-        ex_mesh = jnp.where(prev_valid, cget("prev_mesh"),
-                            -1.0).astype(jnp.int32)
-        lane_tmax = jnp.where(alive, C.INFINITY_T, 0.0)
-        t, tri, u, v, rows, kind = _trace_merged(scene, o3, d3, C.EPSILON_T,
-                                                 lane_tmax, ex_mesh, ex_prim)
-        tri_i = tri.astype(jnp.int32)
-        rows_t = shp_rows(rows)
-        scal = _pack_scalars(uniforms, depth, env)
-        args = dict(
-            mat_table=mat_table, scal=scal,
-            t=shp(pad1(t)), tri=shp(pad1(tri.astype(jnp.float32),
-                                         fill=-1.0)),
-            u=shp(pad1(u)), v=shp(pad1(v)), rows=rows_t,
-            has_prims=_scene_has_prims(scene))
-
-        tex_planes = None
-        if has_tex:
-            # Per-chunk skip: material index rides shade_packed col 18
-            # (already gathered), so "any active PBR lane?" costs one
-            # small matmul; chunks without PBR hits export identity
-            # planes (what apply_pbr_textures returns for non-PBR lanes)
-            # without the ~25 gathers/lane texture stage.
-            mat_lane = jnp.clip(rows[:, 18].astype(jnp.int32), 0,
-                                scene.materials.count - 1)
-            is_pbr_m = (scene.materials.mat_type == C.MATERIAL_PBR
-                        ).astype(jnp.float32)
-            onehot = (mat_lane[:, None] ==
-                      jnp.arange(scene.materials.count)[None, :]
-                      ).astype(jnp.float32)
-            lane_pbr = jax.lax.dot_general(
-                onehot, is_pbr_m, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST) > 0.5
-            pbr_any = jnp.any(alive & (tri_i >= 0) & lane_pbr)
-
-            def _tex_full(_):
-                return _texture_stage(scene, uniforms, static, carry,
-                                      layout, o3, d3, t, tri_i, u, v,
-                                      depth, pad1, shp, unshp)
-
-            def _tex_ident(_):
-                return _texture_identity(scene, static, mat_lane, shp)
-
-            tex_planes = jax.lax.cond(pbr_any, _tex_full, _tex_ident, 0)
-        if rect_nee:
-            # ---- rect-light NEE: S1 (emissive MIS via pdf-for-hit,
-            # export u1-u3 + hit transients), XLA light sample + shadow
-            # trace, S2 (NEE commit + BSDF sample) — the env split's twin
-            # (integrator: _sample_rect_light + NEE rect block)
-            from types import SimpleNamespace
-
-            from metal_pathtracer_tpu.ops.integrator import (
-                _rect_light_pdf_for_hit,
-            )
-
-            point_xla = o3 + t[..., None] * d3
-            rec_shim = SimpleNamespace(
-                prim_index=tri_i, point=point_xla,
-                prim_type=kind.astype(jnp.int32))
-            lpdf = _rect_light_pdf_for_hit(scene, rec_shim, o3)
-            carry, state_p, trans = _shade_call(
-                "s1", layout, static, m_count, n_blocks,
-                carry=carry, state=state_p,
-                envpdf=shp(pad1(lpdf)), tex=tex_planes, rect_nee=True,
-                **args)
-
-            tget = lambda nm: unshp(trans[TRANS_IDX[nm]])
-            p3 = jnp.stack([tget("px"), tget("py"), tget("pz")], -1)
-            from metal_pathtracer_tpu.ops.integrator import (
-                _rect_light_sample_from_uniforms,
-            )
-            l_dir, l_dist, l_pdf, l_emission, l_valid = \
-                _rect_light_sample_from_uniforms(
-                    scene, p3, tget("u1"), tget("u2"), tget("u3"),
-                    static, uniforms)
-
-            sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
-            nf3 = jnp.stack([tget("nfx"), tget("nfy"), tget("nfz")], -1)
-            n_dot_l = jnp.maximum(jnp.sum(sn3 * l_dir, -1), 0.0)
-            nee_lanes = ((tget("active") > 0.5) & (tget("delta") < 0.5))
-            if has_tex:
-                nee_lanes = nee_lanes & (
-                    unshp(tex_planes[TEX_IDX["tpass"]]) < 0.5)
-            do_shadow = nee_lanes & l_valid & (l_pdf > 0.0) & (n_dot_l > 0.0)
-            n_shadow = n_shadow + jnp.sum(do_shadow.astype(jnp.float32))
-            # offset_ray_origin twin (same as the env split)
-            sn_len2 = jnp.sum(sn3 * sn3, -1)
-            off_bad = ~jnp.all(jnp.isfinite(sn3), -1) | (sn_len2 <= 0.0)
-            off_n = jnp.where(off_bad[..., None], nf3, sn3)
-            sgn = jnp.where(jnp.sum(l_dir * off_n, -1) >= 0.0, 1.0, -1.0)
-            dist = jnp.maximum(jnp.abs(pad1(t)) * 1e-4,
-                               C.RAY_ORIGIN_EPSILON)
-            shadow_o = (p3 + off_n * (sgn * dist)[..., None]
-                        + l_dir * (C.RAY_ORIGIN_EPSILON * 0.5))
-            shadow_max = jnp.where(
-                do_shadow,
-                jnp.maximum(l_dist - C.EPSILON_T, C.EPSILON_T), 0.0)
-            occluded = _occluded_merged(scene, shadow_o, l_dir,
-                                        C.EPSILON_T, shadow_max)
-            esmp = jnp.stack([
-                shp(l_dir[:, 0]), shp(l_dir[:, 1]), shp(l_dir[:, 2]),
-                shp(l_emission[:, 0]), shp(l_emission[:, 1]),
-                shp(l_emission[:, 2]),
-                shp(l_pdf), shp(l_valid.astype(jnp.float32)),
-                shp(occluded.astype(jnp.float32))])
-            carry_s1 = carry
-            outs = _shade_call(
-                "s2", layout, static, m_count, n_blocks,
-                carry=carry, state=state_p, trans=trans, esmp=esmp,
-                tex=tex_planes, rect_nee=True, chains=chains_on, **args)
-            if chains_on:
-                carry, state_p, chainp, chain_state = outs
-                carry, chain_scene, chain_shadow = _apply_delta_chains(
-                    scene, uniforms, static, layout, carry_s1, carry,
-                    trans, chainp, chain_state, rows, shp, unshp)
-                n_rays = n_rays + chain_scene
-                n_shadow = n_shadow + chain_shadow
-            else:
-                carry, state_p = outs
-            return depth + 1, carry, state_p, n_rays, n_shadow
-
-        if not env_mode:
-            carry, state_p = _shade_call(
-                "full", layout, static, m_count, n_blocks,
-                carry=carry, state=state_p, tex=tex_planes, **args)
-            return depth + 1, carry, state_p, n_rays, n_shadow
-
-        # ---- env path: XLA background/pdf, S1, alias stage, shadow, S2
-        from metal_pathtracer_tpu.ops import env as env_ops
-
-        # Per-chunk skip (~13 gathers/lane): the s1 kernel reads these
-        # planes only under where(miss, ...), and zeros produce a zero
-        # contribution with no non-finite intermediates — so chunks with
-        # no miss lane this depth skip the env lookups wholesale.
-        def _bg_run(_):
-            bg = env_ops.environment_background(
-                env, d3, uniforms, static, cget("env_lod"),
-                cget("env_lod_act") > 0.5)
-            pdf = env_ops.environment_pdf(env, d3,
-                                          uniforms.environment_rotation)
-            return bg, pdf
-
-        def _bg_skip(_):
-            return (jnp.zeros(d3.shape, jnp.float32),
-                    jnp.zeros(d3.shape[:-1], jnp.float32))
-
-        bg, env_pdf_d = jax.lax.cond(
-            jnp.any(alive & (tri_i < 0)), _bg_run, _bg_skip, 0)
-        carry, state_p, trans = _shade_call(
-            "s1", layout, static, m_count, n_blocks,
-            carry=carry, state=state_p,
-            envbg=planes3(bg[:, 0], bg[:, 1], bg[:, 2]),
-            envpdf=shp(pad1(env_pdf_d)), tex=tex_planes, **args)
-
-        tget = lambda nm: unshp(trans[TRANS_IDX[nm]])
-        e_dir, e_rad, e_pdf, e_valid = \
-            env_ops.sample_environment_from_uniforms(
-                env, tget("u1"), tget("u2"), tget("u3"), uniforms, static,
-                tget("lrough"))
-        sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
-        nf3 = jnp.stack([tget("nfx"), tget("nfy"), tget("nfz")], -1)
-        p3 = jnp.stack([tget("px"), tget("py"), tget("pz")], -1)
-        n_dot_l = jnp.maximum(jnp.sum(sn3 * e_dir, -1), 0.0)
-        nee_lanes = ((tget("active") > 0.5) & (tget("delta") < 0.5))
-        if has_tex:
-            nee_lanes = nee_lanes & (unshp(tex_planes[TEX_IDX["tpass"]])
-                                     < 0.5)
-        do_shadow = nee_lanes & e_valid & (e_pdf > 0.0) & (n_dot_l > 0.0)
-        n_shadow = n_shadow + jnp.sum(do_shadow.astype(jnp.float32))
-        # offset_ray_origin twin over the exported hit planes
-        sn_len2 = jnp.sum(sn3 * sn3, -1)
-        off_bad = ~jnp.all(jnp.isfinite(sn3), -1) | (sn_len2 <= 0.0)
-        off_n = jnp.where(off_bad[..., None], nf3, sn3)
-        sgn = jnp.where(jnp.sum(e_dir * off_n, -1) >= 0.0, 1.0, -1.0)
-        dist = jnp.maximum(jnp.abs(t) * 1e-4, C.RAY_ORIGIN_EPSILON)
-        shadow_o = (p3 + off_n * (sgn * dist)[..., None]
-                    + e_dir * (C.RAY_ORIGIN_EPSILON * 0.5))
-        shadow_max = jnp.where(do_shadow, C.INFINITY_T, 0.0)
-        occluded = _occluded_merged(scene, shadow_o, e_dir, C.EPSILON_T,
-                                    shadow_max)
-
-        esmp = jnp.stack([
-            shp(e_dir[:, 0]), shp(e_dir[:, 1]), shp(e_dir[:, 2]),
-            shp(e_rad[:, 0]), shp(e_rad[:, 1]), shp(e_rad[:, 2]),
-            shp(e_pdf), shp(e_valid.astype(jnp.float32)),
-            shp(occluded.astype(jnp.float32))])
-        carry_s1 = carry
-        outs = _shade_call(
-            "s2", layout, static, m_count, n_blocks,
-            carry=carry, state=state_p, trans=trans, esmp=esmp,
-            tex=tex_planes, chains=chains_on, **args)
-        if chains_on:
-            carry, state_p, chainp, chain_state = outs
-            carry, chain_scene, chain_shadow = _apply_delta_chains(
-                scene, uniforms, static, layout, carry_s1, carry,
-                trans, chainp, chain_state, rows, shp, unshp)
-            n_rays = n_rays + chain_scene
-            n_shadow = n_shadow + chain_shadow
-        else:
-            carry, state_p = outs
-        return depth + 1, carry, state_p, n_rays, n_shadow
-
     depth0 = jnp.int32(0)
-    _, carry, state_p, n_rays, n_shadow = jax.lax.while_loop(
-        cond, body, (depth0, carry, state_p, n_rays0, n_shadow0))
+
+    # ---- survivor compaction between depth generations -----------------
+    # Measured (r03, headline scene): depths 5-8 cost ~0.83 s/depth while
+    # tracing <3% of the rays — the scattered survivors keep every packet
+    # partially alive (packet-level dead compaction never fires) and every
+    # full-width stage runs for a handful of lanes. The classic wavefront
+    # fix (SURVEY §7: "stream compaction between stages"): after
+    # MPT_COMPACT_DEPTH depths, stable-argsort lanes by alive, gather the
+    # survivors into dense MPT_COMPACT_SEG-lane segments, run the SAME
+    # depth body over each segment, and scatter the planes back. Per-lane
+    # results are bit-identical (all lane state rides the permutation; the
+    # per-chunk stage gates are value-identical either way) — only the
+    # stage widths and packet occupancy change.
+    # Defaults from the on-chip sweep (r03, headline scene, s/sample):
+    # off 8.53; d3/32k 4.93; d2/32k 4.68; d2/16k 4.54; d2/8k 4.18 (best);
+    # d2/4k 4.24; d1/32k 8.25 (too early — 40% survive depth 1).
+    # MPT_COMPACT_SCHEDULE="d:seg,d:seg" compacts more than once as the
+    # wavefront shrinks; the single-point MPT_COMPACT_DEPTH/SEG pair is
+    # the common case.
+    sched_env = os.environ.get("MPT_COMPACT_SCHEDULE", "")
+    if sched_env:
+        schedule = [(int(p.split(":")[0]),
+                     max(int(p.split(":")[1]), BLOCK))
+                    for p in sched_env.split(",") if p]
+    else:
+        schedule = [(int(os.environ.get("MPT_COMPACT_DEPTH", "2")),
+                     max(int(os.environ.get("MPT_COMPACT_SEG", "8192")),
+                         BLOCK))]
+    schedule = sorted(
+        (d, s) for d, s in schedule
+        if 0 < d < static.max_depth and padded > s
+        and padded % s == 0 and s % BLOCK == 0)
+
+    if not schedule:
+        _, carry, state_p, n_rays, n_shadow = jax.lax.while_loop(
+            cond, body, (depth0, carry, state_p, n_rays0, n_shadow0))
+    else:
+        def cond_until(bound, c):
+            def cb(loop):
+                return jnp.logical_and(loop[0] < bound, c(loop))
+            return cb
+
+        bounds = [d for d, _ in schedule] + [int(static.max_depth)]
+        _, carry, state_p, n_rays, n_shadow = jax.lax.while_loop(
+            cond_until(bounds[0], cond), body,
+            (depth0, carry, state_p, n_rays0, n_shadow0))
+
+        n_planes = carry.shape[0]
+        carry_flat = carry.reshape(n_planes, padded)
+        state_flat = state_p.reshape(padded)
+        identity = os.environ.get("MPT_COMPACT_IDENTITY", "0") == "1"
+        key_mode = os.environ.get("MPT_COMPACT_KEY", "alive")
+
+        for k, (dk, seg) in enumerate(schedule):
+            alive_flat = carry_flat[layout["alive"]] > 0.5
+            if identity:
+                # debug: segment WITHOUT reordering — isolates stage-width
+                # (shape) effects from lane-permutation effects
+                order = jnp.arange(padded, dtype=jnp.int32)
+                n_seg = jnp.int32(padded // seg)
+            else:
+                if key_mode == "octmorton":
+                    # alive-first, then (direction octant, origin Morton):
+                    # the reorder rides the compaction gather for free —
+                    # the best measured global resort bought 1.37x on the
+                    # divergent bounce trace (BENCHMARKS "Ray binning")
+                    key = _octmorton_key(carry_flat, layout, alive_flat)
+                else:
+                    # stable alive-first keeps tile order within the alive
+                    # block, so compacted packets inherit image coherence
+                    key = jnp.logical_not(alive_flat).astype(jnp.uint8)
+                order = jnp.argsort(key, stable=True)
+                n_seg = (jnp.sum(alive_flat.astype(jnp.int32))
+                         + jnp.int32(seg - 1)) // jnp.int32(seg)
+            condk, bodyk = _stage_fns(seg)[:2]
+            condk = cond_until(bounds[k + 1], condk)
+            d_start = jnp.int32(dk)
+
+            def seg_body(sc, order=order, seg=seg, condk=condk,
+                         bodyk=bodyk, d_start=d_start):
+                s, carry_flat, state_flat, n_rays, n_shadow = sc
+                idx = jax.lax.dynamic_slice(order, (s * seg,), (seg,))
+                cs = carry_flat[:, idx].reshape(n_planes, seg // BLOCK,
+                                                ROWS, LANES)
+                ss = state_flat[idx].reshape(seg // BLOCK, ROWS, LANES)
+                _, cs, ss, n_rays, n_shadow = jax.lax.while_loop(
+                    condk, bodyk, (d_start, cs, ss, n_rays, n_shadow))
+                carry_flat = carry_flat.at[:, idx].set(
+                    cs.reshape(n_planes, seg))
+                state_flat = state_flat.at[idx].set(ss.reshape(seg))
+                return s + 1, carry_flat, state_flat, n_rays, n_shadow
+
+            _, carry_flat, state_flat, n_rays, n_shadow = jax.lax.while_loop(
+                lambda sc: sc[0] < n_seg, seg_body,
+                (jnp.int32(0), carry_flat, state_flat, n_rays, n_shadow))
+        carry = carry_flat.reshape(n_planes, n_blocks, ROWS, LANES)
+        state_p = state_flat.reshape(n_blocks, ROWS, LANES)
 
     def unp(nm):
         return unshp(carry[layout[nm]])[:n]

@@ -531,3 +531,85 @@ def test_fused_matches_xla_env_nee(textured):
     frac_exact = float((d.max(-1) < 1e-4).mean())
     assert rmse < 5e-3, (rmse, float(d.max()))
     assert frac_exact > 0.95, frac_exact
+
+
+def test_survivor_compaction_invariants():
+    """Survivor compaction (MPT_COMPACT_DEPTH/SEG) between depth
+    generations must be (a) BIT-invariant to the lane permutation at a
+    fixed segment shape, (b) exact on ray/shadow counts and RNG state,
+    and (c) within the established fused cross-shape tolerance on
+    radiance (XLA re-fuses FMA contractions per program shape — the same
+    ulp drift the fused-vs-XLA gates accept; verified pre-existing: four
+    4096-lane calls vs one 16384-lane call differ the same way with
+    compaction OFF)."""
+    import jax
+    import jax.numpy as jnp
+
+    from metal_pathtracer_tpu.ops import camera as camera_ops
+    from metal_pathtracer_tpu.ops import rng as rng_ops
+    from metal_pathtracer_tpu.ops.pallas import shade
+    from metal_pathtracer_tpu.scene import dsl
+    from metal_pathtracer_tpu.scene.meshload import mesh_loader
+
+    settings = RenderSettings()
+    res = SceneResources()
+    dsl.parse_scene(
+        "camera target=0,0,-1 distance=3.5 yaw=0.3 pitch=0.2 vfov=45\n"
+        "renderer maxDepth=5 seed=1337\n"
+        "background solid=0.6,0.7,1.0\n"
+        "material type=lambert albedo=0.8,0.3,0.3\n"
+        "material type=metal albedo=0.9,0.8,0.6 roughness=0.1\n"
+        "sphere center=0,0,-1 radius=0.5 material=0\n"
+        "sphere center=0,-100.5,-1 radius=100 material=1\n",
+        settings, res, mesh_loader=mesh_loader)
+    res.add_material(Material(base_color=(0.4, 0.6, 0.9)))
+    res.add_mesh(dragon_class_scene_mesh(3, material=2))
+    w, h = 128, 64  # 8192 lanes: two 4096-lane segments
+    scene = res.build_arrays()
+    static = settings_to_static(settings, w, h,
+                                res.material_types_present())
+    uni = settings_to_uniforms(settings, build_camera(settings, w, h), 0, 0)
+    n = w * h
+    x = jnp.arange(n, dtype=jnp.uint32) % w
+    y = jnp.arange(n, dtype=jnp.uint32) // w
+    seed = rng_ops.make_seed(uni.fixed_rng_seed, uni.frame_index, x, y,
+                             uni.sample_count, jnp.zeros(n, jnp.uint32))
+    st0, o, d = camera_ops.generate_primary_rays(uni.camera, x, y, w, h,
+                                                 seed)
+
+    os.environ["MPT_FUSED_INTERPRET"] = "1"
+
+    def run(compact_depth, identity):
+        os.environ["MPT_COMPACT_DEPTH"] = str(compact_depth)
+        os.environ["MPT_COMPACT_SEG"] = "4096"
+        os.environ["MPT_COMPACT_IDENTITY"] = "1" if identity else "0"
+        jax.clear_caches()
+        state, rad, alb, nrm, stats = shade.trace_paths_fused(
+            scene, uni, static, st0, o, d)
+        return (np.asarray(state), np.asarray(rad), np.asarray(alb),
+                np.asarray(nrm), float(stats["rays"]),
+                float(stats["shadow_rays"]))
+
+    try:
+        base = run(0, False)
+        perm = run(2, False)
+        ident = run(2, True)
+    finally:
+        for k in ("MPT_FUSED_INTERPRET", "MPT_COMPACT_DEPTH",
+                  "MPT_COMPACT_SEG", "MPT_COMPACT_IDENTITY"):
+            os.environ.pop(k, None)
+        jax.clear_caches()
+
+    # (a) permutation invariance at fixed shape: bit-exact everywhere
+    for i in range(4):
+        np.testing.assert_array_equal(perm[i], ident[i])
+    # (b) counts and RNG state exact vs no compaction
+    assert perm[4] == base[4] and perm[5] == base[5]
+    np.testing.assert_array_equal(perm[0], base[0])
+    np.testing.assert_array_equal(perm[2], base[2])  # AOV albedo
+    np.testing.assert_array_equal(perm[3], base[3])  # AOV normal
+    # (c) radiance within the fused cross-shape tolerance
+    dd = np.abs(perm[1] - base[1])
+    rmse = float(np.sqrt((dd * dd).mean()))
+    assert rmse < 5e-4, (rmse, float(dd.max()))
+    assert float((dd.max(-1) < 1e-4).mean()) > 0.95
