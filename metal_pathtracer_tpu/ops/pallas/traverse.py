@@ -59,7 +59,7 @@ LEAF_QUEUE = 128           # leaf chunks queued per wave (8-wide worst case)
 
 def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             wide: bool, _DEBUG_SKIP: str, group: int, wwave: int,
-            bitv: bool,
+            bitv: bool, sexit: bool,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
@@ -93,7 +93,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
     for g in range(group):
         sl = slice(g * SUBLANES, (g + 1) * SUBLANES)
         _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                     wwave, bitv,
+                     wwave, bitv, sexit,
                      nb, nm,
                      ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl],
                      tmax[sl], excl[sl], chunks,
@@ -104,7 +104,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
 
 
 def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                 wwave, bitv, nb, nm,
+                 wwave, bitv, sexit, nb, nm,
                  ox, oy, oz, dx, dy, dz, tmax, excl,
                  chunks,
                  out_t, out_tri, out_u, out_v, out_stats, sl,
@@ -328,8 +328,12 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             else:
                 wt_ref[:] = jnp.where(take, t, wt_ref[:])
             btri_ref[:] = jnp.where(take, tri_id, btri_ref[:])
-            bu_ref[:] = jnp.where(take, u, bu_ref[:])
-            bv_ref[:] = jnp.where(take, v, bv_ref[:])
+            if not any_hit:
+                # shadow semantics return no barycentrics (the public
+                # contract: "u/v meaningless with any_hit") — skipping the
+                # commits trims 2 selects per MT slot
+                bu_ref[:] = jnp.where(take, u, bu_ref[:])
+                bv_ref[:] = jnp.where(take, v, bv_ref[:])
             return 0
 
         if "mtskip" in _DEBUG_SKIP:
@@ -475,10 +479,22 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                 0, popped, cand_body,
                 jnp.full((1, LANES), -1.0, jnp.float32))
             verdict_vmem[0:1, :] = margins
-            dma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
-                                        verdict_smem.at[pl.ds(0, 1)], vsem)
-            dma.start()
-            dma.wait()
+            if any_hit and sexit:
+                # all-occluded early exit: occlusion commits collapse a
+                # lane's window to 0, so once max(window) <= t_min no lane
+                # can ever commit again — the remaining stack is pure slab-
+                # test waste. The flag rides the SAME verdict flush (row 1,
+                # otherwise unused on the wide path): one extra max-reduce
+                # per wave, no extra DMA.
+                aw = jnp.max(wt_ref[:], keepdims=True).reshape(1, 1)
+                verdict_vmem[1:2, :] = jnp.broadcast_to(aw, (1, LANES))
+                flush_verdicts()
+            else:
+                dma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
+                                            verdict_smem.at[pl.ds(0, 1)],
+                                            vsem)
+                dma.start()
+                dma.wait()
 
         # ---- scalar phase: push internal survivors, queue leaf chunks --
         def push_body(p, carry):
@@ -512,6 +528,14 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         sp, n_both, n_leaf = jax.lax.fori_loop(
             0, popped, push_body, (sp, jnp.int32(0), jnp.int32(0)))
         counters[2] = counters[2] + n_both
+        if any_hit and sexit and not bitv:
+            # drop the stack + this wave's leaves once every lane's window
+            # collapsed (wt reflects state after the LAST wave's drain, so
+            # any leaf queued this wave can no longer commit — value-
+            # identical, just skips dead work)
+            live = verdict_smem[1, 0] > t_min
+            sp = jnp.where(live, sp, 0)
+            n_leaf = jnp.where(live, n_leaf, 0)
 
         # ---- leaf phase -------------------------------------------------
         if "leaf" not in _DEBUG_SKIP:
@@ -573,6 +597,11 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             0, (n_cand + 3) // 4, cand_body4,
             (jnp.full((1, LANES), -1.0, jnp.float32),
              jnp.full((1, LANES), 3.0e38, jnp.float32)))
+        if any_hit and sexit:
+            # all-occluded early exit (see wave_body_wide): flag rides the
+            # verdict flush in row 0's last lane (candidates use 0..63)
+            aw = jnp.max(wt_ref[:], keepdims=True).reshape(1, 1)
+            margins = jnp.where(lane_iota == LANES - 1, aw, margins)
         verdict_vmem[0:1, :] = margins
         verdict_vmem[1:2, :] = entries
         flush_verdicts()
@@ -605,6 +634,10 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         sp, n_both = jax.lax.fori_loop(0, popped, push_body,
                                        (sp, jnp.int32(0)))
         counters[2] = counters[2] + n_both
+        if any_hit and sexit:
+            live = verdict_smem[0, LANES - 1] > t_min
+            sp = jnp.where(live, sp, 0)
+            n_leaf = jnp.where(live, n_leaf, 0)
 
         # ---- leaf phase ------------------------------------------------
         if "leaf" not in _DEBUG_SKIP:
@@ -662,10 +695,10 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
                                              "any_hit", "n_passes", "wide",
                                              "debug", "group", "wwave",
-                                             "bitv"))
+                                             "bitv", "sexit"))
 def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
           n_nodes, n_chunks, t_min, any_hit=False, n_passes=1, wide=False,
-          debug="", group=1, wwave=8, bitv=False):
+          debug="", group=1, wwave=8, bitv=False, sexit=False):
     rows = rays7[0].shape[0]
     grid = rows // (group * SUBLANES)
     # index maps receive (grid_idx, *scalar_prefetch_refs)
@@ -713,7 +746,7 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             dimension_semantics=("parallel",))
     return pl.pallas_call(
         functools.partial(_kernel, n_nodes, t_min, any_hit, n_passes, wide,
-                          debug, group, wwave, bitv),
+                          debug, group, wwave, bitv, sexit),
         grid_spec=grid_spec,
         compiler_params=compiler_params,
         out_shape=[
@@ -857,19 +890,26 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
     # the "reduce is ~10 ops" cost model was wrong. Kept as a measured
     # negative (same policy as culltrace.py); default OFF.
     bitv = os.environ.get("MPT_BITVERDICT", "0") == "1"
+    # All-occluded early exit for shadow packets: measured NEUTRAL-to-
+    # -2% on both a sparse-hit env-NEE load and a 98%-occluded load
+    # (BENCHMARKS.md) — the all-1024-lanes-occluded state almost never
+    # holds while stack work remains, so the per-wave max-reduce+flush
+    # never pays for itself. Kept as a measured negative, default OFF
+    # (same policy as MPT_BITVERDICT).
+    sexit = os.environ.get("MPT_SHADOW_EXIT", "0") == "1"
     if wide:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.wnode_cbounds,
                                     bvh.wnode_child, bvh.chunk_tris,
                                     bvh.n_wnodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes, True,
-                                    debug, group, wwave, bitv)
+                                    debug, group, wwave, bitv, sexit)
     else:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds,
                                     bvh.node_meta, bvh.chunk_tris,
                                     bvh.n_nodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes,
                                     debug=debug, group=group, wwave=wwave,
-                                    bitv=bitv)
+                                    bitv=bitv, sexit=sexit)
     flat = lambda x: x.reshape(-1)[:n]
     if return_stats:
         # per-packet counters (reference PathtraceStats nodesVisited /

@@ -32,13 +32,15 @@ def parse_variant(spec):
         env[{"SORT": "MPT_RAY_SORT", "OCT": "MPT_OCTANT_PASSES",
              "DBG": "MPT_TRAVERSE_DEBUG", "WIDE": "MPT_WIDE",
              "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE",
-             "BITV": "MPT_BITVERDICT"}.get(k, k)] = v
+             "BITV": "MPT_BITVERDICT",
+             "SEXIT": "MPT_SHADOW_EXIT"}.get(k, k)] = v
     return env
 
 
 def set_env(env):
     for k in ("MPT_RAY_SORT", "MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG",
-              "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE", "MPT_BITVERDICT"):
+              "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE", "MPT_BITVERDICT",
+              "MPT_SHADOW_EXIT"):
         os.environ.pop(k, None)
     os.environ.update(env)
 
@@ -195,9 +197,41 @@ def make_kernel_loads(scene, static, uniforms):
     ro = np.where(hitm[:, None], hp + hn * 1e-4, o_np + d_np * 50.0)
     rd = np.where(hitm[:, None], bdr, d_np)
     print(f"bounce-real: {hitm.sum()}/{n} lanes alive", flush=True)
-    loads = [("primary", o, d),
-             ("bounce-real", jnp.asarray(ro), jnp.asarray(rd)),
-             ("bounce", jnp.asarray(bo), jnp.asarray(bd))]
+
+    # REAL shadow load: env-NEE shadow rays from the primary hit points —
+    # sun-peaked directions (the headline scene's alias table concentrates
+    # ~80% of samples in the sun disc) with a cosine-sky remainder; lanes
+    # facing away from the light or missing geometry are dead (tmax=0),
+    # matching the integrator's do_shadow gating. any_hit semantics.
+    sun = np.array([0.35, 0.8, 0.49], np.float32)
+    sun /= np.linalg.norm(sun)
+    jit_d = rng.normal(size=(n, 3)).astype(np.float32) * 0.03
+    sun_d = sun + jit_d
+    sun_d /= np.linalg.norm(sun_d, axis=1, keepdims=True)
+    sky_pick = rng.random(n) < 0.2
+    sd = np.where(sky_pick[:, None], bdr, sun_d).astype(np.float32)
+    ndotl = (hn * sd).sum(1)
+    do_sh = hitm & (ndotl > 0.0)
+    stmax = np.where(do_sh, 3.0e38, 0.0).astype(np.float32)
+    print(f"shadow: {do_sh.sum()}/{n} lanes alive", flush=True)
+
+    # occlusion-heavy variant: the same shadow wavefront with the light
+    # BELOW the horizon, so nearly every live lane is occluded by the
+    # ground plane / mesh underside — the all-occluded-early-exit win case
+    # (a real scenario: interior scenes, area lights behind geometry).
+    od = sd * np.array([1.0, -1.0, 1.0], np.float32)
+    ondotl = (hn * od).sum(1)
+    odo = hitm & (ondotl < 0.0)  # lanes whose hemisphere faces the light
+    otmax = np.where(odo, 3.0e38, 0.0).astype(np.float32)
+    print(f"shadow-occl: {odo.sum()}/{n} lanes alive", flush=True)
+
+    loads = [("primary", o, d, 3.0e38, False),
+             ("bounce-real", jnp.asarray(ro), jnp.asarray(rd), 3.0e38, False),
+             ("bounce", jnp.asarray(bo), jnp.asarray(bd), 3.0e38, False),
+             ("shadow", jnp.asarray(ro), jnp.asarray(sd),
+              jnp.asarray(stmax), True),
+             ("shadow-occl", jnp.asarray(ro), jnp.asarray(od),
+              jnp.asarray(otmax), True)]
     want = os.environ.get("AB_LOADS", "")
     if want:
         keep = set(want.split(","))
@@ -218,36 +252,41 @@ def bench_kernel(variants, rounds=3):
         set_env(parse_variant(spec))
         from metal_pathtracer_tpu.ops.pallas import traverse
 
-        @jax.jit
-        def run(o, d, _spec=spec):
-            t, tri, u, v = traverse.packet_trace_unsorted(o, d, 1e-3, 3.0e38,
-                                                          bvh)
-            return tri
+        def make_runs(spec, any_hit):
+            @jax.jit
+            def run(o, d, tmax, _spec=spec):
+                t, tri, u, v = traverse.packet_trace_unsorted(
+                    o, d, 1e-3, tmax, bvh, any_hit=any_hit)
+                return tri
 
-        # Timing fetches a SCALAR only: np.asarray of the full (N,) result
-        # measured ~270ms for 8MB over the tunnel (~35MB/s) — it swamped
-        # the kernel and tracked shared-tunnel load, not the kernel.
-        @jax.jit
-        def run_scalar(o, d, _spec=spec):
-            t, tri, u, v = traverse.packet_trace_unsorted(o, d, 1e-3, 3.0e38,
-                                                          bvh)
-            return jnp.sum(tri)
-        for label, o, d in loads:
+            # Timing fetches a SCALAR only: np.asarray of the full (N,)
+            # result measured ~270ms for 8MB over the tunnel (~35MB/s) — it
+            # swamped the kernel and tracked shared-tunnel load, not the
+            # kernel.
+            @jax.jit
+            def run_scalar(o, d, tmax, _spec=spec):
+                t, tri, u, v = traverse.packet_trace_unsorted(
+                    o, d, 1e-3, tmax, bvh, any_hit=any_hit)
+                return jnp.sum(tri)
+            return run, run_scalar
+
+        for label, o, d, tmax, any_hit in loads:
+            run, run_scalar = make_runs(spec, any_hit)
             t0 = time.time()
-            out = run(o, d)
+            out = run(o, d, tmax)
             hits = int((np.asarray(out) >= 0).sum())
             print(f"compile {spec} {label}: {time.time()-t0:.1f}s "
                   f"hits={hits}/{out.shape[0]}", flush=True)
-            np.asarray(run_scalar(o, d))
-            fns[(spec, label)] = (run, run_scalar, o, d)
+            np.asarray(run_scalar(o, d, tmax))
+            fns[(spec, label)] = (run, run_scalar, o, d, tmax)
 
     results = {k: [] for k in fns}
     for r in range(rounds):
-        for (spec, label), (run, run_scalar, o, d) in fns.items():
+        for (spec, label), (run, run_scalar, o, d, tmax) in fns.items():
             set_env(parse_variant(spec))
-            np.asarray(run_scalar(o, d))  # warm
+            np.asarray(run_scalar(o, d, tmax))  # warm
             t0 = time.time()
-            np.asarray(run_scalar(o, d))
+            np.asarray(run_scalar(o, d, tmax))
             dt = time.time() - t0
             results[(spec, label)].append(o.shape[0] / dt / 1e6)
             print(f"  round {r} {spec} {label}: {o.shape[0]/dt/1e6:.2f} Mrays/s",
@@ -260,14 +299,21 @@ def bench_kernel(variants, rounds=3):
 
     # cross-variant result parity (first two variants)
     if len(variants) >= 2:
-        for label, o, d in loads:
+        for label, o, d, tmax, any_hit in loads:
             set_env(parse_variant(variants[0]))
-            a = np.asarray(fns[(variants[0], label)][0](o, d))
+            a = np.asarray(fns[(variants[0], label)][0](o, d, tmax))
             set_env(parse_variant(variants[1]))
-            b = np.asarray(fns[(variants[1], label)][0](o, d))
-            eq = np.array_equal(a, b)
+            b = np.asarray(fns[(variants[1], label)][0](o, d, tmax))
+            if any_hit:
+                # any-hit contract: occlusion BIT parity (which occluding
+                # tri is reported is unspecified)
+                eq = np.array_equal(a >= 0, b >= 0)
+                n_mis = int(((a >= 0) != (b >= 0)).sum())
+            else:
+                eq = np.array_equal(a, b)
+                n_mis = int((a != b).sum())
             print(f"parity {label}: {'BIT-IDENTICAL' if eq else 'DIFFERS '} "
-                  f"({(a != b).sum()} mismatches)")
+                  f"({n_mis} mismatches)")
 
 
 if __name__ == "__main__":
