@@ -579,10 +579,11 @@ def test_survivor_compaction_invariants():
 
     os.environ["MPT_FUSED_INTERPRET"] = "1"
 
-    def run(compact_depth, identity):
+    def run(compact_depth, identity, key="alive"):
         os.environ["MPT_COMPACT_DEPTH"] = str(compact_depth)
         os.environ["MPT_COMPACT_SEG"] = "4096"
         os.environ["MPT_COMPACT_IDENTITY"] = "1" if identity else "0"
+        os.environ["MPT_COMPACT_KEY"] = key
         jax.clear_caches()
         state, rad, alb, nrm, stats = shade.trace_paths_fused(
             scene, uni, static, st0, o, d)
@@ -594,15 +595,20 @@ def test_survivor_compaction_invariants():
         base = run(0, False)
         perm = run(2, False)
         ident = run(2, True)
+        octm = run(2, False, key="octmorton")
     finally:
         for k in ("MPT_FUSED_INTERPRET", "MPT_COMPACT_DEPTH",
-                  "MPT_COMPACT_SEG", "MPT_COMPACT_IDENTITY"):
+                  "MPT_COMPACT_SEG", "MPT_COMPACT_IDENTITY",
+                  "MPT_COMPACT_KEY"):
             os.environ.pop(k, None)
         jax.clear_caches()
 
-    # (a) permutation invariance at fixed shape: bit-exact everywhere
+    # (a) permutation invariance at fixed shape: bit-exact everywhere —
+    # including the octant+Morton reorder key (just another permutation)
     for i in range(4):
         np.testing.assert_array_equal(perm[i], ident[i])
+        np.testing.assert_array_equal(perm[i], octm[i])
+    assert octm[4] == perm[4] and octm[5] == perm[5]
     # (b) counts and RNG state exact vs no compaction
     assert perm[4] == base[4] and perm[5] == base[5]
     np.testing.assert_array_equal(perm[0], base[0])

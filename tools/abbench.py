@@ -57,6 +57,22 @@ def build_bench_scene(width=1920, height=1080, depth=8):
     from metal_pathtracer_tpu.settings import RenderSettings
     from metal_pathtracer_tpu.utils.procgen import dragon_class_scene_mesh
 
+    if os.environ.get("AB_SCENE", "") == "headline":
+        # the hardened bench.py headline: 1.31M-tri displaced icosphere +
+        # glass dielectric + checker PBR + ground under HDR sun/sky env
+        from metal_pathtracer_tpu.utils.benchscene import (
+            build_bench_scene as build_headline,
+        )
+        settings, res, environment = build_headline(8)
+        settings.maxDepth = depth
+        scene = res.build_arrays(environment=environment)
+        static = settings_to_static(settings, width, height,
+                                    res.material_types_present(),
+                                    res.texture_slots_present(),
+                                    res.texture_uses_uv1())
+        camera = build_camera(settings, width, height)
+        return scene, settings_to_uniforms(settings, camera, 0, 0), static
+
     cache = "/tmp/mpt_bench_scene.pkl"
     settings = RenderSettings()
     settings.cameraTarget = (0.0, 0.0, 0.0)
