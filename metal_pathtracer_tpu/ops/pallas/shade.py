@@ -2354,15 +2354,24 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
     # MPT_COMPACT_SCHEDULE="d:seg,d:seg" compacts more than once as the
     # wavefront shrinks; the single-point MPT_COMPACT_DEPTH/SEG pair is
     # the common case.
+    # Default two-point schedule (on-chip interleaved A/B, headline):
+    # an early depth-1 reorder at 32K segments + the depth-2 8K
+    # compaction measured 4191 -> 4012 ms/sample vs depth-2 alone — at
+    # depth 1 the wavefront is still ~50-70% alive, so the win is the
+    # octant+Morton reorder densifying divergent packets, not width.
+    # (The r03 single-point d1/seg32k=8.25s measurement predated both
+    # multi-point schedules and the octmorton key.)
     sched_env = os.environ.get("MPT_COMPACT_SCHEDULE", "")
-    if sched_env:
-        schedule = [(int(p.split(":")[0]),
-                     max(int(p.split(":")[1]), BLOCK))
-                    for p in sched_env.split(",") if p]
-    else:
-        schedule = [(int(os.environ.get("MPT_COMPACT_DEPTH", "2")),
-                     max(int(os.environ.get("MPT_COMPACT_SEG", "8192")),
-                         BLOCK))]
+    if not sched_env and (os.environ.get("MPT_COMPACT_DEPTH")
+                          or os.environ.get("MPT_COMPACT_SEG")):
+        # legacy single-point overrides still respected
+        sched_env = (f"{os.environ.get('MPT_COMPACT_DEPTH', '2')}:"
+                     f"{os.environ.get('MPT_COMPACT_SEG', '8192')}")
+    if not sched_env:
+        sched_env = "1:32768,2:8192"
+    schedule = [(int(p.split(":")[0]),
+                 max(int(p.split(":")[1]), BLOCK))
+                for p in sched_env.split(",") if p]
     schedule = sorted(
         (d, s) for d, s in schedule
         if 0 < d < static.max_depth and padded > s

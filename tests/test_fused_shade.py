@@ -579,11 +579,15 @@ def test_survivor_compaction_invariants():
 
     os.environ["MPT_FUSED_INTERPRET"] = "1"
 
-    def run(compact_depth, identity, key="alive"):
+    def run(compact_depth, identity, key="alive", sched=None):
         os.environ["MPT_COMPACT_DEPTH"] = str(compact_depth)
         os.environ["MPT_COMPACT_SEG"] = "4096"
         os.environ["MPT_COMPACT_IDENTITY"] = "1" if identity else "0"
         os.environ["MPT_COMPACT_KEY"] = key
+        if sched is not None:
+            os.environ["MPT_COMPACT_SCHEDULE"] = sched
+        else:
+            os.environ.pop("MPT_COMPACT_SCHEDULE", None)
         jax.clear_caches()
         state, rad, alb, nrm, stats = shade.trace_paths_fused(
             scene, uni, static, st0, o, d)
@@ -596,10 +600,11 @@ def test_survivor_compaction_invariants():
         perm = run(2, False)
         ident = run(2, True)
         octm = run(2, False, key="octmorton")
+        multi = run(0, False, key="octmorton", sched="1:4096,3:4096")
     finally:
         for k in ("MPT_FUSED_INTERPRET", "MPT_COMPACT_DEPTH",
                   "MPT_COMPACT_SEG", "MPT_COMPACT_IDENTITY",
-                  "MPT_COMPACT_KEY"):
+                  "MPT_COMPACT_KEY", "MPT_COMPACT_SCHEDULE"):
             os.environ.pop(k, None)
         jax.clear_caches()
 
@@ -619,3 +624,11 @@ def test_survivor_compaction_invariants():
     rmse = float(np.sqrt((dd * dd).mean()))
     assert rmse < 5e-4, (rmse, float(dd.max()))
     assert float((dd.max(-1) < 1e-4).mean()) > 0.95
+    # (d) the multi-point schedule path (two compaction generations)
+    # keeps the same invariants: counts/RNG/AOVs exact, radiance in tol
+    assert multi[4] == base[4] and multi[5] == base[5]
+    np.testing.assert_array_equal(multi[0], base[0])
+    np.testing.assert_array_equal(multi[2], base[2])
+    np.testing.assert_array_equal(multi[3], base[3])
+    dm = np.abs(multi[1] - base[1])
+    assert float(np.sqrt((dm * dm).mean())) < 5e-4

@@ -27,20 +27,31 @@ enable_cache()
 
 def parse_variant(spec):
     env = {}
+    last = None
     for kv in spec.split(","):
+        if "=" not in kv:
+            # comma inside a value (e.g. MPT_COMPACT_SCHEDULE=1:32k,2:8k):
+            # append to the previous key's value
+            if last is None:
+                raise ValueError(f"bad variant token {kv!r} in {spec!r}")
+            env[last] += "," + kv
+            continue
         k, v = kv.split("=")
-        env[{"SORT": "MPT_RAY_SORT", "OCT": "MPT_OCTANT_PASSES",
+        k = {"SORT": "MPT_RAY_SORT", "OCT": "MPT_OCTANT_PASSES",
              "DBG": "MPT_TRAVERSE_DEBUG", "WIDE": "MPT_WIDE",
              "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE",
              "BITV": "MPT_BITVERDICT",
-             "SEXIT": "MPT_SHADOW_EXIT"}.get(k, k)] = v
+             "SEXIT": "MPT_SHADOW_EXIT"}.get(k, k)
+        env[k] = v
+        last = k
     return env
 
 
 def set_env(env):
     for k in ("MPT_RAY_SORT", "MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG",
               "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE", "MPT_BITVERDICT",
-              "MPT_SHADOW_EXIT"):
+              "MPT_SHADOW_EXIT", "MPT_COMPACT_SCHEDULE", "MPT_COMPACT_KEY",
+              "MPT_COMPACT_DEPTH", "MPT_COMPACT_SEG"):
         os.environ.pop(k, None)
     os.environ.update(env)
 
