@@ -203,6 +203,28 @@ def learned_denoise(color, albedo, normal, variance, params,
 
 
 _LEARNED_PARAMS = None
+_UNET_PARAMS = None
+
+
+def _unet_params():
+    """Vendored conv U-Net weights (data/denoiser_unet.npz); None if
+    absent or disabled via MPT_UNET_DENOISE=0."""
+    global _UNET_PARAMS
+    import os
+
+    if os.environ.get("MPT_UNET_DENOISE", "1") != "1":
+        return None
+    if _UNET_PARAMS is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "denoiser_unet.npz")
+        if not os.path.exists(path):
+            _UNET_PARAMS = False
+        else:
+            import numpy as np
+
+            with np.load(path) as z:
+                _UNET_PARAMS = {k: jnp.asarray(z[k]) for k in z.files}
+    return _UNET_PARAMS or None
 
 
 def _learned_params():
@@ -230,15 +252,31 @@ def denoise_state(state, settings):
     """Denoise the averaged image using the RenderState AOVs; returns the
     denoised (H,W,3) image. Normal AOV is stored in [0,1] encoding.
 
-    Filter choice, best first: learned tap weights (when the vendored
-    weights and the second radiance moment are available) -> SVGF-style
-    variance guiding -> fixed-sigma à-trous (resumes from pre-sq_sum
+    Filter choice, best first: conv U-Net (the OIDN-class prior,
+    ops/denoise_unet.py) -> learned tap weights -> SVGF-style variance
+    guiding -> fixed-sigma à-trous (resumes from pre-sq_sum
     checkpoints)."""
     avg = state.present()
     iterations = 5 if settings.denoiseFilterType == 1 else 4
     normal = state.normal  # already world-space unit (pre-encode)
     if state.radiance_sq_sum is not None:
-        params = _learned_params()
+        uparams = _unet_params()
+        tparams = _learned_params()
+        if uparams is not None:
+            from metal_pathtracer_tpu.ops import denoise_unet
+
+            var = state.variance_of_mean()
+            # the U-Net refines the tap-filter prepass (its training base;
+            # svgf is the close-enough fallback when taps are absent)
+            if tparams is not None:
+                base = learned_denoise(avg, state.albedo, normal, var,
+                                       tparams, iterations=iterations)
+            else:
+                base = svgf_denoise(avg, state.albedo, normal, var,
+                                    iterations=iterations)
+            return denoise_unet.denoise(avg, state.albedo, normal, var,
+                                        uparams, base)
+        params = tparams
         # the vendored MLP is trained end-to-end through BOTH iteration
         # counts denoise_state can run (4 = RT, 5 = RTLightmap); other
         # depths would be out-of-distribution -> hand-tuned SVGF

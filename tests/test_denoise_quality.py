@@ -124,6 +124,59 @@ def test_learned_beats_svgf(cornell_renders):
     assert abs(le.mean() - reference.mean()) < 0.01
 
 
+@pytest.mark.slow
+def test_unet_beats_learned_taps(cornell_renders):
+    """The conv U-Net (the OIDN-class prior, ops/denoise_unet.py; weights
+    vendored from tools/train_denoiser_unet.py) must beat the learned
+    tap-weight filter on this scene — which is HELD OUT of training for
+    both (never rendered by either trainer, not even for selection)."""
+    from metal_pathtracer_tpu.ops import denoise_unet
+    from metal_pathtracer_tpu.ops.denoise import (
+        _learned_params,
+        _unet_params,
+        learned_denoise,
+    )
+
+    uparams = _unet_params()
+    tparams = _learned_params()
+    if uparams is None or tparams is None:
+        pytest.skip("no vendored U-Net/tap weights")
+    reference, st = cornell_renders
+    noisy = np.asarray(st.present())
+    le = np.asarray(learned_denoise(noisy, st.albedo, st.normal,
+                                    st.variance_of_mean(), tparams))
+    un = np.asarray(denoise_unet.denoise(
+        noisy, st.albedo, st.normal, st.variance_of_mean(), uparams, le))
+    err_noisy = rmse(noisy, reference)
+    err_un = rmse(un, reference)
+    assert err_un < rmse(le, reference), (
+        f"unet ({err_un:.4f}) should beat learned taps "
+        f"({rmse(le, reference):.4f})")
+    assert err_un < 0.60 * err_noisy
+    assert abs(un.mean() - reference.mean()) < 0.01
+
+
+def test_unet_shapes_and_range():
+    """The pad/crop path handles arbitrary non-multiple-of-8 shapes, and
+    the output is finite and non-negative (the relu'd log residual head
+    contract) even with untrained random weights."""
+    import jax
+
+    from metal_pathtracer_tpu.ops import denoise_unet
+
+    params = denoise_unet.init_params(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(5)
+    color = rng.random((37, 53, 3)).astype(np.float32) * 4.0
+    alb = rng.random((37, 53, 3)).astype(np.float32)
+    nrm = rng.standard_normal((37, 53, 3)).astype(np.float32)
+    var = rng.random((37, 53, 3)).astype(np.float32) * 0.01
+    base = color * 0.9
+    out = np.asarray(denoise_unet.denoise(color, alb, nrm, var, params,
+                                          base))
+    assert out.shape == color.shape
+    assert np.isfinite(out).all() and (out >= 0).all()
+
+
 def test_variance_of_mean_basics():
     """Second-moment accumulation: variance is zero for a deterministic
     constant signal and positive where samples disagree."""

@@ -122,7 +122,8 @@ def bench_frame(variants, spp=None, rounds=None):
     rounds = rounds or int(os.environ.get("AB_ROUNDS", "3"))
     scene, uniforms, static = build_bench_scene(
         int(os.environ.get("AB_W", "1920")),
-        int(os.environ.get("AB_H", "1080")))
+        int(os.environ.get("AB_H", "1080")),
+        depth=int(os.environ.get("AB_DEPTH", "8")))
     width, height = static.width, static.height
 
     fns = []
