@@ -59,7 +59,7 @@ LEAF_QUEUE = 128           # leaf chunks queued per wave (8-wide worst case)
 
 def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             wide: bool, _DEBUG_SKIP: str, group: int, wwave: int,
-            bitv: bool, sexit: bool,
+            bitv: bool, sexit: bool, madd: bool,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
@@ -93,7 +93,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
     for g in range(group):
         sl = slice(g * SUBLANES, (g + 1) * SUBLANES)
         _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                     wwave, bitv, sexit,
+                     wwave, bitv, sexit, madd,
                      nb, nm,
                      ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl],
                      tmax[sl], excl[sl], chunks,
@@ -104,7 +104,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
 
 
 def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                 wwave, bitv, sexit, nb, nm,
+                 wwave, bitv, sexit, madd, nb, nm,
                  ox, oy, oz, dx, dy, dz, tmax, excl,
                  chunks,
                  out_t, out_tri, out_u, out_v, out_stats, sl,
@@ -119,6 +119,28 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                              jnp.where(dy[:] >= 0, 1e-20, -1e-20), dy[:])
     inv_dz = 1.0 / jnp.where(jnp.abs(dz[:]) < 1e-20,
                              jnp.where(dz[:] >= 0, 1e-20, -1e-20), dz[:])
+
+    if madd:
+        # Precomputed-madd slab form (MPT_MADDSLAB): hoist o*inv once per
+        # packet so each bound is `b*inv - oi` — a fused multiply-subtract
+        # pattern — instead of `(b-o)*inv` (sub THEN mul, not fusable).
+        # Numerically ulps away from the sub form, so the margin/hit
+        # comparisons below are widened Embree-robust-style (tfar up,
+        # tnear down by ~2.5 ulp): strictly conservative — slab tests only
+        # GATE chunk/child visits, Moller-Trumbore still decides hits, so
+        # final hits stay bit-identical. Measured: tools/microbench_madd.py.
+        oix = ox[:] * inv_dx
+        oiy = oy[:] * inv_dy
+        oiz = oz[:] * inv_dz
+        _bx = lambda b: b * inv_dx - oix
+        _by = lambda b: b * inv_dy - oiy
+        _bz = lambda b: b * inv_dz - oiz
+        _EU = jnp.float32(1.0000003)
+        _EL = jnp.float32(0.9999997)
+    else:
+        _bx = lambda b: (b - ox[:]) * inv_dx
+        _by = lambda b: (b - oy[:]) * inv_dy
+        _bz = lambda b: (b - oz[:]) * inv_dz
 
     bt_ref[:] = tmax[:]
     btri_ref[:] = jnp.full(tmax.shape, -1.0, jnp.float32)
@@ -157,18 +179,21 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         """-> (margin, entry): (1,1) vectors. margin = max over rays of
         (tfar - tnear) (>=0 means some ray hits); entry = min over hitting
         rays of tnear (for near-first child ordering)."""
-        t0x = (bminx - ox[:]) * inv_dx
-        t1x = (bmaxx - ox[:]) * inv_dx
-        t0y = (bminy - oy[:]) * inv_dy
-        t1y = (bmaxy - oy[:]) * inv_dy
-        t0z = (bminz - oz[:]) * inv_dz
-        t1z = (bmaxz - oz[:]) * inv_dz
+        t0x = _bx(bminx)
+        t1x = _bx(bmaxx)
+        t0y = _by(bminy)
+        t1y = _by(bmaxy)
+        t0z = _bz(bminz)
+        t1z = _bz(bmaxz)
         tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                         jnp.minimum(t0y, t1y)),
                             jnp.maximum(jnp.minimum(t0z, t1z), t_min))
         tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                        jnp.maximum(t0y, t1y)),
                            jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
+        if madd:
+            tnear = tnear * _EL
+            tfar = tfar * _EU
         hit = tfar >= tnear
         margin = jnp.max(tfar - tnear, keepdims=True).reshape(1, 1)
         entry = jnp.min(jnp.where(hit, tnear, jnp.float32(3.0e38)),
@@ -178,18 +203,21 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
     def slab_margin(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
         """Margin only (no entry minimum / hit mask — the callers gate on
         sign alone); ~1/3 fewer vector ops than the full slab_test."""
-        t0x = (bminx - ox[:]) * inv_dx
-        t1x = (bmaxx - ox[:]) * inv_dx
-        t0y = (bminy - oy[:]) * inv_dy
-        t1y = (bmaxy - oy[:]) * inv_dy
-        t0z = (bminz - oz[:]) * inv_dz
-        t1z = (bmaxz - oz[:]) * inv_dz
+        t0x = _bx(bminx)
+        t1x = _bx(bmaxx)
+        t0y = _by(bminy)
+        t1y = _by(bmaxy)
+        t0z = _bz(bminz)
+        t1z = _bz(bmaxz)
         tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                         jnp.minimum(t0y, t1y)),
                             jnp.maximum(jnp.minimum(t0z, t1z), t_min))
         tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                        jnp.maximum(t0y, t1y)),
                            jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
+        if madd:
+            return jnp.max(tfar * _EU - tnear * _EL,
+                           keepdims=True).reshape(1, 1)
         return jnp.max(tfar - tnear, keepdims=True).reshape(1, 1)
 
     def slab_hit(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
@@ -197,18 +225,20 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         comparison slab_margin's `margin >= 0` resolves to, with the
         per-candidate max-reduce (+ lane placement) elided: the bit-packed
         verdict path ORs these masks and reduces ONCE per super/chunk."""
-        t0x = (bminx - ox[:]) * inv_dx
-        t1x = (bmaxx - ox[:]) * inv_dx
-        t0y = (bminy - oy[:]) * inv_dy
-        t1y = (bmaxy - oy[:]) * inv_dy
-        t0z = (bminz - oz[:]) * inv_dz
-        t1z = (bmaxz - oz[:]) * inv_dz
+        t0x = _bx(bminx)
+        t1x = _bx(bmaxx)
+        t0y = _by(bminy)
+        t1y = _by(bmaxy)
+        t0z = _bz(bminz)
+        t1z = _bz(bmaxz)
         tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                         jnp.minimum(t0y, t1y)),
                             jnp.maximum(jnp.minimum(t0z, t1z), t_min))
         tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                        jnp.maximum(t0y, t1y)),
                            jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
+        if madd:
+            return tfar * _EU >= tnear * _EL
         return tfar >= tnear
 
     def or_reduce_full(acc):
@@ -695,10 +725,10 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
                                              "any_hit", "n_passes", "wide",
                                              "debug", "group", "wwave",
-                                             "bitv", "sexit"))
+                                             "bitv", "sexit", "madd"))
 def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
           n_nodes, n_chunks, t_min, any_hit=False, n_passes=1, wide=False,
-          debug="", group=1, wwave=8, bitv=False, sexit=False):
+          debug="", group=1, wwave=8, bitv=False, sexit=False, madd=False):
     rows = rays7[0].shape[0]
     grid = rows // (group * SUBLANES)
     # index maps receive (grid_idx, *scalar_prefetch_refs)
@@ -746,7 +776,7 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             dimension_semantics=("parallel",))
     return pl.pallas_call(
         functools.partial(_kernel, n_nodes, t_min, any_hit, n_passes, wide,
-                          debug, group, wwave, bitv, sexit),
+                          debug, group, wwave, bitv, sexit, madd),
         grid_spec=grid_spec,
         compiler_params=compiler_params,
         out_shape=[
@@ -897,19 +927,26 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
     # never pays for itself. Kept as a measured negative, default OFF
     # (same policy as MPT_BITVERDICT).
     sexit = os.environ.get("MPT_SHADOW_EXIT", "0") == "1"
+    # Precomputed-madd slab form (see _packet_body): measured NEUTRAL
+    # on-chip (tools/microbench_madd.py, r03: 111.2 vs 111.1 ms on an
+    # 8x-dispatch-floor slab loop) — the VPU runs the sub-then-mul form
+    # at the same rate as the mul-sub form, so there is no fused-madd
+    # width to harvest. Kept as a measured negative (same policy as
+    # MPT_BITVERDICT); default OFF.
+    madd = os.environ.get("MPT_MADDSLAB", "0") == "1"
     if wide:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.wnode_cbounds,
                                     bvh.wnode_child, bvh.chunk_tris,
                                     bvh.n_wnodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes, True,
-                                    debug, group, wwave, bitv, sexit)
+                                    debug, group, wwave, bitv, sexit, madd)
     else:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds,
                                     bvh.node_meta, bvh.chunk_tris,
                                     bvh.n_nodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes,
                                     debug=debug, group=group, wwave=wwave,
-                                    bitv=bitv, sexit=sexit)
+                                    bitv=bitv, sexit=sexit, madd=madd)
     flat = lambda x: x.reshape(-1)[:n]
     if return_stats:
         # per-packet counters (reference PathtraceStats nodesVisited /
