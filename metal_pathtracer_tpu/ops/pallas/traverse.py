@@ -59,7 +59,7 @@ LEAF_QUEUE = 128           # leaf chunks queued per wave (8-wide worst case)
 
 def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             wide: bool, _DEBUG_SKIP: str, group: int, wwave: int,
-            bitv: bool, sexit: bool, madd: bool,
+            bitv: bool, sexit: bool, madd: bool, nearf: bool,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
@@ -93,7 +93,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
     for g in range(group):
         sl = slice(g * SUBLANES, (g + 1) * SUBLANES)
         _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                     wwave, bitv, sexit, madd,
+                     wwave, bitv, sexit, madd, nearf,
                      nb, nm,
                      ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl],
                      tmax[sl], excl[sl], chunks,
@@ -104,7 +104,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
 
 
 def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                 wwave, bitv, sexit, madd, nb, nm,
+                 wwave, bitv, sexit, madd, nearf, nb, nm,
                  ox, oy, oz, dx, dy, dz, tmax, excl,
                  chunks,
                  out_t, out_tri, out_u, out_v, out_stats, sl,
@@ -174,6 +174,31 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         # SMEM copy: verdict_smem gets overwritten inside the pass loop
         for k in range(8):
             presence_smem[k] = jnp.where(verdict_smem[0, k] >= 0.0, 1, 0)
+
+    if nearf:
+        # Majority direction octant of the packet (near-first push order,
+        # MPT_NEARFIRST): sign of the alive-masked mean direction per
+        # axis, read back through SMEM once per packet. Post-compaction
+        # bounce segments are octant-grouped (octmorton key), primaries
+        # are octant-pure, so the majority octant is representative.
+        sdx = jnp.sum(jnp.where(alive, dx[:], 0.0), keepdims=True)
+        sdy = jnp.sum(jnp.where(alive, dy[:], 0.0), keepdims=True)
+        sdz = jnp.sum(jnp.where(alive, dz[:], 0.0), keepdims=True)
+        sv = jnp.zeros((1, LANES), jnp.float32)
+        for idx, sval in enumerate((sdx, sdy, sdz)):
+            sv = jnp.where(lane_iota == idx,
+                           jnp.broadcast_to(sval.reshape(1, 1), (1, LANES)),
+                           sv)
+        verdict_vmem[0:1, :] = sv
+        odma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
+                                     verdict_smem.at[pl.ds(0, 1)], vsem)
+        odma.start()
+        odma.wait()
+        oct_s = (jnp.where(verdict_smem[0, 0] < 0.0, 1, 0)
+                 + jnp.where(verdict_smem[0, 1] < 0.0, 2, 0)
+                 + jnp.where(verdict_smem[0, 2] < 0.0, 4, 0))
+    else:
+        oct_s = jnp.int32(0)
 
     def slab_test(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
         """-> (margin, entry): (1,1) vectors. margin = max over rays of
@@ -535,21 +560,51 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             n_desc = jnp.int32(0)
             if bitv:
                 super_bits = bits_smem[0, jnp.clip(i, 0, LANES - 1)]
-            for j in range(7, -1, -1):
-                k = 8 * i + j
-                child = nm[j, nodec]
-                if bitv:
-                    hit = ((super_bits >> j) & jnp.uint32(1)) != 0
-                else:
-                    hit = verdict_smem[0, jnp.clip(k, 0, LANES - 1)] >= 0.0
-                ok = (node >= 0) & hit
-                stack[jnp.minimum(sp, STACK_DEPTH - 1)] = child
-                sp = sp + jnp.where(ok & (child >= 0), 1, 0)
-                n_desc = n_desc + jnp.where(ok & (child != -1), 1, 0)
-                # compacted leaf queue: unconditional write, counter
-                # advances only on real leaves (drain reads [0, nl))
-                leafq[jnp.minimum(nl, LEAF_QUEUE - 1)] = -child - 2
-                nl = nl + jnp.where(ok & (child <= -2), 1, 0)
+            if nearf:
+                # Near-first push order (MPT_NEARFIRST): perm nibbles hold
+                # the node's child slots front-to-back along the packet's
+                # majority octant (packetbvh._octant_orders). Internals
+                # push FAR-first so the near child pops first (LIFO);
+                # leaves queue NEAR-first (FIFO drain) — early commits
+                # shrink the hit window and cull the remaining tree.
+                # Order-only change: closest-hit commits are strict
+                # (t < best), so hits match the fixed order up to exact-t
+                # ties.
+                perm = nm[8 + oct_s, nodec]
+                for rr in range(7, -1, -1):
+                    j = (perm >> (4 * rr)) & 7
+                    child = nm[j, nodec]
+                    hit = verdict_smem[
+                        0, jnp.clip(8 * i + j, 0, LANES - 1)] >= 0.0
+                    ok = (node >= 0) & hit
+                    stack[jnp.minimum(sp, STACK_DEPTH - 1)] = child
+                    sp = sp + jnp.where(ok & (child >= 0), 1, 0)
+                    n_desc = n_desc + jnp.where(ok & (child != -1), 1, 0)
+                for rr in range(8):
+                    j = (perm >> (4 * rr)) & 7
+                    child = nm[j, nodec]
+                    hit = verdict_smem[
+                        0, jnp.clip(8 * i + j, 0, LANES - 1)] >= 0.0
+                    ok = (node >= 0) & hit
+                    leafq[jnp.minimum(nl, LEAF_QUEUE - 1)] = -child - 2
+                    nl = nl + jnp.where(ok & (child <= -2), 1, 0)
+            else:
+                for j in range(7, -1, -1):
+                    k = 8 * i + j
+                    child = nm[j, nodec]
+                    if bitv:
+                        hit = ((super_bits >> j) & jnp.uint32(1)) != 0
+                    else:
+                        hit = verdict_smem[
+                            0, jnp.clip(k, 0, LANES - 1)] >= 0.0
+                    ok = (node >= 0) & hit
+                    stack[jnp.minimum(sp, STACK_DEPTH - 1)] = child
+                    sp = sp + jnp.where(ok & (child >= 0), 1, 0)
+                    n_desc = n_desc + jnp.where(ok & (child != -1), 1, 0)
+                    # compacted leaf queue: unconditional write, counter
+                    # advances only on real leaves (drain reads [0, nl))
+                    leafq[jnp.minimum(nl, LEAF_QUEUE - 1)] = -child - 2
+                    nl = nl + jnp.where(ok & (child <= -2), 1, 0)
             # traversal coherence (reference bothChildrenVisited %): nodes
             # where more than one child survived the packet's slab union
             both = both + jnp.where(n_desc >= 2, 1, 0)
