@@ -780,10 +780,20 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
                                              "any_hit", "n_passes", "wide",
                                              "debug", "group", "wwave",
-                                             "bitv", "sexit", "madd"))
+                                             "bitv", "sexit", "madd",
+                                             "nearf", "interpret"))
 def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
           n_nodes, n_chunks, t_min, any_hit=False, n_passes=1, wide=False,
-          debug="", group=1, wwave=8, bitv=False, sexit=False, madd=False):
+          debug="", group=1, wwave=8, bitv=False, sexit=False, madd=False,
+          nearf=False, interpret=False):
+    # the madd widening (tnear*EL / tfar*EU) is conservative only for
+    # non-negative intervals; t_min >= 0 guarantees tnear >= 0, and tfar
+    # only matters when >= tnear (see ADVICE r03)
+    assert t_min >= 0.0, "packet_trace requires t_min >= 0"
+    # nearf reads ordered-traversal verdicts from verdict_smem; in bitv
+    # mode wave verdicts land in bits_smem instead, so the combination
+    # would traverse on stale data — callers must not request both
+    assert not (nearf and bitv), "MPT_NEARFIRST and MPT_BITVERDICT conflict"
     rows = rays7[0].shape[0]
     grid = rows // (group * SUBLANES)
     # index maps receive (grid_idx, *scalar_prefetch_refs)
@@ -831,9 +841,10 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             dimension_semantics=("parallel",))
     return pl.pallas_call(
         functools.partial(_kernel, n_nodes, t_min, any_hit, n_passes, wide,
-                          debug, group, wwave, bitv, sexit, madd),
+                          debug, group, wwave, bitv, sexit, madd, nearf),
         grid_spec=grid_spec,
         compiler_params=compiler_params,
+        interpret=interpret,
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
@@ -989,19 +1000,34 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
     # width to harvest. Kept as a measured negative (same policy as
     # MPT_BITVERDICT); default OFF.
     madd = os.environ.get("MPT_MADDSLAB", "0") == "1"
+    # Near-first push order (MPT_NEARFIRST=1, wide path only): pop order
+    # follows the packet's majority direction octant using per-octant
+    # permutation nibbles built at BVH time (packetbvh._octant_orders,
+    # forwarded as rows 8-15 of node_meta). Order-only: closest-hit
+    # commits are strict (t < best), so hits are identical up to exact-t
+    # ties. Incompatible with bitv (wave verdicts live in bits_smem there).
+    nearf = (os.environ.get("MPT_NEARFIRST", "0") == "1"
+             and wide and not bitv and bvh.wnode_porder is not None)
+    interpret = os.environ.get("MPT_TRACE_INTERPRET", "0") == "1"
     if wide:
+        node_meta = bvh.wnode_child
+        if nearf:
+            node_meta = jnp.concatenate(
+                [bvh.wnode_child, bvh.wnode_porder], axis=0)
         t, tri, u, v, stats = _call(rays7, excl2, bvh.wnode_cbounds,
-                                    bvh.wnode_child, bvh.chunk_tris,
+                                    node_meta, bvh.chunk_tris,
                                     bvh.n_wnodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes, True,
-                                    debug, group, wwave, bitv, sexit, madd)
+                                    debug, group, wwave, bitv, sexit, madd,
+                                    nearf, interpret)
     else:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds,
                                     bvh.node_meta, bvh.chunk_tris,
                                     bvh.n_nodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes,
                                     debug=debug, group=group, wwave=wwave,
-                                    bitv=bitv, sexit=sexit, madd=madd)
+                                    bitv=bitv, sexit=sexit, madd=madd,
+                                    interpret=interpret)
     flat = lambda x: x.reshape(-1)[:n]
     if return_stats:
         # per-packet counters (reference PathtraceStats nodesVisited /
