@@ -59,14 +59,14 @@ LEAF_QUEUE = 128           # leaf chunks queued per wave (8-wide worst case)
 
 def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             wide: bool, _DEBUG_SKIP: str, group: int, wwave: int,
-            bitv: bool, sexit: bool, madd: bool, nearf: bool,
+            nearf: bool,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
             out_t, out_tri, out_u, out_v, out_stats,
             stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
             bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
-            presence_smem, counters, bits_vmem, bits_smem):
+            presence_smem, counters):
     if _DEBUG_SKIP == "all":
         out_t[:] = tmax[:]
         out_tri[:] = jnp.full((group * SUBLANES, LANES), -1, jnp.int32)
@@ -93,24 +93,24 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
     for g in range(group):
         sl = slice(g * SUBLANES, (g + 1) * SUBLANES)
         _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                     wwave, bitv, sexit, madd, nearf,
+                     wwave, nearf,
                      nb, nm,
                      ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl],
                      tmax[sl], excl[sl], chunks,
                      out_t, out_tri, out_u, out_v, out_stats, sl,
                      stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
                      bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
-                     presence_smem, counters, bits_vmem, bits_smem)
+                     presence_smem, counters)
 
 
 def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                 wwave, bitv, sexit, madd, nearf, nb, nm,
+                 wwave, nearf, nb, nm,
                  ox, oy, oz, dx, dy, dz, tmax, excl,
                  chunks,
                  out_t, out_tri, out_u, out_v, out_stats, sl,
                  stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
                  bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
-                 presence_smem, counters, bits_vmem, bits_smem):
+                 presence_smem, counters):
     """Trace ONE (8,128) packet; ray inputs are jnp values (pre-sliced),
     outputs written to the `sl` rows of the out refs."""
     inv_dx = 1.0 / jnp.where(jnp.abs(dx[:]) < 1e-20,
@@ -120,27 +120,9 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
     inv_dz = 1.0 / jnp.where(jnp.abs(dz[:]) < 1e-20,
                              jnp.where(dz[:] >= 0, 1e-20, -1e-20), dz[:])
 
-    if madd:
-        # Precomputed-madd slab form (MPT_MADDSLAB): hoist o*inv once per
-        # packet so each bound is `b*inv - oi` — a fused multiply-subtract
-        # pattern — instead of `(b-o)*inv` (sub THEN mul, not fusable).
-        # Numerically ulps away from the sub form, so the margin/hit
-        # comparisons below are widened Embree-robust-style (tfar up,
-        # tnear down by ~2.5 ulp): strictly conservative — slab tests only
-        # GATE chunk/child visits, Moller-Trumbore still decides hits, so
-        # final hits stay bit-identical. Measured: tools/microbench_madd.py.
-        oix = ox[:] * inv_dx
-        oiy = oy[:] * inv_dy
-        oiz = oz[:] * inv_dz
-        _bx = lambda b: b * inv_dx - oix
-        _by = lambda b: b * inv_dy - oiy
-        _bz = lambda b: b * inv_dz - oiz
-        _EU = jnp.float32(1.0000003)
-        _EL = jnp.float32(0.9999997)
-    else:
-        _bx = lambda b: (b - ox[:]) * inv_dx
-        _by = lambda b: (b - oy[:]) * inv_dy
-        _bz = lambda b: (b - oz[:]) * inv_dz
+    _bx = lambda b: (b - ox[:]) * inv_dx
+    _by = lambda b: (b - oy[:]) * inv_dy
+    _bz = lambda b: (b - oz[:]) * inv_dz
 
     bt_ref[:] = tmax[:]
     btri_ref[:] = jnp.full(tmax.shape, -1.0, jnp.float32)
@@ -216,9 +198,6 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                        jnp.maximum(t0y, t1y)),
                            jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
-        if madd:
-            tnear = tnear * _EL
-            tfar = tfar * _EU
         hit = tfar >= tnear
         margin = jnp.max(tfar - tnear, keepdims=True).reshape(1, 1)
         entry = jnp.min(jnp.where(hit, tnear, jnp.float32(3.0e38)),
@@ -240,41 +219,7 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                        jnp.maximum(t0y, t1y)),
                            jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
-        if madd:
-            return jnp.max(tfar * _EU - tnear * _EL,
-                           keepdims=True).reshape(1, 1)
         return jnp.max(tfar - tnear, keepdims=True).reshape(1, 1)
-
-    def slab_hit(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
-        """(8,128) bool per-lane hit mask — tfar >= tnear, the exact same
-        comparison slab_margin's `margin >= 0` resolves to, with the
-        per-candidate max-reduce (+ lane placement) elided: the bit-packed
-        verdict path ORs these masks and reduces ONCE per super/chunk."""
-        t0x = _bx(bminx)
-        t1x = _bx(bmaxx)
-        t0y = _by(bminy)
-        t1y = _by(bmaxy)
-        t0z = _bz(bminz)
-        t1z = _bz(bmaxz)
-        tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                        jnp.minimum(t0y, t1y)),
-                            jnp.maximum(jnp.minimum(t0z, t1z), t_min))
-        tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                       jnp.maximum(t0y, t1y)),
-                           jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
-        if madd:
-            return tfar * _EU >= tnear * _EL
-        return tfar >= tnear
-
-    def or_reduce_full(acc):
-        """(8,128) uint32 -> (1,1) bitwise-OR of every element via log
-        rolls (a max/sum reduce would merge different lanes' bit SETS
-        wrongly; OR is what 'any lane hit child j' needs)."""
-        for s in (4, 2, 1):
-            acc = acc | pltpu.roll(acc, s, axis=0)
-        for s in (64, 32, 16, 8, 4, 2, 1):
-            acc = acc | pltpu.roll(acc, s, axis=1)
-        return acc[0:1, 0:1]
 
     def flush_verdicts():
         """verdict_vmem lanes -> verdict_smem rows 0-1 (single DMA; rows
@@ -299,28 +244,6 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         per-axis min/max re-sorts the interval — so without the flag
         every empty group was MT-tested (measured 61% wasted MT work).
         """
-        if bitv:
-            # bit-packed: one uint32 carries all 32 sub-chunk verdicts;
-            # ONE OR-reduce per chunk replaces 32 max-reduce+place pairs
-            # (the reduces were ~30% of each verdict's vector ops).
-            # Culling decisions are bit-identical: `tfar >= tnear` is the
-            # comparison `margin >= 0` resolves to.
-            acc = jnp.zeros(tmax.shape, jnp.uint32)
-            for k in range(SUBCHUNKS):
-                base = k * 6
-                hit = slab_hit(
-                    tri_buf[slot, 9, base + 0], tri_buf[slot, 9, base + 1],
-                    tri_buf[slot, 9, base + 2], tri_buf[slot, 9, base + 3],
-                    tri_buf[slot, 9, base + 4], tri_buf[slot, 9, base + 5])
-                hit = hit & (tri_buf[slot, 9, 6 * SUBCHUNKS + k] > 0.5)
-                acc = acc | jnp.where(hit, jnp.uint32(1 << k),
-                                      jnp.uint32(0))
-            bits = or_reduce_full(acc)
-            bits_vmem[0:1, :] = jnp.broadcast_to(bits, (1, LANES))
-            dma = pltpu.make_async_copy(bits_vmem.at[pl.ds(0, 1)],
-                                        bits_smem.at[pl.ds(bank, 1)], vsem)
-            dma.start()
-            return dma
         acc = jnp.full((1, LANES), -1.0, jnp.float32)
         for k in range(SUBCHUNKS):
             base = k * 6
@@ -395,10 +318,8 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             # measurement mode: full traversal + leaf DMAs + verdicts, MT
             # tests skipped — isolates DMA/verdict cost from MT compute
             return
-        bits = bits_smem[bank, 0] if bitv else None
         for k in range(SUBCHUNKS):
-            gate = (((bits >> k) & jnp.uint32(1)) != 0) if bitv \
-                else verdict_smem[bank, k] >= 0.0
+            gate = verdict_smem[bank, k] >= 0.0
 
             @pl.when(gate)
             def _():
@@ -446,16 +367,10 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                 # the verdict vmem row / this bank
                 @pl.when(i < n_leaf)
                 def _():
-                    if bitv:
-                        pltpu.make_async_copy(
-                            bits_vmem.at[pl.ds(0, 1)],
-                            bits_smem.at[pl.ds(2 + jax.lax.rem(i, 2), 1)],
-                            vsem).wait()
-                    else:
-                        pltpu.make_async_copy(
-                            verdict_vmem.at[pl.ds(0, 1)],
-                            verdict_smem.at[pl.ds(2 + jax.lax.rem(i, 2), 1)],
-                            vsem).wait()
+                    pltpu.make_async_copy(
+                        verdict_vmem.at[pl.ds(0, 1)],
+                        verdict_smem.at[pl.ds(2 + jax.lax.rem(i, 2), 1)],
+                        vsem).wait()
                 return 0
 
             jax.lax.fori_loop(0, n_leaf + 1, body, 0)
@@ -485,71 +400,30 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         # orders children by entry distance (fixed reverse-j order), so
         # computing/flushing entry minima here was pure waste (~1/3 of the
         # per-test vector ops) — removing it is bit-identical.
-        if bitv:
-            # bit-packed: each super's 8 child hit-masks OR into one
-            # uint32 (bit j = child j), ONE OR-reduce per super instead
-            # of a max-reduce + lane placement per child.
-            def cand_body_bits(i, bits_vec):
-                node = cand[jnp.minimum(i, wwave - 1)]
-                valid = node >= 0
-                nodec = jnp.maximum(node, 0)
-                acc = jnp.zeros(tmax.shape, jnp.uint32)
-                for j in range(8):
-                    base = 6 * j
-                    hit = slab_hit(
-                        nb[base + 0, nodec], nb[base + 1, nodec],
-                        nb[base + 2, nodec], nb[base + 3, nodec],
-                        nb[base + 4, nodec], nb[base + 5, nodec])
-                    acc = acc | jnp.where(hit, jnp.uint32(1 << j),
-                                          jnp.uint32(0))
-                bits = or_reduce_full(acc)
-                bits = jnp.where(valid, bits, jnp.uint32(0))
-                return jnp.where(lane_iota == i, bits, bits_vec)
+        def cand_body(i, margins):
+            node = cand[jnp.minimum(i, wwave - 1)]
+            valid = node >= 0
+            nodec = jnp.maximum(node, 0)
+            for j in range(8):
+                base = 6 * j
+                margin = slab_margin(
+                    nb[base + 0, nodec], nb[base + 1, nodec],
+                    nb[base + 2, nodec], nb[base + 3, nodec],
+                    nb[base + 4, nodec], nb[base + 5, nodec])
+                k = 8 * i + j
+                margin = jnp.where(valid, margin, -1.0)
+                margins = jnp.where(lane_iota == k, margin, margins)
+            return margins
 
-            bits_vec = jax.lax.fori_loop(
-                0, popped, cand_body_bits,
-                jnp.zeros((1, LANES), jnp.uint32))
-            bits_vmem[0:1, :] = bits_vec
-            dma = pltpu.make_async_copy(bits_vmem.at[pl.ds(0, 1)],
-                                        bits_smem.at[pl.ds(0, 1)], vsem)
-            dma.start()
-            dma.wait()
-        else:
-            def cand_body(i, margins):
-                node = cand[jnp.minimum(i, wwave - 1)]
-                valid = node >= 0
-                nodec = jnp.maximum(node, 0)
-                for j in range(8):
-                    base = 6 * j
-                    margin = slab_margin(
-                        nb[base + 0, nodec], nb[base + 1, nodec],
-                        nb[base + 2, nodec], nb[base + 3, nodec],
-                        nb[base + 4, nodec], nb[base + 5, nodec])
-                    k = 8 * i + j
-                    margin = jnp.where(valid, margin, -1.0)
-                    margins = jnp.where(lane_iota == k, margin, margins)
-                return margins
-
-            margins = jax.lax.fori_loop(
-                0, popped, cand_body,
-                jnp.full((1, LANES), -1.0, jnp.float32))
-            verdict_vmem[0:1, :] = margins
-            if any_hit and sexit:
-                # all-occluded early exit: occlusion commits collapse a
-                # lane's window to 0, so once max(window) <= t_min no lane
-                # can ever commit again — the remaining stack is pure slab-
-                # test waste. The flag rides the SAME verdict flush (row 1,
-                # otherwise unused on the wide path): one extra max-reduce
-                # per wave, no extra DMA.
-                aw = jnp.max(wt_ref[:], keepdims=True).reshape(1, 1)
-                verdict_vmem[1:2, :] = jnp.broadcast_to(aw, (1, LANES))
-                flush_verdicts()
-            else:
-                dma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
-                                            verdict_smem.at[pl.ds(0, 1)],
-                                            vsem)
-                dma.start()
-                dma.wait()
+        margins = jax.lax.fori_loop(
+            0, popped, cand_body,
+            jnp.full((1, LANES), -1.0, jnp.float32))
+        verdict_vmem[0:1, :] = margins
+        dma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
+                                    verdict_smem.at[pl.ds(0, 1)],
+                                    vsem)
+        dma.start()
+        dma.wait()
 
         # ---- scalar phase: push internal survivors, queue leaf chunks --
         def push_body(p, carry):
@@ -558,8 +432,6 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             node = cand[jnp.clip(i, 0, wwave - 1)]
             nodec = jnp.maximum(node, 0)
             n_desc = jnp.int32(0)
-            if bitv:
-                super_bits = bits_smem[0, jnp.clip(i, 0, LANES - 1)]
             if nearf:
                 # Near-first push order (MPT_NEARFIRST): perm nibbles hold
                 # the node's child slots front-to-back along the packet's
@@ -592,11 +464,8 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                 for j in range(7, -1, -1):
                     k = 8 * i + j
                     child = nm[j, nodec]
-                    if bitv:
-                        hit = ((super_bits >> j) & jnp.uint32(1)) != 0
-                    else:
-                        hit = verdict_smem[
-                            0, jnp.clip(k, 0, LANES - 1)] >= 0.0
+                    hit = verdict_smem[
+                        0, jnp.clip(k, 0, LANES - 1)] >= 0.0
                     ok = (node >= 0) & hit
                     stack[jnp.minimum(sp, STACK_DEPTH - 1)] = child
                     sp = sp + jnp.where(ok & (child >= 0), 1, 0)
@@ -613,14 +482,6 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         sp, n_both, n_leaf = jax.lax.fori_loop(
             0, popped, push_body, (sp, jnp.int32(0), jnp.int32(0)))
         counters[2] = counters[2] + n_both
-        if any_hit and sexit and not bitv:
-            # drop the stack + this wave's leaves once every lane's window
-            # collapsed (wt reflects state after the LAST wave's drain, so
-            # any leaf queued this wave can no longer commit — value-
-            # identical, just skips dead work)
-            live = verdict_smem[1, 0] > t_min
-            sp = jnp.where(live, sp, 0)
-            n_leaf = jnp.where(live, n_leaf, 0)
 
         # ---- leaf phase -------------------------------------------------
         if "leaf" not in _DEBUG_SKIP:
@@ -682,11 +543,6 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             0, (n_cand + 3) // 4, cand_body4,
             (jnp.full((1, LANES), -1.0, jnp.float32),
              jnp.full((1, LANES), 3.0e38, jnp.float32)))
-        if any_hit and sexit:
-            # all-occluded early exit (see wave_body_wide): flag rides the
-            # verdict flush in row 0's last lane (candidates use 0..63)
-            aw = jnp.max(wt_ref[:], keepdims=True).reshape(1, 1)
-            margins = jnp.where(lane_iota == LANES - 1, aw, margins)
         verdict_vmem[0:1, :] = margins
         verdict_vmem[1:2, :] = entries
         flush_verdicts()
@@ -719,10 +575,6 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         sp, n_both = jax.lax.fori_loop(0, popped, push_body,
                                        (sp, jnp.int32(0)))
         counters[2] = counters[2] + n_both
-        if any_hit and sexit:
-            live = verdict_smem[0, LANES - 1] > t_min
-            sp = jnp.where(live, sp, 0)
-            n_leaf = jnp.where(live, n_leaf, 0)
 
         # ---- leaf phase ------------------------------------------------
         if "leaf" not in _DEBUG_SKIP:
@@ -780,20 +632,11 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
                                              "any_hit", "n_passes", "wide",
                                              "debug", "group", "wwave",
-                                             "bitv", "sexit", "madd",
                                              "nearf", "interpret"))
 def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
           n_nodes, n_chunks, t_min, any_hit=False, n_passes=1, wide=False,
-          debug="", group=1, wwave=8, bitv=False, sexit=False, madd=False,
-          nearf=False, interpret=False):
-    # the madd widening (tnear*EL / tfar*EU) is conservative only for
-    # non-negative intervals; t_min >= 0 guarantees tnear >= 0, and tfar
-    # only matters when >= tnear (see ADVICE r03)
+          debug="", group=1, wwave=8, nearf=False, interpret=False):
     assert t_min >= 0.0, "packet_trace requires t_min >= 0"
-    # nearf reads ordered-traversal verdicts from verdict_smem; in bitv
-    # mode wave verdicts land in bits_smem instead, so the combination
-    # would traverse on stale data — callers must not request both
-    assert not (nearf and bitv), "MPT_NEARFIRST and MPT_BITVERDICT conflict"
     rows = rays7[0].shape[0]
     grid = rows // (group * SUBLANES)
     # index maps receive (grid_idx, *scalar_prefetch_refs)
@@ -827,9 +670,6 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # pass window (wt)
             pltpu.SMEM((8,), jnp.int32),                 # octant presence
             pltpu.SMEM((4,), jnp.int32),                 # stats counters
-            pltpu.VMEM((1, LANES), jnp.uint32),          # bit verdicts
-            pltpu.SMEM((4, LANES), jnp.uint32),          # bit verdicts:
-            # row 0 wave supers, rows 2-3 leaf-drain banks (bitv mode)
         ],
     )
     # Grid steps (packets) are independent: PARALLEL semantics lets
@@ -841,7 +681,7 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             dimension_semantics=("parallel",))
     return pl.pallas_call(
         functools.partial(_kernel, n_nodes, t_min, any_hit, n_passes, wide,
-                          debug, group, wwave, bitv, sexit, madd, nearf),
+                          debug, group, wwave, nearf),
         grid_spec=grid_spec,
         compiler_params=compiler_params,
         interpret=interpret,
@@ -863,10 +703,9 @@ def packet_trace(origin, direction, t_min, t_max, bvh: PacketBvh,
     returned tri index is *a* hit (not the nearest) and t is meaningless —
     shadow-ray semantics with in-kernel early union collapse.
 
-    Rays are traced in (octant, origin-Morton) sorted order so bounce
-    wavefronts form tight packets (ops/pallas/raysort.py; per-ray results
-    are order-independent, so outputs are bit-identical either way).
-    Disable with MPT_RAY_SORT=0.
+    Packet coherence comes from upstream order: the renderer's 8x128
+    pixel tiles for primaries, and the survivor compaction's
+    octant+Morton reorder for bounce wavefronts (ops/pallas/shade.py).
     """
     n = origin.shape[0]
 
@@ -912,32 +751,13 @@ def packet_trace(origin, direction, t_min, t_max, bvh: PacketBvh,
 
         return untake(t), untake(tri), untake(u), untake(v)
 
-    # Default off: with the wide kernel the partition's XLA gather cost
-    # (~5ms per 64K-lane trace) exceeds its dead-lane savings — measured
-    # frame A/B 1.25 vs 0.91 Mrays/s (tools/abbench.py, r02).
-    sort_mode = os.environ.get("MPT_RAY_SORT", "0")
-    if sort_mode != "0" and n >= BLOCK:
-        from metal_pathtracer_tpu.ops.pallas import raysort
-        t_max_full = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-        dead = t_max_full <= t_min
-        if sort_mode == "1":
-            # full (octant, Morton) re-keying + dead compaction
-            smin = bvh.chunk_aabb[:, 0:3].min(0)
-            smax = bvh.chunk_aabb[:, 3:6].max(0)
-            sinv = 1.0 / jnp.maximum(smax - smin, 1e-6)
-            perm, inv = raysort.sort_rays(origin, direction, smin, sinv, dead)
-        elif sort_mode == "3":
-            # tile-local octant grouping + dead compaction
-            perm, inv = raysort.sort_octant_in_tile(direction, dead)
-        else:
-            # stable alive-first partition: tile coherence preserved
-            perm, inv = raysort.partition_dead(dead)
-        t_max_arr = t_max_full[perm]
-        excl_s = exclude_prim[perm] if exclude_prim is not None else None
-        t, tri, u, v = packet_trace_unsorted(
-            origin[perm], direction[perm], t_min, t_max_arr, bvh,
-            exclude_prim=excl_s, any_hit=any_hit)
-        return t[inv], tri[inv], u[inv], v[inv]
+    # Lane-granular XLA-side ray sorting (full octant+Morton re-key,
+    # tile-local octant grouping, alive-first partition) was measured a
+    # LOSS on every load and removed (r02/r03 MPT_RAY_SORT entries in
+    # BENCHMARKS.md; the gather cost at wavefront scale exceeds any
+    # packing gain). The survivor-compaction reorder in the frame loop
+    # (ops/pallas/shade.py octmorton key) provides the winning, DMA-shaped
+    # version of the same idea.
     return packet_trace_unsorted(origin, direction, t_min, t_max, bvh,
                                  exclude_prim=exclude_prim, any_hit=any_hit)
 
@@ -976,38 +796,20 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
     # 8 children per wide node; >16 waves could queue more than LEAF_QUEUE
     # chunks and the clamp at the leafq write would silently drop hits.
     wwave = min(max(int(os.environ.get("MPT_WWAVE", "8")), 1), LEAF_QUEUE // 8)
-    # Bit-packed verdicts (MPT_BITVERDICT=1): OR per-lane hit masks into
-    # one uint32 per super/chunk, ONE log-roll OR-reduce instead of a
-    # max-reduce + lane-place per candidate. Measured on-chip
-    # (tools/abbench.py kernel BITV=1 BITV=0, r03): BIT-IDENTICAL results
-    # but 20-40% SLOWER on every load (primary 29 vs 35, bounce-real 19
-    # vs 24 Mrays/s) — Mosaic's native (8,128)->scalar max-reduce is far
-    # cheaper than the roll chain + uint32 selects that replace it, so
-    # the "reduce is ~10 ops" cost model was wrong. Kept as a measured
-    # negative (same policy as culltrace.py); default OFF.
-    bitv = os.environ.get("MPT_BITVERDICT", "0") == "1"
-    # All-occluded early exit for shadow packets: measured NEUTRAL-to-
-    # -2% on both a sparse-hit env-NEE load and a 98%-occluded load
-    # (BENCHMARKS.md) — the all-1024-lanes-occluded state almost never
-    # holds while stack work remains, so the per-wave max-reduce+flush
-    # never pays for itself. Kept as a measured negative, default OFF
-    # (same policy as MPT_BITVERDICT).
-    sexit = os.environ.get("MPT_SHADOW_EXIT", "0") == "1"
-    # Precomputed-madd slab form (see _packet_body): measured NEUTRAL
-    # on-chip (tools/microbench_madd.py, r03: 111.2 vs 111.1 ms on an
-    # 8x-dispatch-floor slab loop) — the VPU runs the sub-then-mul form
-    # at the same rate as the mul-sub form, so there is no fused-madd
-    # width to harvest. Kept as a measured negative (same policy as
-    # MPT_BITVERDICT); default OFF.
-    madd = os.environ.get("MPT_MADDSLAB", "0") == "1"
+    # NOTE: four in-kernel modes were implemented, measured negative on
+    # hardware, and removed (see BENCHMARKS.md r03 "measured negatives"
+    # and git history): bit-packed verdict reductions (MPT_BITVERDICT),
+    # all-occluded shadow early exit (MPT_SHADOW_EXIT), precomputed-madd
+    # slab form (MPT_MADDSLAB), and XLA-side lane ray sorting
+    # (MPT_RAY_SORT).
     # Near-first push order (MPT_NEARFIRST=1, wide path only): pop order
     # follows the packet's majority direction octant using per-octant
     # permutation nibbles built at BVH time (packetbvh._octant_orders,
     # forwarded as rows 8-15 of node_meta). Order-only: closest-hit
     # commits are strict (t < best), so hits are identical up to exact-t
-    # ties. Incompatible with bitv (wave verdicts live in bits_smem there).
+    # ties.
     nearf = (os.environ.get("MPT_NEARFIRST", "0") == "1"
-             and wide and not bitv and bvh.wnode_porder is not None)
+             and wide and bvh.wnode_porder is not None)
     interpret = os.environ.get("MPT_TRACE_INTERPRET", "0") == "1"
     if wide:
         node_meta = bvh.wnode_child
@@ -1018,15 +820,13 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
                                     node_meta, bvh.chunk_tris,
                                     bvh.n_wnodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes, True,
-                                    debug, group, wwave, bitv, sexit, madd,
-                                    nearf, interpret)
+                                    debug, group, wwave, nearf, interpret)
     else:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds,
                                     bvh.node_meta, bvh.chunk_tris,
                                     bvh.n_nodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes,
                                     debug=debug, group=group, wwave=wwave,
-                                    bitv=bitv, sexit=sexit, madd=madd,
                                     interpret=interpret)
     flat = lambda x: x.reshape(-1)[:n]
     if return_stats:

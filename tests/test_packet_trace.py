@@ -65,9 +65,6 @@ def _brute(o, d, tris, t_min=1e-3):
 @pytest.mark.parametrize("mode_env", [
     {},
     {"MPT_NEARFIRST": "1"},
-    {"MPT_BITVERDICT": "1"},
-    {"MPT_SHADOW_EXIT": "1"},
-    {"MPT_MADDSLAB": "1"},
     {"MPT_OCTANT_PASSES": "1"},
     {"MPT_WIDE": "0"},
     {"MPT_TRAVERSE_DEBUG": "fakehit"},

@@ -8,7 +8,7 @@ separate jit wrappers) and kernel-only loads (coherent primaries /
 synthetic bounce wavefronts against the dragon-class BVH).
 
 Usage:
-  python tools/abbench.py frame  SORT=2,OCT=1  SORT=0,OCT=1 ...
+  python tools/abbench.py frame  NEARF=1  NEARF=0 ...
   python tools/abbench.py kernel OCT=0 OCT=1
 """
 
@@ -37,20 +37,19 @@ def parse_variant(spec):
             env[last] += "," + kv
             continue
         k, v = kv.split("=")
-        k = {"SORT": "MPT_RAY_SORT", "OCT": "MPT_OCTANT_PASSES",
+        k = {"OCT": "MPT_OCTANT_PASSES",
              "DBG": "MPT_TRAVERSE_DEBUG", "WIDE": "MPT_WIDE",
              "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE",
-             "BITV": "MPT_BITVERDICT",
-             "SEXIT": "MPT_SHADOW_EXIT"}.get(k, k)
+             "NEARF": "MPT_NEARFIRST"}.get(k, k)
         env[k] = v
         last = k
     return env
 
 
 def set_env(env):
-    for k in ("MPT_RAY_SORT", "MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG",
-              "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE", "MPT_BITVERDICT",
-              "MPT_SHADOW_EXIT", "MPT_COMPACT_SCHEDULE", "MPT_COMPACT_KEY",
+    for k in ("MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG",
+              "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE", "MPT_NEARFIRST",
+              "MPT_COMPACT_SCHEDULE", "MPT_COMPACT_KEY",
               "MPT_COMPACT_DEPTH", "MPT_COMPACT_SEG"):
         os.environ.pop(k, None)
     os.environ.update(env)

@@ -3,7 +3,7 @@
 
 Runs the bench scene (procedural dragon-class mesh) at a configurable
 resolution and times render_samples under the kernel/sort bisection env
-vars (MPT_TRAVERSE_DEBUG, MPT_RAY_SORT). Run via tools/stagesplit.sh to
+vars (MPT_TRAVERSE_DEBUG). Run via tools/stagesplit.sh to
 sweep configurations (env vars are read at import/trace time).
 """
 
