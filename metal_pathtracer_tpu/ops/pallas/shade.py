@@ -1086,12 +1086,16 @@ def _sample_bsdf(m: Mat, n: V3, wo: V3, incident: V3, front_face, state,
 #            shadow-trace occlusion), BSDF sample, medium stack, RR, commit
 # ---------------------------------------------------------------------------
 
-#: transient planes S1 -> S2 (values not recomputable in S2)
+#: transient planes S1 -> S2 (values not recomputable in S2); u4-u6 are
+#: the environment draws when rect and env NEE run together (rect draws
+#: come first, matching the XLA body's draw order)
 TRANS = ["u1", "u2", "u3", "lrough", "snx", "sny", "snz",
-         "nfx", "nfy", "nfz", "px", "py", "pz", "active", "delta"]
+         "nfx", "nfy", "nfz", "px", "py", "pz", "active", "delta",
+         "u4", "u5", "u6"]
 TRANS_IDX = {n: i for i, n in enumerate(TRANS)}
 
-#: env alias-stage results + occlusion, XLA -> S2
+#: NEE sample-stage results + occlusion, XLA -> S2 (one bank per light
+#: integral: rect esmp rides bank 0 and env bank 1 when both run)
 ESMP = ["edx", "edy", "edz", "err", "erg", "erb", "epdf", "evalid", "occl"]
 ESMP_IDX = {n: i for i, n in enumerate(ESMP)}
 
@@ -1100,9 +1104,13 @@ ESMP_IDX = {n: i for i, n in enumerate(ESMP)}
 CHAIN = ["wr", "wg", "wb", "dpdf", "medev", "active", "front"]
 CHAIN_IDX = {n: i for i, n in enumerate(CHAIN)}
 
-#: XLA texture-stage override planes (apply_pbr_textures outputs)
+#: XLA texture-stage override planes (apply_pbr_textures outputs).
+#: tnx-tnz carry the (possibly normal-mapped) shading normal, ttrans the
+#: textured transmission, tpbr the PBR-triangle lane flag that scopes the
+#: normal override (non-PBR lanes keep the kernel's own reconstruction).
 TEX = ["tbr", "tbg", "tbb", "trough", "tmetal",
-       "temr", "temg", "temb", "tocc", "tpass"]
+       "temr", "temg", "temb", "tocc", "tpass",
+       "tnx", "tny", "tnz", "ttrans", "tpbr"]
 TEX_IDX = {n: i for i, n in enumerate(TEX)}
 
 
@@ -1117,7 +1125,8 @@ def _environment_lighting_roughness(m: Mat, types):
 
 
 def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
-                  has_prims=False, rect_nee=False, chains=False):
+                  has_prims=False, rect_nee=False, chains=False,
+                  has_emod=False):
     """One stage of the fused shade (see module docstring for the split).
 
     has_prims: scene contains analytic spheres/rects — non-triangle hit
@@ -1126,12 +1135,22 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
     hit_spheres/hit_rects normal path exactly (raw normal in the n0
     columns, NO renormalization — bit-parity with intersect.py).
 
-    rect_nee: scene has emissive rectangles and no env map — the same
-    S1/shadow/S2 split as env NEE, with the XLA host sampling the rect
-    light from the exported u1-u3 draws; the envpdf input slot carries
-    _rect_light_pdf_for_hit for the emissive-hit MIS weight."""
+    rect_nee: scene has emissive rectangles — the same S1/shadow/S2 split
+    as env NEE, with the XLA host sampling the rect light from the
+    exported u1-u3 draws. Without env_mode the envpdf input slot carries
+    _rect_light_pdf_for_hit for the emissive-hit MIS weight; WITH
+    env_mode (rect + env NEE together, integrator runs both blocks) a
+    separate rectpdf input carries it, S1 exports the env draws as
+    u4-u6, and S2 commits two esmp banks (rect then env — the XLA body's
+    radiance add order).
+
+    has_emod: DIFFUSE_LIGHT emission is env-modulated (emission_env
+    materials under an environment background) — an XLA pre-stage
+    computes environment_color(-shading_normal) per lane and the
+    emissive-hit block multiplies it in (integrator body ~:435-442)."""
     L = layout
     types = set(static.material_types)
+    both_nee = rect_nee and env_mode
 
     # --- parse the positional ref list (mirrors _shade_call's order) ----
     it = iter(refs)
@@ -1147,6 +1166,8 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
     envbg_ref = next(it) if (env_mode and stage in ("s1",)) else None
     envpdf_ref = next(it) if ((env_mode or rect_nee)
                               and stage in ("s1",)) else None
+    rectpdf_ref = next(it) if (both_nee and stage in ("s1",)) else None
+    emod_ref = next(it) if (has_emod and stage in ("s1",)) else None
     trans_in_ref = next(it) if stage == "s2" else None
     esmp_ref = next(it) if stage == "s2" else None
     tex_ref = next(it) if has_tex else None
@@ -1184,8 +1205,8 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
     def tex(name):
         return tex_ref[TEX_IDX[name], 0]
 
-    def esmp(name):
-        return esmp_ref[ESMP_IDX[name], 0]
+    def esmp(name, bank=0):
+        return esmp_ref[bank * len(ESMP) + ESMP_IDX[name], 0]
 
     clamp_p = Clamp(
         factor=scal("clamp_factor"), floor=scal("clamp_floor"),
@@ -1236,7 +1257,9 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
         raw_n = rowv(9)
         front_nt = vdot(ray_d, raw_n) < 0.0
         nf_nt = vwhere(front_nt, raw_n, -raw_n)
-        front = jnp.where(plain_tri, front, front_nt)
+        # logical ops, not where: bool-valued select_n lowers to an i8->i1
+        # trunci this runtime's Mosaic rejects (BENCHMARKS.md tunnel notes)
+        front = (plain_tri & front) | (~plain_tri & front_nt)
         n_faced = vwhere(plain_tri, n_faced, nf_nt)
     else:
         is_tri = None
@@ -1285,10 +1308,18 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
         m = m._replace(
             base=V3(tex("tbr"), tex("tbg"), tex("tbb")),
             roughness=tex("trough"),
-            pbr_metallic=tex("tmetal"))
+            pbr_metallic=tex("tmetal"),
+            pbr_transmission=tex("ttrans"))
         pbr_emissive = V3(tex("temr"), tex("temg"), tex("temb"))
         diffuse_occlusion = tex("tocc")
         passthrough = tex("tpass") > 0.5
+        if stage != "s2":
+            # normal-mapped shading normal (integrator: shading_normal =
+            # texd.shading_normal, applied before the dielectric force);
+            # S2 reads the final normal from the S1 transients instead
+            shading_normal = vwhere(tex("tpbr") > 0.5,
+                                    V3(tex("tnx"), tex("tny"), tex("tnz")),
+                                    shading_normal)
     incident = vnormalize(ray_d)
     wo = -incident
     if C.MATERIAL_DIELECTRIC in types:
@@ -1375,22 +1406,27 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
             radiance = radiance + vwhere(pbr_emit, contrib, zero3)
 
         # ---- DiffuseLight hit -> emit, terminate -----------------------
-        # (env-modulated emission is gated out of the fused env path)
         light_hit = active & (m.mat_type == C.MATERIAL_DIFFUSE_LIGHT)
         if C.MATERIAL_DIFFUSE_LIGHT in types:
             emission = m.emission
+            if has_emod:
+                # env-modulated emission (integrator body ~:435-442): the
+                # XLA pre-stage computed environment_color(-shading_normal)
+                emod = V3(emod_ref[0, 0], emod_ref[1, 0], emod_ref[2, 0])
+                use_env = (m.emission_env > 0.0) & front
+                emission = vwhere(use_env, emission * emod, emission)
             has_em = (emission.x != 0.0) | (emission.y != 0.0) \
                 | (emission.z != 0.0)
             emit_ok = has_em & (front | two_sided)
             l_mis = jnp.ones_like(t_hit)
             if rect_nee:
                 # emissive-hit MIS vs the rect-light pdf of THIS hit
-                # (integrator: _rect_light_pdf_for_hit, fed via the
-                # envpdf input slot)
+                # (integrator: _rect_light_pdf_for_hit; rides the envpdf
+                # slot rect-only, its own slot when env NEE also runs)
                 use_specular_mis = jnp.logical_or(
                     jnp.logical_not(ld("last_delta") > 0.5),
                     static.enable_specular_nee or static.enable_mnee)
-                light_pdf = envpdf_ref[0]
+                light_pdf = rectpdf_ref[0] if both_nee else envpdf_ref[0]
                 last_pdf0 = ld("last_pdf")
                 denom = last_pdf0 + light_pdf
                 wmis = jnp.clip(last_pdf0 / jnp.maximum(denom, 1e-30),
@@ -1409,7 +1445,8 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
         first_hit_next = None
 
     if stage == "s1":
-        # ---- env NEE draws (sample_environment's 3 draws) --------------
+        # ---- NEE draws (3 per light integral; rect first, then env —
+        # the XLA body's draw order) --------------------------------------
         surface_is_delta = _material_is_delta(m)
         nee_lanes = (active & jnp.logical_not(surface_is_delta)
                      & jnp.logical_not(passthrough))
@@ -1417,6 +1454,12 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
         s_env, u1 = _rand(s_env)
         s_env, u2 = _rand(s_env)
         s_env, u3 = _rand(s_env)
+        if both_nee:
+            s_env, u4 = _rand(s_env)
+            s_env, u5 = _rand(s_env)
+            s_env, u6 = _rand(s_env)
+        else:
+            u4 = u5 = u6 = jnp.zeros_like(u1)
         state1 = jnp.where(nee_lanes, s_env, state0)
 
         keep = alive0
@@ -1456,36 +1499,44 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
         trans_out("pz", point.z)
         trans_out("active", jnp.where(active, 1.0, 0.0))
         trans_out("delta", jnp.where(surface_is_delta, 1.0, 0.0))
+        trans_out("u4", u4)
+        trans_out("u5", u5)
+        trans_out("u6", u6)
         return
 
     if stage == "s2":
-        # ---- env NEE contribution (integrator body env section) --------
+        # ---- NEE contributions (integrator body rect + env sections;
+        # one esmp bank per light integral, rect first) -------------------
         surface_is_delta = trans_in("delta") > 0.5
         nee_lanes = (active & jnp.logical_not(surface_is_delta)
                      & jnp.logical_not(passthrough))
-        e_dir = V3(esmp("edx"), esmp("edy"), esmp("edz"))
-        e_radiance = V3(esmp("err"), esmp("erg"), esmp("erb"))
-        e_pdf = esmp("epdf")
-        e_valid = esmp("evalid") > 0.5
-        occluded = esmp("occl") > 0.5
-        n_dot_l = jnp.maximum(vdot(shading_normal, e_dir), 0.0)
-        do_shadow = nee_lanes & e_valid & (e_pdf > 0.0) & (n_dot_l > 0.0)
-        ev_value, ev_pdf, ev_delta = _evaluate_bsdf(
-            m, shading_normal, wo, e_dir, clamp_p, diffuse_occlusion, types)
-        max_comp = vmax(ev_value)
-        wmis = jnp.ones_like(e_pdf)
-        denom = e_pdf + ev_pdf
-        wmis = jnp.where(ev_pdf > 0.0,
-                         jnp.clip(e_pdf / jnp.maximum(denom, 1e-30),
-                                  C.MIS_WEIGHT_CLAMP_MIN,
-                                  C.MIS_WEIGHT_CLAMP_MAX), wmis)
-        contribution = (e_radiance * ev_value
-                        * (n_dot_l * wmis / jnp.maximum(e_pdf, 1e-30)))
-        add = (do_shadow & jnp.logical_not(occluded)
-               & jnp.logical_not(ev_delta)
-               & (max_comp > 0.0) & vfinite(contribution))
-        clamped = _clamp_firefly(throughput, contribution, clamp_p)
-        radiance = radiance + vwhere(add, clamped, zero3)
+        for bank in range(2 if both_nee else 1):
+            e_dir = V3(esmp("edx", bank), esmp("edy", bank),
+                       esmp("edz", bank))
+            e_radiance = V3(esmp("err", bank), esmp("erg", bank),
+                            esmp("erb", bank))
+            e_pdf = esmp("epdf", bank)
+            e_valid = esmp("evalid", bank) > 0.5
+            occluded = esmp("occl", bank) > 0.5
+            n_dot_l = jnp.maximum(vdot(shading_normal, e_dir), 0.0)
+            do_shadow = nee_lanes & e_valid & (e_pdf > 0.0) & (n_dot_l > 0.0)
+            ev_value, ev_pdf, ev_delta = _evaluate_bsdf(
+                m, shading_normal, wo, e_dir, clamp_p, diffuse_occlusion,
+                types)
+            max_comp = vmax(ev_value)
+            wmis = jnp.ones_like(e_pdf)
+            denom = e_pdf + ev_pdf
+            wmis = jnp.where(ev_pdf > 0.0,
+                             jnp.clip(e_pdf / jnp.maximum(denom, 1e-30),
+                                      C.MIS_WEIGHT_CLAMP_MIN,
+                                      C.MIS_WEIGHT_CLAMP_MAX), wmis)
+            contribution = (e_radiance * ev_value
+                            * (n_dot_l * wmis / jnp.maximum(e_pdf, 1e-30)))
+            add = (do_shadow & jnp.logical_not(occluded)
+                   & jnp.logical_not(ev_delta)
+                   & (max_comp > 0.0) & vfinite(contribution))
+            clamped = _clamp_firefly(throughput, contribution, clamp_p)
+            radiance = radiance + vwhere(add, clamped, zero3)
 
     # ---- BSDF sampling (stages "full" and "s2") ------------------------
     nstate, smp = _sample_bsdf(m, shading_normal, wo, incident, front,
@@ -1673,12 +1724,6 @@ def fused_supported(scene, static) -> bool:
             return False
     if scene.materials.count > 32:
         return False
-    if scene.light_rect_indices is not None \
-            and scene.light_rect_indices.shape[0] > 0:
-        if static.background_mode == 2:
-            # rect NEE + env NEE together would need a second shadow
-            # split; rect lights are covered for sky/solid backgrounds
-            return False
     if static.debug_specular_only:
         return False
     types = set(static.material_types)
@@ -1689,14 +1734,6 @@ def fused_supported(scene, static) -> bool:
     env_mode = static.background_mode == 2
     if env_mode:
         if scene.environment is None:
-            return False
-        # env-modulated light emission needs env gathers per light hit
-        if C.MATERIAL_DIFFUSE_LIGHT in types:
-            return False
-    if scene.textures is not None and C.MATERIAL_PBR in types:
-        # fused texture pre-stage covers base-color-slot-only, fully
-        # opaque sets (static fact computed at scene build)
-        if not getattr(scene, "tex_base_only_opaque", False):
             return False
     return True
 
@@ -1717,15 +1754,17 @@ def _pack_scalars(uniforms, depth, env=None):
 
 def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
                 mat_table, scal, carry, state, t, tri, u, v, rows,
-                envbg=None, envpdf=None, trans=None, esmp=None, tex=None,
+                envbg=None, envpdf=None, rectpdf=None, emod=None,
+                trans=None, esmp=None, tex=None,
                 has_prims=False, rect_nee=False, chains=False):
     env_mode = static.background_mode == 2
     has_tex = tex is not None
+    has_emod = emod is not None
     kern = functools.partial(_shade_kernel, stage=stage, layout=layout,
                              static=static, m_count=m_count,
                              env_mode=env_mode, has_tex=has_tex,
                              has_prims=has_prims, rect_nee=rect_nee,
-                             chains=chains)
+                             chains=chains, has_emod=has_emod)
     grid = (n_blocks,)
 
     def plane_spec(p):
@@ -1745,11 +1784,19 @@ def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
     if env_mode and stage == "s1":
         in_specs += [plane_spec(3), lane_spec]
         inputs += [envbg, envpdf]
+        if rect_nee:
+            in_specs += [lane_spec]
+            inputs += [rectpdf]   # rect-light pdf of the current hit
     elif rect_nee and stage == "s1":
         in_specs += [lane_spec]
         inputs += [envpdf]   # rect-light pdf of the current hit
+    if has_emod and stage == "s1":
+        in_specs += [plane_spec(3)]
+        inputs += [emod]
     if stage == "s2":
-        in_specs += [plane_spec(len(TRANS)), plane_spec(len(ESMP))]
+        n_banks = 2 if (rect_nee and env_mode) else 1
+        in_specs += [plane_spec(len(TRANS)),
+                     plane_spec(n_banks * len(ESMP))]
         inputs += [trans, esmp]
     if has_tex:
         in_specs.append(plane_spec(len(TEX)))
@@ -1989,6 +2036,61 @@ def _apply_delta_chains(scene, uniforms, static, layout, carry_s1, carry,
     return carry, chain_scene, chain_shadow
 
 
+def _shading_normal_xla(scene, rows, d3, u_p, v_p):
+    """Shading-normal reconstruction over the packed hit rows — the exact
+    op sequence of the s1 kernel's reconstruction (see _shade_kernel), at
+    the XLA level, for pre-stages that need a normal-dependent gather
+    (env-modulated light emission). rows is (n, ROW_PLANES); d3/u_p/v_p
+    are padded to the stage width."""
+    padded_l = d3.shape[0]
+    short = padded_l - rows.shape[0]
+    if short:
+        rows = jnp.pad(rows, ((0, short), (0, 0)))
+
+    def rv(i):
+        return rows[:, i:i + 3]
+
+    def safe_norm(a):
+        len2 = jnp.sum(a * a, -1, keepdims=True)
+        inv = jnp.where(len2 > 0.0,
+                        1.0 / jnp.sqrt(jnp.maximum(len2, 1e-38)), 0.0)
+        return a * inv
+
+    tv0, tv1, tv2 = rv(0), rv(3), rv(6)
+    geo_n = safe_norm(jnp.cross(tv1 - tv0, tv2 - tv0))
+    front = jnp.sum(d3 * geo_n, -1) < 0.0
+    n_faced = jnp.where(front[..., None], geo_n, -geo_n)
+    has_prims = _scene_has_prims(scene)
+    if has_prims:
+        flavor = rows[:, 21]
+        plain_tri = (flavor > 0.5) & (flavor < 1.5)
+        precomp = flavor > 1.5
+        raw_n = rv(9)
+        front_nt = jnp.sum(d3 * raw_n, -1) < 0.0
+        nf_nt = jnp.where(front_nt[..., None], raw_n, -raw_n)
+        n_faced = jnp.where(plain_tri[..., None], n_faced, nf_nt)
+    tn0, tn1, tn2 = rv(9), rv(12), rv(15)
+    w0 = jnp.maximum(1.0 - u_p - v_p, 0.0)
+    w1 = jnp.maximum(u_p, 0.0)
+    w2 = jnp.maximum(v_p, 0.0)
+    w_sum = w0 + w1 + w2
+    has_w = w_sum > 1e-8
+    inv_w = 1.0 / jnp.where(has_w, w_sum, 1.0)
+    w0 = jnp.where(has_w, w0 * inv_w, 1.0)
+    w1 = jnp.where(has_w, w1 * inv_w, 0.0)
+    w2 = jnp.where(has_w, w2 * inv_w, 0.0)
+    sn = tn0 * w0[..., None] + tn1 * w1[..., None] + tn2 * w2[..., None]
+    sn_ok = (jnp.all(jnp.isfinite(sn), -1) & (jnp.sum(sn * sn, -1) > 0.0))
+    sn = jnp.where((jnp.sum(sn * n_faced, -1) < 0.0)[..., None], -sn, sn)
+    sn = safe_norm(sn)
+    shading_normal = jnp.where(sn_ok[..., None], sn, n_faced)
+    if has_prims:
+        shading_normal = jnp.where(
+            plain_tri[..., None], shading_normal,
+            jnp.where(precomp[..., None], tn1, n_faced))
+    return shading_normal
+
+
 def _octmorton_key(carry_flat, layout, alive_flat):
     """Per-lane u32 compaction sort key: dead(1) | dir-octant(3) |
     origin Morton(24). Dead lanes to the tail; alive lanes grouped by
@@ -2036,8 +2138,12 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
 
     types = set(static.material_types)
     env_mode = static.background_mode == 2
-    rect_nee = (not env_mode and scene.light_rect_indices is not None
+    rect_nee = (scene.light_rect_indices is not None
                 and scene.light_rect_indices.shape[0] > 0)
+    # env-modulated DIFFUSE_LIGHT emission (emission_env materials under
+    # an env background) — XLA pre-stage feeds the modulation plane
+    has_emod = (env_mode and scene.environment is not None
+                and C.MATERIAL_DIFFUSE_LIGHT in types)
     # spec-NEE/MNEE delta chains: run XLA-side off the S2 exports when the
     # integrator would run them (lights + flags) AND a material type that
     # can set smp.is_delta exists — without one, chain_add is identically
@@ -2137,162 +2243,164 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                     precision=jax.lax.Precision.HIGHEST) > 0.5
                 pbr_any = jnp.any(alive & (tri_i >= 0) & lane_pbr)
 
-                def _tex_full(_):
+                state_flat = unshp(state_p)
+
+                def _tex_full(s):
                     return _texture_stage(scene, uniforms, static, carry,
                                           layout, o3, d3, t, tri_i, u, v,
-                                          depth, pad1, shp, unshp)
+                                          depth, pad1, shp, unshp, s)
 
-                def _tex_ident(_):
-                    return _texture_identity(scene, static, mat_lane, shp)
+                def _tex_ident(s):
+                    return _texture_identity(scene, static, mat_lane, shp, s)
 
-                tex_planes = jax.lax.cond(pbr_any, _tex_full, _tex_ident, 0)
+                tex_planes, tex_state = jax.lax.cond(
+                    pbr_any, _tex_full, _tex_ident, state_flat)
+                # alpha-BLEND lanes consumed one draw (integrator commits
+                # where(active, texd.state, state) before the NEE draws)
+                state_p = shp(jnp.where(alive & (tri_i >= 0), tex_state,
+                                        state_flat))
+            if not env_mode and not rect_nee:
+                carry, state_p = _shade_call(
+                    "full", layout, static, m_count, n_blocks_l,
+                    carry=carry, state=state_p, tex=tex_planes, **args)
+                return depth + 1, carry, state_p, n_rays, n_shadow
+
+            # ---- NEE path(s): S1 (emissive MIS + RNG draw export), XLA
+            # light sampling + shadow trace per light integral (rect
+            # and/or env), S2 (NEE commits + BSDF sample). Mirrors the
+            # integrator's rect block then env block.
+            from metal_pathtracer_tpu.ops import env as env_ops
+            from metal_pathtracer_tpu.ops.integrator import (
+                _rect_light_pdf_for_hit,
+                _rect_light_sample_from_uniforms,
+            )
+
+            s1_extra = {}
+            if env_mode:
+                # Per-chunk skip (~13 gathers/lane): the s1 kernel reads
+                # these planes only under where(miss, ...), and zeros
+                # produce a zero contribution with no non-finite
+                # intermediates — so chunks with no miss lane this depth
+                # skip the env lookups wholesale.
+                def _bg_run(_):
+                    bg = env_ops.environment_background(
+                        env, d3, uniforms, static, cget("env_lod"),
+                        cget("env_lod_act") > 0.5)
+                    pdf = env_ops.environment_pdf(
+                        env, d3, uniforms.environment_rotation)
+                    return bg, pdf
+
+                def _bg_skip(_):
+                    return (jnp.zeros(d3.shape, jnp.float32),
+                            jnp.zeros(d3.shape[:-1], jnp.float32))
+
+                bg, env_pdf_d = jax.lax.cond(
+                    jnp.any(alive & (tri_i < 0)), _bg_run, _bg_skip, 0)
+                s1_extra["envbg"] = planes3(bg[:, 0], bg[:, 1], bg[:, 2])
+                s1_extra["envpdf"] = shp(pad1(env_pdf_d))
             if rect_nee:
-                # ---- rect-light NEE: S1 (emissive MIS via pdf-for-hit,
-                # export u1-u3 + hit transients), XLA light sample + shadow
-                # trace, S2 (NEE commit + BSDF sample) — the env split's twin
-                # (integrator: _sample_rect_light + NEE rect block)
                 from types import SimpleNamespace
-
-                from metal_pathtracer_tpu.ops.integrator import (
-                    _rect_light_pdf_for_hit,
-                )
 
                 point_xla = o3 + t[..., None] * d3
                 rec_shim = SimpleNamespace(
                     prim_index=tri_i, point=point_xla,
                     prim_type=kind.astype(jnp.int32))
                 lpdf = _rect_light_pdf_for_hit(scene, rec_shim, o3)
-                carry, state_p, trans = _shade_call(
-                    "s1", layout, static, m_count, n_blocks_l,
-                    carry=carry, state=state_p,
-                    envpdf=shp(pad1(lpdf)), tex=tex_planes, rect_nee=True,
-                    **args)
+                s1_extra["rectpdf" if env_mode else "envpdf"] = \
+                    shp(pad1(lpdf))
+            if has_emod:
+                # env-modulated DIFFUSE_LIGHT emission: the kernel needs
+                # environment_color(-shading_normal) for light-hit lanes
+                # (integrator body ~:435-442). Shading normal recomputed
+                # here with the kernel's exact reconstruction ops; gathers
+                # skipped per chunk when no modulated light was hit.
+                def _emod_run(_):
+                    sn = _shading_normal_xla(scene, rows, d3, pad1(u),
+                                             pad1(v))
+                    return env_ops.environment_color(
+                        env, -sn, uniforms.environment_rotation,
+                        uniforms.environment_intensity, static)
 
-                tget = lambda nm: unshp(trans[TRANS_IDX[nm]])
-                p3 = jnp.stack([tget("px"), tget("py"), tget("pz")], -1)
-                from metal_pathtracer_tpu.ops.integrator import (
-                    _rect_light_sample_from_uniforms,
-                )
-                l_dir, l_dist, l_pdf, l_emission, l_valid = \
-                    _rect_light_sample_from_uniforms(
-                        scene, p3, tget("u1"), tget("u2"), tget("u3"),
-                        static, uniforms)
+                def _emod_skip(_):
+                    return jnp.ones(d3.shape, jnp.float32)
 
-                sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
-                nf3 = jnp.stack([tget("nfx"), tget("nfy"), tget("nfz")], -1)
-                n_dot_l = jnp.maximum(jnp.sum(sn3 * l_dir, -1), 0.0)
-                nee_lanes = ((tget("active") > 0.5) & (tget("delta") < 0.5))
-                if has_tex:
-                    nee_lanes = nee_lanes & (
-                        unshp(tex_planes[TEX_IDX["tpass"]]) < 0.5)
-                do_shadow = nee_lanes & l_valid & (l_pdf > 0.0) & (n_dot_l > 0.0)
-                n_shadow = n_shadow + jnp.sum(do_shadow.astype(jnp.float32))
-                # offset_ray_origin twin (same as the env split)
-                sn_len2 = jnp.sum(sn3 * sn3, -1)
-                off_bad = ~jnp.all(jnp.isfinite(sn3), -1) | (sn_len2 <= 0.0)
-                off_n = jnp.where(off_bad[..., None], nf3, sn3)
-                sgn = jnp.where(jnp.sum(l_dir * off_n, -1) >= 0.0, 1.0, -1.0)
-                dist = jnp.maximum(jnp.abs(pad1(t)) * 1e-4,
-                                   C.RAY_ORIGIN_EPSILON)
-                shadow_o = (p3 + off_n * (sgn * dist)[..., None]
-                            + l_dir * (C.RAY_ORIGIN_EPSILON * 0.5))
-                shadow_max = jnp.where(
-                    do_shadow,
-                    jnp.maximum(l_dist - C.EPSILON_T, C.EPSILON_T), 0.0)
-                occluded = _occluded_merged(scene, shadow_o, l_dir,
-                                            C.EPSILON_T, shadow_max)
-                esmp = jnp.stack([
-                    shp(l_dir[:, 0]), shp(l_dir[:, 1]), shp(l_dir[:, 2]),
-                    shp(l_emission[:, 0]), shp(l_emission[:, 1]),
-                    shp(l_emission[:, 2]),
-                    shp(l_pdf), shp(l_valid.astype(jnp.float32)),
-                    shp(occluded.astype(jnp.float32))])
-                carry_s1 = carry
-                outs = _shade_call(
-                    "s2", layout, static, m_count, n_blocks_l,
-                    carry=carry, state=state_p, trans=trans, esmp=esmp,
-                    tex=tex_planes, rect_nee=True, chains=chains_on, **args)
-                if chains_on:
-                    carry, state_p, chainp, chain_state = outs
-                    carry, chain_scene, chain_shadow = _apply_delta_chains(
-                        scene, uniforms, static, layout, carry_s1, carry,
-                        trans, chainp, chain_state, rows, shp, unshp)
-                    n_rays = n_rays + chain_scene
-                    n_shadow = n_shadow + chain_shadow
-                else:
-                    carry, state_p = outs
-                return depth + 1, carry, state_p, n_rays, n_shadow
+                mat_lane_e = jnp.clip(rows[:, 18].astype(jnp.int32), 0,
+                                      scene.materials.count - 1)
+                emod_m = ((scene.materials.mat_type == C.MATERIAL_DIFFUSE_LIGHT)
+                          & (scene.materials.emission_env > 0.0))
+                hit_emod = jnp.any(alive & (tri_i >= 0)
+                                   & emod_m[mat_lane_e])
+                emod = jax.lax.cond(hit_emod, _emod_run, _emod_skip, 0)
+                s1_extra["emod"] = planes3(emod[:, 0], emod[:, 1],
+                                           emod[:, 2])
 
-            if not env_mode:
-                carry, state_p = _shade_call(
-                    "full", layout, static, m_count, n_blocks_l,
-                    carry=carry, state=state_p, tex=tex_planes, **args)
-                return depth + 1, carry, state_p, n_rays, n_shadow
-
-            # ---- env path: XLA background/pdf, S1, alias stage, shadow, S2
-            from metal_pathtracer_tpu.ops import env as env_ops
-
-            # Per-chunk skip (~13 gathers/lane): the s1 kernel reads these
-            # planes only under where(miss, ...), and zeros produce a zero
-            # contribution with no non-finite intermediates — so chunks with
-            # no miss lane this depth skip the env lookups wholesale.
-            def _bg_run(_):
-                bg = env_ops.environment_background(
-                    env, d3, uniforms, static, cget("env_lod"),
-                    cget("env_lod_act") > 0.5)
-                pdf = env_ops.environment_pdf(env, d3,
-                                              uniforms.environment_rotation)
-                return bg, pdf
-
-            def _bg_skip(_):
-                return (jnp.zeros(d3.shape, jnp.float32),
-                        jnp.zeros(d3.shape[:-1], jnp.float32))
-
-            bg, env_pdf_d = jax.lax.cond(
-                jnp.any(alive & (tri_i < 0)), _bg_run, _bg_skip, 0)
             carry, state_p, trans = _shade_call(
                 "s1", layout, static, m_count, n_blocks_l,
-                carry=carry, state=state_p,
-                envbg=planes3(bg[:, 0], bg[:, 1], bg[:, 2]),
-                envpdf=shp(pad1(env_pdf_d)), tex=tex_planes, **args)
+                carry=carry, state=state_p, tex=tex_planes,
+                rect_nee=rect_nee, **s1_extra, **args)
 
             tget = lambda nm: unshp(trans[TRANS_IDX[nm]])
-            e_dir, e_rad, e_pdf, e_valid = \
-                env_ops.sample_environment_from_uniforms(
-                    env, tget("u1"), tget("u2"), tget("u3"), uniforms, static,
-                    tget("lrough"))
             sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
             nf3 = jnp.stack([tget("nfx"), tget("nfy"), tget("nfz")], -1)
             p3 = jnp.stack([tget("px"), tget("py"), tget("pz")], -1)
-            n_dot_l = jnp.maximum(jnp.sum(sn3 * e_dir, -1), 0.0)
             nee_lanes = ((tget("active") > 0.5) & (tget("delta") < 0.5))
             if has_tex:
-                nee_lanes = nee_lanes & (unshp(tex_planes[TEX_IDX["tpass"]])
-                                         < 0.5)
-            do_shadow = nee_lanes & e_valid & (e_pdf > 0.0) & (n_dot_l > 0.0)
-            n_shadow = n_shadow + jnp.sum(do_shadow.astype(jnp.float32))
+                nee_lanes = nee_lanes & (
+                    unshp(tex_planes[TEX_IDX["tpass"]]) < 0.5)
             # offset_ray_origin twin over the exported hit planes
             sn_len2 = jnp.sum(sn3 * sn3, -1)
             off_bad = ~jnp.all(jnp.isfinite(sn3), -1) | (sn_len2 <= 0.0)
             off_n = jnp.where(off_bad[..., None], nf3, sn3)
-            sgn = jnp.where(jnp.sum(e_dir * off_n, -1) >= 0.0, 1.0, -1.0)
-            dist = jnp.maximum(jnp.abs(t) * 1e-4, C.RAY_ORIGIN_EPSILON)
-            shadow_o = (p3 + off_n * (sgn * dist)[..., None]
-                        + e_dir * (C.RAY_ORIGIN_EPSILON * 0.5))
-            shadow_max = jnp.where(do_shadow, C.INFINITY_T, 0.0)
-            occluded = _occluded_merged(scene, shadow_o, e_dir, C.EPSILON_T,
-                                        shadow_max)
+            dist = jnp.maximum(jnp.abs(pad1(t)) * 1e-4,
+                               C.RAY_ORIGIN_EPSILON)
 
-            esmp = jnp.stack([
-                shp(e_dir[:, 0]), shp(e_dir[:, 1]), shp(e_dir[:, 2]),
-                shp(e_rad[:, 0]), shp(e_rad[:, 1]), shp(e_rad[:, 2]),
-                shp(e_pdf), shp(e_valid.astype(jnp.float32)),
-                shp(occluded.astype(jnp.float32))])
+            def shadow_bank(l_dir, l_rad, l_pdf, l_valid, l_max):
+                """One NEE shadow trace -> 9 esmp planes (integrator's
+                offset + occlusion block, shared by rect and env)."""
+                n_dot_l = jnp.maximum(jnp.sum(sn3 * l_dir, -1), 0.0)
+                do_sh = nee_lanes & l_valid & (l_pdf > 0.0) & (n_dot_l > 0.0)
+                sgn = jnp.where(jnp.sum(l_dir * off_n, -1) >= 0.0, 1.0, -1.0)
+                sh_o = (p3 + off_n * (sgn * dist)[..., None]
+                        + l_dir * (C.RAY_ORIGIN_EPSILON * 0.5))
+                sh_max = jnp.where(do_sh, l_max, 0.0)
+                occ = _occluded_merged(scene, sh_o, l_dir, C.EPSILON_T,
+                                       sh_max)
+                planes = [
+                    shp(l_dir[:, 0]), shp(l_dir[:, 1]), shp(l_dir[:, 2]),
+                    shp(l_rad[:, 0]), shp(l_rad[:, 1]), shp(l_rad[:, 2]),
+                    shp(l_pdf), shp(l_valid.astype(jnp.float32)),
+                    shp(occ.astype(jnp.float32))]
+                return planes, jnp.sum(do_sh.astype(jnp.float32))
+
+            banks = []
+            if rect_nee:
+                l_dir, l_dist, l_pdf, l_emission, l_valid = \
+                    _rect_light_sample_from_uniforms(
+                        scene, p3, tget("u1"), tget("u2"), tget("u3"),
+                        static, uniforms)
+                bank, ns = shadow_bank(
+                    l_dir, l_emission, l_pdf, l_valid,
+                    jnp.maximum(l_dist - C.EPSILON_T, C.EPSILON_T))
+                banks += bank
+                n_shadow = n_shadow + ns
+            if env_mode:
+                eu = ("u4", "u5", "u6") if rect_nee else ("u1", "u2", "u3")
+                e_dir, e_rad, e_pdf, e_valid = \
+                    env_ops.sample_environment_from_uniforms(
+                        env, tget(eu[0]), tget(eu[1]), tget(eu[2]),
+                        uniforms, static, tget("lrough"))
+                bank, ns = shadow_bank(e_dir, e_rad, e_pdf, e_valid,
+                                       C.INFINITY_T)
+                banks += bank
+                n_shadow = n_shadow + ns
+
+            esmp = jnp.stack(banks)
             carry_s1 = carry
             outs = _shade_call(
                 "s2", layout, static, m_count, n_blocks_l,
                 carry=carry, state=state_p, trans=trans, esmp=esmp,
-                tex=tex_planes, chains=chains_on, **args)
+                tex=tex_planes, rect_nee=rect_nee, chains=chains_on,
+                **args)
             if chains_on:
                 carry, state_p, chainp, chain_state = outs
                 carry, chain_scene, chain_shadow = _apply_delta_chains(
@@ -2457,7 +2565,7 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
     return out_state, radiance, aov_albedo, aov_normal, stats
 
 
-def _texture_identity(scene, static, mat_lane, shp):
+def _texture_identity(scene, static, mat_lane, shp, state):
     """TEX planes for a chunk with no PBR hit lane: exactly what
     apply_pbr_textures returns for non-PBR lanes (original material
     values, occlusion 1, passthrough 0) at the cost of one material
@@ -2469,19 +2577,24 @@ def _texture_identity(scene, static, mat_lane, shp):
     m = bsdf_ops.gather_material(scene.materials, mat_lane)
     emissive = to_working_space(m.emission, static)
     ones = jnp.ones(mat_lane.shape, jnp.float32)
+    zeros = jnp.zeros(mat_lane.shape, jnp.float32)
     return jnp.stack([
         shp(m.base_color[:, 0]), shp(m.base_color[:, 1]),
         shp(m.base_color[:, 2]),
         shp(m.roughness), shp(m.pbr_metallic),
         shp(emissive[:, 0]), shp(emissive[:, 1]), shp(emissive[:, 2]),
-        shp(ones), shp(jnp.zeros(mat_lane.shape, jnp.float32))])
+        shp(ones), shp(zeros),
+        shp(zeros), shp(zeros), shp(zeros),
+        shp(m.pbr_transmission), shp(zeros)]), state
 
 
 def _texture_stage(scene, uniforms, static, carry, layout, o3, d3, t, tri_i,
-                   u, v, depth, pad1, shp, unshp):
+                   u, v, depth, pad1, shp, unshp, state):
     """XLA texture pre-stage: run the REAL apply_pbr_textures over the raw
-    hits and export the material-override planes the kernels consume.
-    Exactness by construction (gate: base-color slot only, opaque)."""
+    hits and export the material-override planes the kernels consume
+    (all six slots incl. normal maps and alpha modes). Returns
+    (planes, state) — alpha-BLEND lanes consume one RNG draw
+    (reference :6215), threaded through to S1's draw stream."""
     from metal_pathtracer_tpu.ops import bsdf as bsdf_ops
     from metal_pathtracer_tpu.ops import pbr_textures
     from metal_pathtracer_tpu.ops.traversal import _hit_record_from_best
@@ -2497,11 +2610,11 @@ def _texture_stage(scene, uniforms, static, carry, layout, o3, d3, t, tri_i,
     cone_at_hit = jnp.maximum(cw + cs * hit_world, 1e-7)
     wo = -d3 / jnp.sqrt(jnp.maximum(jnp.sum(d3 * d3, -1,
                                             keepdims=True), 1e-38))
-    # state: opaque-only gate means zero draws; pass a dummy stream
-    dummy_state = jnp.zeros(t.shape, jnp.uint32)
     texd = pbr_textures.apply_pbr_textures(
-        scene, m, rec, wo, cone_at_hit, depth, dummy_state, static,
+        scene, m, rec, wo, cone_at_hit, depth, state, static,
         uniforms, ray_d=d3)
+    pbr_lane = ((m.mat_type == C.MATERIAL_PBR)
+                & (rec.prim_type == C.PRIMITIVE_TRIANGLE))
     return jnp.stack([
         shp(texd.m.base_color[:, 0]), shp(texd.m.base_color[:, 1]),
         shp(texd.m.base_color[:, 2]),
@@ -2509,4 +2622,8 @@ def _texture_stage(scene, uniforms, static, carry, layout, o3, d3, t, tri_i,
         shp(texd.emissive[:, 0]), shp(texd.emissive[:, 1]),
         shp(texd.emissive[:, 2]),
         shp(texd.diffuse_occlusion),
-        shp(texd.passthrough.astype(jnp.float32))])
+        shp(texd.passthrough.astype(jnp.float32)),
+        shp(texd.shading_normal[:, 0]), shp(texd.shading_normal[:, 1]),
+        shp(texd.shading_normal[:, 2]),
+        shp(texd.m.pbr_transmission),
+        shp(pbr_lane.astype(jnp.float32))]), texd.state
