@@ -303,9 +303,9 @@ class Mat(NamedTuple):
 
 
 def _fetch_material(mat_ref, mid, m_count: int):
-    """Static loop over table rows: `where`-select per field. The fused
-    path gates m_count <= 32 (scene caps: MetalShaderTypes.h 512, but
-    >32-material scenes take the XLA path's gather)."""
+    """Static loop over table rows: `where`-select per field, sized by
+    the scene's actual material count. The fused path gates
+    m_count <= 128 (scene cap 512; beyond 128 the XLA gather path wins)."""
     def col(k):
         acc = jnp.full_like(mid, mat_ref[0, MAT_COL[k]], dtype=jnp.float32)
         for i in range(1, m_count):
@@ -1722,7 +1722,12 @@ def fused_supported(scene, static) -> bool:
         # path) per group, same requirement as the soup triangles
         if not interp and any(g.tri_packet is None for g in scene.instanced):
             return False
-    if scene.materials.count > 32:
+    if scene.materials.count > 128:
+        # _fetch_material's select chain is sized by the ACTUAL count, so
+        # only scenes that carry this many materials pay for it; beyond
+        # 128 the per-stage chain (~count x 25 selects) would rival the
+        # BSDF math itself and the XLA gather path wins (scene cap 512,
+        # MetalShaderTypes.h:15-19)
         return False
     if static.debug_specular_only:
         return False

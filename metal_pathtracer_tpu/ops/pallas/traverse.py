@@ -64,7 +64,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
             out_t, out_tri, out_u, out_v, out_stats,
-            stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
+            stack, cand, leafq, verdict_smem, tri_buf, sem, vsem, wsem,
             bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
             presence_smem, counters):
     if _DEBUG_SKIP == "all":
@@ -99,6 +99,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
                      tmax[sl], excl[sl], chunks,
                      out_t, out_tri, out_u, out_v, out_stats, sl,
                      stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
+                     wsem,
                      bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
                      presence_smem, counters)
 
@@ -108,7 +109,7 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                  ox, oy, oz, dx, dy, dz, tmax, excl,
                  chunks,
                  out_t, out_tri, out_u, out_v, out_stats, sl,
-                 stack, cand, leafq, verdict_smem, tri_buf, sem, vsem,
+                 stack, cand, leafq, verdict_smem, tri_buf, sem, vsem, wsem,
                  bt_ref, btri_ref, bu_ref, bv_ref, verdict_vmem, wt_ref,
                  presence_smem, counters):
     """Trace ONE (8,128) packet; ray inputs are jnp values (pre-sliced),
@@ -254,8 +255,10 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             margin = jnp.where(
                 tri_buf[slot, 9, 6 * SUBCHUNKS + k] > 0.5, margin, -1.0)
             acc = jnp.where(lane_iota == k, margin, acc)
-        verdict_vmem[0:1, :] = acc
-        dma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
+        # row 1: row 0 may carry a wave-verdict DMA still in flight when
+        # the drain runs inside the deferred-drain window (wave pipelining)
+        verdict_vmem[1:2, :] = acc
+        dma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(1, 1)],
                                     verdict_smem.at[pl.ds(bank, 1)], vsem)
         dma.start()
         return dma
@@ -368,7 +371,7 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                 @pl.when(i < n_leaf)
                 def _():
                     pltpu.make_async_copy(
-                        verdict_vmem.at[pl.ds(0, 1)],
+                        verdict_vmem.at[pl.ds(1, 1)],
                         verdict_smem.at[pl.ds(2 + jax.lax.rem(i, 2), 1)],
                         vsem).wait()
                 return 0
@@ -382,7 +385,14 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         """8-wide wave: pop up to 8 super-nodes; each carries its 8
         children's bounds inline (nb = (48,W) cbounds, nm = (8,W) child
         ids) — no candidate indirection, ~4-7x fewer visits than the
-        binary tree for the same chunk leaves."""
+        binary tree for the same chunk leaves.
+
+        NOTE (r04): deferred-drain wave pipelining (previous wave's leaf
+        drain overlapping this wave's verdict DMA on a second semaphore)
+        was implemented and measured NEUTRAL on every load (primary
+        +0.7%, bounce -1.2%, shadow -0.9% — BENCHMARKS.md r04): the
+        verdict round trip is NOT a meaningful stall. Removed; git
+        history has the implementation."""
         sp, n_visited, n_leaves = carry
         sp0 = sp
         popped = jnp.minimum(sp0, wwave)
@@ -421,7 +431,7 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         verdict_vmem[0:1, :] = margins
         dma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
                                     verdict_smem.at[pl.ds(0, 1)],
-                                    vsem)
+                                    wsem)
         dma.start()
         dma.wait()
 
@@ -661,7 +671,8 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             # wave (margin, entry); rows 2-3 leaf-drain banks
             pltpu.SMEM((3, PLANES, CHUNK), jnp.float32),  # chunk tris (3 buf)
             pltpu.SemaphoreType.DMA((3,)),               # chunk DMA (3 buf)
-            pltpu.SemaphoreType.DMA,                     # verdict DMA
+            pltpu.SemaphoreType.DMA,                     # leaf verdict DMA
+            pltpu.SemaphoreType.DMA,                     # wave verdict DMA
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best t
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best tri (as f32)
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # best u
@@ -795,7 +806,10 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
     debug = os.environ.get("MPT_TRAVERSE_DEBUG", "")
     # 8 children per wide node; >16 waves could queue more than LEAF_QUEUE
     # chunks and the clamp at the leafq write would silently drop hits.
-    wwave = min(max(int(os.environ.get("MPT_WWAVE", "8")), 1), LEAF_QUEUE // 8)
+    # wwave default 16 (r04 A/B: primary 37.3 vs 34.5 Mrays/s, bounce
+    # neutral, hits bit-identical — one verdict DMA covers 2x the supers)
+    wwave = min(max(int(os.environ.get("MPT_WWAVE", "16")), 1),
+                LEAF_QUEUE // 8)
     # NOTE: four in-kernel modes were implemented, measured negative on
     # hardware, and removed (see BENCHMARKS.md r03 "measured negatives"
     # and git history): bit-packed verdict reductions (MPT_BITVERDICT),

@@ -709,6 +709,37 @@ def test_fused_matches_xla_multislot_textures():
     _compare(settings, res, min_exact=0.80, max_rmse=1e-3)
 
 
+def test_fused_matches_xla_many_materials():
+    """48 materials (past the old 32-row gate): the kernel's SMEM
+    select-chain fetch must agree with the XLA gather for every row."""
+    from metal_pathtracer_tpu.scene.resources import Sphere
+
+    rng = np.random.default_rng(5)
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.0, 0.0)
+    settings.cameraDistance = 9.0
+    settings.cameraPitch = 0.35
+    settings.maxDepth = 3
+    settings.fixedRngSeed = 21
+    res = SceneResources()
+    for i in range(48):
+        c = tuple(float(x) for x in rng.uniform(0.2, 0.95, 3))
+        if i % 5 == 4:
+            res.add_material(Material(mat_type=C.MATERIAL_METAL,
+                                      base_color=c,
+                                      roughness=float(rng.uniform(0, 0.6))))
+        else:
+            res.add_material(Material(base_color=c))
+    for i in range(48):
+        x = (i % 8) * 1.4 - 4.9
+        z = (i // 8) * 1.4 - 3.5
+        res.spheres.append(Sphere(center=(x, 0.0, z), radius=0.55,
+                                  material=i))
+    scene = res.build_arrays()
+    assert scene.materials.count > 32
+    _compare(settings, res, min_exact=0.85, max_rmse=1e-3)
+
+
 def test_survivor_compaction_invariants():
     """Survivor compaction (MPT_COMPACT_DEPTH/SEG) between depth
     generations must be (a) BIT-invariant to the lane permutation at a
