@@ -40,15 +40,14 @@ def parse_variant(spec):
         k = {"OCT": "MPT_OCTANT_PASSES",
              "DBG": "MPT_TRAVERSE_DEBUG", "WIDE": "MPT_WIDE",
              "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE",
-             "NEARF": "MPT_NEARFIRST",
-             "DEFER": "MPT_DEFER_DRAIN"}.get(k, k)
+             "NEARF": "MPT_NEARFIRST"}.get(k, k)
         env[k] = v
         last = k
     return env
 
 
 def set_env(env):
-    for k in ("MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG", "MPT_DEFER_DRAIN",
+    for k in ("MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG",
               "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE", "MPT_NEARFIRST",
               "MPT_COMPACT_SCHEDULE", "MPT_COMPACT_KEY",
               "MPT_COMPACT_DEPTH", "MPT_COMPACT_SEG"):
