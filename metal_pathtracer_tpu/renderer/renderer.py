@@ -51,7 +51,8 @@ class Renderer:
         self._camera = None
         self._state: Optional[RenderState] = None
         self._scene_dirty = True
-        self._size = (width, height)
+        self._logical = (width, height)  # window/drawable size pre-scale
+        self._size = self._scaled_size(width, height)
         self.active_scene: str = ""
 
     # -- init / scene management (reference: MetalRenderer.mm:241-353) ----
@@ -90,7 +91,8 @@ class Renderer:
         self.active_scene = name
         self._scene_dirty = True
         if settings.renderWidth and settings.renderHeight:
-            self._size = (settings.renderWidth, settings.renderHeight)
+            self._logical = (settings.renderWidth, settings.renderHeight)
+            self._size = self._scaled_size(*self._logical, windowed=False)
         self.reset_accumulation()
 
     # -- settings (reference: MetalRenderer.mm applySettings + reset logic)
@@ -104,6 +106,11 @@ class Renderer:
                        != self._applied_settings.environmentMapPath)
         self.settings = settings
         self._applied_settings = settings.copy()
+        # renderScale edits re-derive the render target from the logical
+        # (window) size, the reference's targetRenderSize recompute
+        # (MetalRenderer.mm:1029-1122); the RENDER_SIZE reset reason is
+        # produced by detect_radiometric_change above.
+        self._size = self._scaled_size(*self._logical)
         if env_changed:
             self._environment = None
             self._scene_dirty = True
@@ -115,23 +122,34 @@ class Renderer:
 
     # -- sizing (reference: MetalRenderer.mm:1029-1122) --------------------
 
-    def resize(self, width: int, height: int) -> None:
+    def _scaled_size(self, width: int, height: int,
+                     windowed: bool = True) -> Tuple[int, int]:
         scale = min(max(self.settings.renderScale, 0.5), 2.0)
         width = int(width * scale)
         height = int(height * scale)
         width = min(max(width, 8), MAX_DIMENSION)
         height = min(max(height, 8), MAX_DIMENSION)
-        while width * height > MAX_PIXELS_WINDOWED:
-            width = max(width // 2, 8)
-            height = max(height // 2, 8)
-        if (width, height) != self._size:
-            self._size = (width, height)
+        if windowed:  # the 16 MP cap applies to window targets only
+            while width * height > MAX_PIXELS_WINDOWED:
+                width = max(width // 2, 8)
+                height = max(height // 2, 8)
+        return (width, height)
+
+    def resize(self, width: int, height: int) -> None:
+        self._logical = (width, height)
+        size = self._scaled_size(width, height)
+        if size != self._size:
+            self._size = size
             self.reset_accumulation()
 
     @property
     def render_size(self) -> Tuple[int, int]:
         if self.settings.renderWidth and self.settings.renderHeight:
-            return (self.settings.renderWidth, self.settings.renderHeight)
+            # explicit (headless) target: renderScale still applies, but
+            # not the windowed 16 MP cap
+            return self._scaled_size(self.settings.renderWidth,
+                                     self.settings.renderHeight,
+                                     windowed=False)
         return self._size
 
     # -- accumulation ------------------------------------------------------

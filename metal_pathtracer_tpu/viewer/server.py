@@ -17,11 +17,29 @@ A GUI toolkit makes no sense for a renderer running on a TPU pod, so the
 
 Orbit camera controls (drag = yaw/pitch, wheel = dolly) mirror the
 reference's mouse bindings (main.mm:163-258).
+
+Interactive camera policy (reference: MetalRenderer.mm:906-956 motion
+hold + spp drop, :1646-1776 12 Hz exponential orbit smoothing):
+
+- orbit/dolly verbs only move a *target* camera and stamp the
+  interaction time; the render loop advances a smoothed camera toward
+  it with ``alpha = 1 - exp(-dt * 12 Hz)`` (shortest-angle yaw wrap,
+  the reference's updateCameraSmoothing);
+- while motion is active (< 0.25 s since the last interaction,
+  kMotionHoldSeconds) or the smoothed camera has not converged, each
+  pass renders ONE spp at ``preview_scale`` x the user's renderScale —
+  the reference drops samplesPerFrame to 1; on a TPU the frame cost is
+  resolution-bound, so the preview also drops resolution (a second
+  jit-cached program: first drag pays one compile, later drags are hot);
+- when the hold expires and smoothing has converged, the final camera
+  is applied at full resolution and progressive accumulation resumes
+  (reset reason CAMERA).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -142,9 +160,22 @@ class ViewerServer:
     """Progressive render loop + HTTP endpoints over a Renderer facade."""
 
     def __init__(self, renderer: Renderer, host: str = "127.0.0.1",
-                 port: int = 8650, spp_per_pass: int = 1):
+                 port: int = 8650, spp_per_pass: int = 1,
+                 preview_scale: float = 0.5, motion_hold: float = 0.25,
+                 smoothing_hz: float = 12.0):
         self.renderer = renderer
         self.spp_per_pass = spp_per_pass
+        # interactive camera policy (reference constants:
+        # kMotionHoldSeconds=0.25, kCameraSmoothingCutoffHz=12)
+        self.preview_scale = preview_scale
+        self.motion_hold = motion_hold
+        self.smoothing_hz = smoothing_hz
+        self._cam_target = None      # (yaw, pitch, distance)
+        self._smooth = None          # (yaw, pitch) being eased
+        self._last_interaction = 0.0
+        self._last_smooth_t = None
+        self._preview_active = False
+        self._base_scale = None      # user renderScale while previewing
         self.paused = False
         self.last_reset = ""
         self._lock = threading.Lock()
@@ -254,6 +285,10 @@ class ViewerServer:
                 if self.paused:
                     time.sleep(0.05)
                     return
+                if self._cam_target is not None and (
+                        self._motion_active() or self._preview_active):
+                    self._camera_pass()
+                    return
                 t0 = time.time()
                 state = self.renderer.draw_frame(self.spp_per_pass)
                 rays = float(np.asarray(state.ray_count)) \
@@ -269,6 +304,69 @@ class ViewerServer:
                     "mrays": round((rays - prev_rays) / dt / 1e6, 2),
                 }
 
+    # -- interactive camera (reference: MetalRenderer.mm:906-956 motion
+    # hold/spp drop, :1646-1776 updateCameraSmoothing) -------------------
+
+    def _motion_active(self) -> bool:
+        return (time.time() - self._last_interaction) < self.motion_hold
+
+    def _target_camera(self, s):
+        if self._cam_target is not None:
+            return self._cam_target
+        return (s.cameraYaw, s.cameraPitch, s.cameraDistance)
+
+    def _camera_pass(self):
+        """One preview pass while the camera is in motion (lock held):
+        ease the smoothed camera toward the target, render 1 spp at
+        preview scale; restore full resolution once motion stops and
+        smoothing has converged."""
+        now = time.time()
+        s = self.renderer.settings
+        if self._smooth is None:
+            self._smooth = (s.cameraYaw, s.cameraPitch)
+        if self._base_scale is None:
+            self._base_scale = s.renderScale
+        dt = 1.0 / 60.0 if self._last_smooth_t is None else \
+            min(max(now - self._last_smooth_t, 1.0 / 240.0), 0.25)
+        self._last_smooth_t = now
+        alpha = 1.0 - math.exp(-dt * self.smoothing_hz)
+        tyaw, tpitch, tdist = self._cam_target
+        syaw, spitch = self._smooth
+        # shortest-angle wrap for yaw (ShortestAngleDelta)
+        dyaw = (tyaw - syaw + math.pi) % (2.0 * math.pi) - math.pi
+        dpitch = tpitch - spitch
+        syaw += dyaw * alpha
+        spitch += dpitch * alpha
+        self._smooth = (syaw, spitch)
+        converged = abs(dyaw) < 1e-3 and abs(dpitch) < 1e-3
+        ns = s.copy()
+        if self._motion_active() or not converged:
+            ns.cameraYaw, ns.cameraPitch = syaw, spitch
+            ns.cameraDistance = tdist
+            ns.renderScale = self._base_scale * self.preview_scale
+            t0 = time.time()
+            self.renderer.apply_settings(ns)
+            state = self.renderer.draw_frame(1)
+            u8 = display_to_u8(state, self.renderer.settings)
+            self._frame_png = encode_png_u8(u8)
+            dtp = max(time.time() - t0, 1e-6)
+            self._preview_active = True
+            self._stats = dict(self._stats, spp=1,
+                               sps=round(1.0 / dtp, 2), preview=True)
+        else:
+            # motion over: land exactly on the target at full resolution
+            # and let progressive accumulation resume
+            ns.cameraYaw, ns.cameraPitch = tyaw, tpitch
+            ns.cameraDistance = tdist
+            ns.renderScale = self._base_scale
+            self.renderer.apply_settings(ns)
+            self.last_reset = "CAMERA"
+            self._preview_active = False
+            self._smooth = None
+            self._base_scale = None
+            self._last_smooth_t = None
+            self._stats = dict(self._stats, spp=0, preview=False)
+
     # -- endpoints -------------------------------------------------------
 
     def frame_png(self) -> bytes:
@@ -279,6 +377,7 @@ class ViewerServer:
 
     def stats(self) -> dict:
         s = dict(self._stats)
+        s.setdefault("preview", False)
         s["scene"] = self.renderer.active_scene
         s["reset"] = self.last_reset
         s["paused"] = self.paused
@@ -422,16 +521,24 @@ class ViewerServer:
         with self._lock:
             s = self.renderer.settings.copy()
             reset_reason = None
+            motion = False
             for key, vals in q.items():
                 raw = vals[-1]
                 if key == "orbit":
+                    # moves the TARGET camera only; the render loop eases
+                    # the smoothed camera toward it at preview resolution
+                    tyaw, tpitch, tdist = self._target_camera(s)
                     dyaw, dpitch = (float(x) for x in raw.split(","))
-                    s.cameraYaw += dyaw
-                    s.cameraPitch = float(np.clip(
-                        s.cameraPitch + dpitch, -1.55, 1.55))
+                    self._cam_target = (
+                        tyaw + dyaw,
+                        float(np.clip(tpitch + dpitch, -1.55, 1.55)),
+                        tdist)
+                    motion = True
                 elif key == "dolly":
-                    s.cameraDistance = max(s.cameraDistance * float(raw),
-                                           1e-3)
+                    tyaw, tpitch, tdist = self._target_camera(s)
+                    self._cam_target = (
+                        tyaw, tpitch, max(tdist * float(raw), 1e-3))
+                    motion = True
                 elif key == "paused":
                     self.paused = (not self.paused if raw == "toggle"
                                    else raw == "1")
@@ -440,8 +547,15 @@ class ViewerServer:
                     reset_reason = "MANUAL"
                 elif hasattr(s, key):
                     setattr(s, key, _coerce(s, key, raw))
+                    if key == "renderScale" and self._base_scale is not None:
+                        # user scale edits mid-preview update the scale the
+                        # post-motion restore will return to
+                        self._base_scale = s.renderScale
+                        s.renderScale *= self.preview_scale
                 else:
                     return {"error": f"unknown setting {key!r}"}
+            if motion:
+                self._last_interaction = time.time()
             reason = self.renderer.apply_settings(s)
             if reason or reset_reason:
                 self.last_reset = reason or reset_reason
@@ -450,7 +564,7 @@ class ViewerServer:
                 self._stats = dict(self._stats,
                                    spp=self.renderer.sample_count())
             return {"ok": True, "reset": reason or reset_reason,
-                    "paused": self.paused}
+                    "motion": motion, "paused": self.paused}
 
 
 def _mat_fields(m):

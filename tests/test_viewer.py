@@ -86,11 +86,59 @@ def test_non_radiometric_edit_keeps_accumulation(viewer):
 def test_orbit_and_pause(viewer):
     yaw0 = viewer.renderer.settings.cameraYaw
     out = json.loads(_get(viewer, "/set?orbit=0.1,0.05"))
-    assert out["reset"]  # camera move is radiometric
-    assert viewer.renderer.settings.cameraYaw != yaw0
+    # orbit moves the TARGET camera; the render loop eases toward it
+    # (reference: MetalRenderer.mm updateCameraSmoothing)
+    assert out["motion"]
+    assert viewer._cam_target[0] == pytest.approx(yaw0 + 0.1)
+    t0 = time.time()
+    while viewer.renderer.settings.cameraYaw == yaw0:
+        assert time.time() - t0 < 120, "smoothed camera never advanced"
+        time.sleep(0.1)
     json.loads(_get(viewer, "/set?paused=1"))
     assert json.loads(_get(viewer, "/stats"))["paused"]
     json.loads(_get(viewer, "/set?paused=0"))
+
+
+def test_motion_preview_policy(viewer):
+    """During camera motion the loop renders 1-spp passes at preview
+    scale (reference: MetalRenderer.mm:906-956 drops samplesPerFrame to
+    1 under motion; the TPU analogue also halves resolution); once the
+    0.25 s hold expires and smoothing converges, full resolution and
+    progressive accumulation resume with reset reason CAMERA."""
+    # earlier tests may leave a preview still easing toward its target;
+    # wait for the full-res steady state before capturing the baseline
+    t0 = time.time()
+    while True:
+        stats = json.loads(_get(viewer, "/stats"))
+        if not stats["preview"] and stats["spp"] >= 1:
+            break
+        assert time.time() - t0 < 180, "viewer never left preview mode"
+        time.sleep(0.1)
+    full_w = stats["width"]
+    yaw0 = viewer.renderer.settings.cameraYaw
+    saw_preview = False
+    t0 = time.time()
+    while time.time() - t0 < 120:
+        _get(viewer, "/set?orbit=0.02,0.0")  # keep the hold window alive
+        stats = json.loads(_get(viewer, "/stats"))
+        if stats["preview"] and stats["width"] < full_w:
+            saw_preview = True
+            break
+        time.sleep(0.05)
+    assert saw_preview, "no preview-scale pass during sustained motion"
+    # stop interacting: the viewer must land on the target at full res
+    t0 = time.time()
+    while time.time() - t0 < 180:
+        stats = json.loads(_get(viewer, "/stats"))
+        if (not stats["preview"] and stats["width"] == full_w
+                and stats["spp"] >= 1 and stats["reset"] == "CAMERA"):
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError("never returned to full-res accumulation")
+    assert viewer.renderer.settings.cameraYaw != yaw0
+    assert viewer.renderer.settings.cameraYaw == pytest.approx(
+        viewer._cam_target[0])
 
 
 def test_unknown_setting_rejected(viewer):
