@@ -709,9 +709,9 @@ def test_fused_matches_xla_multislot_textures():
     _compare(settings, res, min_exact=0.80, max_rmse=1e-3)
 
 
-def test_fused_matches_xla_many_materials():
-    """48 materials (past the old 32-row gate): the kernel's SMEM
-    select-chain fetch must agree with the XLA gather for every row."""
+def _many_material_scene(metal: bool, max_depth: int):
+    """48 materials / 48 spheres, one material per sphere (past the old
+    32-row fused gate)."""
     from metal_pathtracer_tpu.scene.resources import Sphere
 
     rng = np.random.default_rng(5)
@@ -719,12 +719,12 @@ def test_fused_matches_xla_many_materials():
     settings.cameraTarget = (0.0, 0.0, 0.0)
     settings.cameraDistance = 9.0
     settings.cameraPitch = 0.35
-    settings.maxDepth = 3
+    settings.maxDepth = max_depth
     settings.fixedRngSeed = 21
     res = SceneResources()
     for i in range(48):
         c = tuple(float(x) for x in rng.uniform(0.2, 0.95, 3))
-        if i % 5 == 4:
+        if metal and i % 5 == 4:
             res.add_material(Material(mat_type=C.MATERIAL_METAL,
                                       base_color=c,
                                       roughness=float(rng.uniform(0, 0.6))))
@@ -737,7 +737,31 @@ def test_fused_matches_xla_many_materials():
                                   material=i))
     scene = res.build_arrays()
     assert scene.materials.count > 32
-    _compare(settings, res, min_exact=0.85, max_rmse=1e-3)
+    return settings, res
+
+
+def test_fused_matches_xla_many_materials_primary():
+    """48 mixed materials, depth 1: every row's type/color/roughness
+    reaches the primary shade through the kernel's SMEM select chain —
+    a wrong-row fetch flips whole pixels, so this is near-exact.
+
+    (Depth is capped at 1 for the METAL variant deliberately: on a dense
+    48-sphere grid, multi-bounce mirror chains amplify the fused kernel's
+    documented ~1-ulp FMA drift into hit-order flips that have nothing to
+    do with the material fetch — measured rmse 3e-3 at depth 3 with the
+    SAME value regardless of which row holds the metal, while XLA-vs-XLA
+    at different chunk widths is bit-exact on this scene. The multi-bounce
+    fetch path is covered by the lambert variant below.)"""
+    settings, res = _many_material_scene(metal=True, max_depth=1)
+    _compare(settings, res, min_exact=0.999, max_rmse=1e-6)
+
+
+def test_fused_matches_xla_many_materials_bounce():
+    """48 lambert materials, depth 3: rows >32 fetched on every bounce
+    (S1 + S2 stages); diffuse transport keeps drift un-amplified, so the
+    established flat tolerance applies."""
+    settings, res = _many_material_scene(metal=False, max_depth=3)
+    _compare(settings, res, min_exact=0.97, max_rmse=1e-5)
 
 
 def test_survivor_compaction_invariants():
