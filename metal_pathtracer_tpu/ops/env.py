@@ -220,6 +220,22 @@ def environment_from_texels(texels: np.ndarray,
         meta.append((off, int(m.shape[0]), int(m.shape[1])))
         off += int(m.shape[0]) * int(m.shape[1])
     flat = np.concatenate([m.reshape(-1, 3) for m in levels], 0)
+
+    # Quad atlas: every level's full bilinear footprint per texel
+    # ([c00, c10, c01, c11], wrap addressing on both axes) so a lookup is
+    # ONE 12-wide row gather instead of four 3-wide ones.
+    def quads(m):
+        right = np.roll(m, -1, axis=1)
+        down = np.roll(m, -1, axis=0)
+        down_right = np.roll(right, -1, axis=0)
+        return np.concatenate([m, right, down, down_right],
+                              -1).reshape(-1, 12)
+
+    flat_quads = np.concatenate([quads(m) for m in levels], 0)
+    cond_packed = np.stack([cond_thresh,
+                            cond_alias.astype(np.float32), pdf], -1)
+    marg_packed = np.stack([marg_thresh,
+                            marg_alias.astype(np.float32)], -1)
     return EnvironmentSoA(
         texels=f(texels),
         mips=tuple(f(m) for m in mips),
@@ -232,6 +248,9 @@ def environment_from_texels(texels: np.ndarray,
         height=int(texels.shape[0]),
         flat_mips=f(flat),
         mip_meta=tuple(meta),
+        flat_quads=f(flat_quads),
+        cond_packed=f(cond_packed),
+        marg_packed=f(marg_packed),
     )
 
 
@@ -307,14 +326,46 @@ def _bilinear_flat(env: EnvironmentSoA, level_onehot, u, v):
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
     x0i = jnp.mod(x0.astype(jnp.int32), wi)
-    x1i = jnp.mod(x0i + 1, wi)
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
-    y1i = jnp.mod(y0i + 1, hi)
-    flat = env.flat_mips
-    c00 = flat[off + y0i * wi + x0i]
-    c10 = flat[off + y0i * wi + x1i]
-    c01 = flat[off + y1i * wi + x0i]
-    c11 = flat[off + y1i * wi + x1i]
+    if env.flat_quads is not None:
+        # one 12-wide row gather: the quad atlas pre-packs the wrap
+        # neighbours (values bit-identical to the four narrow gathers)
+        q = env.flat_quads[off + y0i * wi + x0i]
+        c00, c10, c01, c11 = (q[..., 0:3], q[..., 3:6],
+                              q[..., 6:9], q[..., 9:12])
+    else:
+        x1i = jnp.mod(x0i + 1, wi)
+        y1i = jnp.mod(y0i + 1, hi)
+        flat = env.flat_mips
+        c00 = flat[off + y0i * wi + x0i]
+        c10 = flat[off + y0i * wi + x1i]
+        c01 = flat[off + y1i * wi + x0i]
+        c11 = flat[off + y1i * wi + x1i]
+    top = c00 * (1.0 - fx) + c10 * fx
+    bot = c01 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def _bilinear_mip0(env: EnvironmentSoA, u, v):
+    """Sharp (mip0) bilinear lookup; ONE quad-atlas row gather when the
+    packed atlas exists, else the four-gather fallback. Bit-identical
+    arithmetic to _bilinear_wrap(env.texels, u, v)."""
+    import jax.numpy as jnp
+
+    if env.flat_quads is None:
+        return _bilinear_wrap(env.texels, u, v)
+    h, w = env.height, env.width
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    q = env.flat_quads[y0i * w + x0i]
+    c00, c10, c01, c11 = (q[..., 0:3], q[..., 3:6],
+                          q[..., 6:9], q[..., 9:12])
     top = c00 * (1.0 - fx) + c10 * fx
     bot = c01 * (1.0 - fx) + c11 * fx
     return top * (1.0 - fy) + bot * fy
@@ -349,7 +400,7 @@ def environment_color(env: EnvironmentSoA, direction, rotation, intensity,
 
     u, v = _direction_to_uv(direction, rotation)
     if lod is None:
-        color = _bilinear_wrap(env.texels, u, v)
+        color = _bilinear_mip0(env, u, v)
     else:
         n_levels = len(env.mips) + 1
         lod = jnp.clip(lod, 0.0, float(n_levels - 1))
@@ -376,7 +427,7 @@ def environment_color(env: EnvironmentSoA, direction, rotation, intensity,
                 return c_lo * (1.0 - frac) + c_hi * frac
 
             def _bi(_):
-                return _bilinear_wrap(env.texels, u, v)
+                return _bilinear_mip0(env, u, v)
 
             color = jax.lax.cond(jnp.any(lod > 0.0), _tri, _bi, 0)
             color = color * intensity
@@ -435,7 +486,10 @@ def environment_pdf(env: EnvironmentSoA, direction, rotation):
     w, h = env.width, env.height
     x = jnp.minimum((u * w).astype(jnp.int32), w - 1)
     y = jnp.minimum((v * h).astype(jnp.int32), h - 1)
-    value = env.pdf[y, x]
+    if env.cond_packed is not None:
+        value = env.cond_packed[y, x][..., 2]
+    else:
+        value = env.pdf[y, x]
     return jnp.where(jnp.isfinite(value) & (value > 0.0), value, 0.0)
 
 
@@ -469,8 +523,13 @@ def sample_environment_from_uniforms(env: EnvironmentSoA, u_marginal,
     row_floor = jnp.floor(row_choice)
     row = jnp.minimum(row_floor.astype(jnp.int32), h - 1)
     row_frac = row_choice - row_floor
-    row_threshold = env.marginal_threshold[row]
-    row_alias = env.marginal_alias[row]
+    if env.marg_packed is not None:
+        mrow = env.marg_packed[row]                 # one 2-wide row gather
+        row_threshold = mrow[..., 0]
+        row_alias = mrow[..., 1].astype(jnp.int32)
+    else:
+        row_threshold = env.marginal_threshold[row]
+        row_alias = env.marginal_alias[row]
     row = jnp.where(row_frac >= row_threshold,
                     jnp.minimum(row_alias, h - 1), row)
 
@@ -478,8 +537,13 @@ def sample_environment_from_uniforms(env: EnvironmentSoA, u_marginal,
     col_floor = jnp.floor(col_choice)
     col = jnp.minimum(col_floor.astype(jnp.int32), w - 1)
     col_frac = col_choice - col_floor
-    col_threshold = env.conditional_threshold[row, col]
-    col_alias = env.conditional_alias[row, col]
+    if env.cond_packed is not None:
+        crow = env.cond_packed[row, col]            # one 3-wide row gather
+        col_threshold = crow[..., 0]
+        col_alias = crow[..., 1].astype(jnp.int32)
+    else:
+        col_threshold = env.conditional_threshold[row, col]
+        col_alias = env.conditional_alias[row, col]
     col = jnp.where(col_frac >= col_threshold,
                     jnp.minimum(col_alias, w - 1), col)
 
@@ -506,7 +570,10 @@ def sample_environment_from_uniforms(env: EnvironmentSoA, u_marginal,
         map_dir[..., 1],
         -map_dir[..., 0] * sin_r + map_dir[..., 2] * cos_r], -1)
 
-    pdf = env.pdf[row, col]
+    if env.cond_packed is not None:
+        pdf = env.cond_packed[row, col][..., 2]
+    else:
+        pdf = env.pdf[row, col]
 
     # Radiance: mip-by-roughness when a mip chain exists (call-site logic,
     # reference: pathtrace.metal:6568-6589)

@@ -248,8 +248,38 @@ MAT_COLS = ["mat_type", "base_r", "base_g", "base_b", "roughness", "eta",
             "ce_r", "ce_g", "ce_b", "ck_r", "ck_g", "ck_b",
             "has_conductor", "sa_r", "sa_g", "sa_b",
             "pbr_metallic", "pbr_transmission", "pbr_thickness",
-            "pbr_double_sided"]
+            "pbr_double_sided",
+            # plastic/carpaint coat layer (bsdf.plastic_* helpers)
+            "coat_ior", "coat_roughness", "coat_thickness",
+            "coat_sample_weight", "coat_fresnel_avg",
+            "coat_tint_r", "coat_tint_g", "coat_tint_b",
+            "coat_abs_r", "coat_abs_g", "coat_abs_b",
+            # carpaint base/flake lobes (ops/carpaint.py)
+            "carpaint_base_metallic", "carpaint_base_roughness",
+            "carpaint_flake_scale", "carpaint_flake_sample_weight",
+            "carpaint_flake_roughness", "carpaint_flake_anisotropy",
+            "carpaint_flake_normal_strength", "carpaint_has_base_conductor",
+            "cpe_r", "cpe_g", "cpe_b", "cpk_r", "cpk_g", "cpk_b",
+            # subsurface (ops/sss.py separable profile)
+            "sss_g", "sss_mfp", "sss_method", "sss_coat",
+            "sss_sigma_override",
+            "ssa_r", "ssa_g", "ssa_b", "ssss_r", "ssss_g", "ssss_b"]
 MAT_COL = {n: i for i, n in enumerate(MAT_COLS)}
+
+#: V3-valued Mat fields -> their MAT_COLS triples
+MAT_V3 = {
+    "base": ("base_r", "base_g", "base_b"),
+    "emission": ("em_r", "em_g", "em_b"),
+    "conductor_eta": ("ce_r", "ce_g", "ce_b"),
+    "conductor_k": ("ck_r", "ck_g", "ck_b"),
+    "sigma_a": ("sa_r", "sa_g", "sa_b"),
+    "coat_tint": ("coat_tint_r", "coat_tint_g", "coat_tint_b"),
+    "coat_absorption": ("coat_abs_r", "coat_abs_g", "coat_abs_b"),
+    "carpaint_base_eta": ("cpe_r", "cpe_g", "cpe_b"),
+    "carpaint_base_k": ("cpk_r", "cpk_g", "cpk_b"),
+    "sss_sigma_a": ("ssa_r", "ssa_g", "ssa_b"),
+    "sss_sigma_s": ("ssss_r", "ssss_g", "ssss_b"),
+}
 
 # dynamic scalar vector entries
 SCAL = ["depth", "clamp_factor", "clamp_floor", "throughput_clamp",
@@ -279,56 +309,89 @@ def pack_material_table(materials) -> jnp.ndarray:
         materials.pbr_transmission,
         materials.pbr_thickness,
         materials.pbr_double_sided,
+        materials.coat_ior,
+        materials.coat_roughness,
+        materials.coat_thickness,
+        materials.coat_sample_weight,
+        materials.coat_fresnel_avg,
+        materials.coat_tint[:, 0], materials.coat_tint[:, 1],
+        materials.coat_tint[:, 2],
+        materials.coat_absorption[:, 0], materials.coat_absorption[:, 1],
+        materials.coat_absorption[:, 2],
+        materials.carpaint_base_metallic,
+        materials.carpaint_base_roughness,
+        materials.carpaint_flake_scale,
+        materials.carpaint_flake_sample_weight,
+        materials.carpaint_flake_roughness,
+        materials.carpaint_flake_anisotropy,
+        materials.carpaint_flake_normal_strength,
+        materials.carpaint_has_base_conductor,
+        materials.carpaint_base_eta[:, 0], materials.carpaint_base_eta[:, 1],
+        materials.carpaint_base_eta[:, 2],
+        materials.carpaint_base_k[:, 0], materials.carpaint_base_k[:, 1],
+        materials.carpaint_base_k[:, 2],
+        materials.sss_g,
+        materials.sss_mfp,
+        materials.sss_method,
+        materials.sss_coat,
+        materials.sss_sigma_override,
+        materials.sss_sigma_a[:, 0], materials.sss_sigma_a[:, 1],
+        materials.sss_sigma_a[:, 2],
+        materials.sss_sigma_s[:, 0], materials.sss_sigma_s[:, 1],
+        materials.sss_sigma_s[:, 2],
     ]
     return jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
 
 
-class Mat(NamedTuple):
-    """Per-lane material parameters selected from the SMEM table."""
-    mat_type: Array
-    base: V3
-    roughness: Array
-    eta: Array
-    thin: Array
-    emission: V3
-    emission_env: Array
-    conductor_eta: V3
-    conductor_k: V3
-    has_conductor: Array
-    sigma_a: V3
-    pbr_metallic: Array
-    pbr_transmission: Array
-    pbr_thickness: Array
-    pbr_double_sided: Array
+class Mat:
+    """Per-lane material parameters, fetched LAZILY from the SMEM table.
 
+    Each field's m_count-row select chain is built only when the compiled
+    code actually reads the field, so material families absent from the
+    scene's static type set cost zero fetch work (the table now carries
+    ~60 columns; an eager fetch would more than double the per-stage
+    select count for every scene)."""
 
-def _fetch_material(mat_ref, mid, m_count: int):
-    """Static loop over table rows: `where`-select per field, sized by
-    the scene's actual material count. The fused path gates
-    m_count <= 128 (scene cap 512; beyond 128 the XLA gather path wins)."""
-    def col(k):
-        acc = jnp.full_like(mid, mat_ref[0, MAT_COL[k]], dtype=jnp.float32)
-        for i in range(1, m_count):
-            acc = jnp.where(mid == i, mat_ref[i, MAT_COL[k]], acc)
+    __slots__ = ("_ref", "_mid", "_count", "_cache")
+
+    def __init__(self, mat_ref, mid, m_count: int, cache=None):
+        self._ref = mat_ref
+        self._mid = mid
+        self._count = m_count
+        self._cache = dict(cache) if cache else {}
+
+    def _col(self, k):
+        acc = jnp.full_like(self._mid, self._ref[0, MAT_COL[k]],
+                            dtype=jnp.float32)
+        for i in range(1, self._count):
+            acc = jnp.where(self._mid == i, self._ref[i, MAT_COL[k]], acc)
         return acc
 
-    return Mat(
-        mat_type=col("mat_type"),
-        base=V3(col("base_r"), col("base_g"), col("base_b")),
-        roughness=col("roughness"),
-        eta=col("eta"),
-        thin=col("thin"),
-        emission=V3(col("em_r"), col("em_g"), col("em_b")),
-        emission_env=col("emission_env"),
-        conductor_eta=V3(col("ce_r"), col("ce_g"), col("ce_b")),
-        conductor_k=V3(col("ck_r"), col("ck_g"), col("ck_b")),
-        has_conductor=col("has_conductor"),
-        sigma_a=V3(col("sa_r"), col("sa_g"), col("sa_b")),
-        pbr_metallic=col("pbr_metallic"),
-        pbr_transmission=col("pbr_transmission"),
-        pbr_thickness=col("pbr_thickness"),
-        pbr_double_sided=col("pbr_double_sided"),
-    )
+    def __getattr__(self, name):
+        # only reached when `name` is not a slot: fetch + memoize
+        cache = self._cache
+        if name in cache:
+            return cache[name]
+        if name in MAT_V3:
+            val = V3(*(self._col(c) for c in MAT_V3[name]))
+        elif name in MAT_COL:
+            val = self._col(name)
+        else:
+            raise AttributeError(name)
+        cache[name] = val
+        return val
+
+    def _replace(self, **overrides):
+        out = Mat(self._ref, self._mid, self._count, self._cache)
+        out._cache.update(overrides)
+        return out
+
+
+def _fetch_material(mat_ref, mid, m_count: int) -> Mat:
+    """Lazy handle over the SMEM material table (see Mat). The fused path
+    gates m_count <= 128 (scene cap 512; beyond 128 the XLA gather path
+    wins)."""
+    return Mat(mat_ref, mid, m_count)
 
 
 # ---------------------------------------------------------------------------
@@ -722,6 +785,440 @@ def _sample_dielectric(m: Mat, n: V3, incident: V3, front_face, state):
         lobe_roughness=jnp.zeros_like(fr))
 
 
+def _plastic_coat_f0(m: Mat):
+    """(bsdf.plastic_coat_f0 twin; coat IOR rides m.eta per
+    bsdf.plastic_coat_ior)"""
+    eta = jnp.maximum(m.eta, 1.0)
+    ratio = (eta - 1.0) / jnp.maximum(eta + 1.0, 1e-6)
+    return jnp.clip(ratio * ratio, 0.0, 0.999)
+
+
+def _vclip01(a: V3) -> V3:
+    return V3(jnp.clip(a.x, 0.0, 1.0), jnp.clip(a.y, 0.0, 1.0),
+              jnp.clip(a.z, 0.0, 1.0))
+
+
+def _vexp(a: V3) -> V3:
+    return V3(jnp.exp(a.x), jnp.exp(a.y), jnp.exp(a.z))
+
+
+def _plastic_specular_tint(m: Mat) -> V3:
+    """(bsdf.plastic_specular_tint twin)"""
+    tint = _vclip01(m.coat_tint)
+    thickness = jnp.maximum(m.coat_thickness, 0.0)
+    absorption = vmaximum(m.coat_absorption, 0.0)
+    attenuated = _vclip01(tint * _vexp(-absorption * thickness))
+    skip = ((thickness <= 0.0)
+            | ((absorption.x <= 1e-6) & (absorption.y <= 1e-6)
+               & (absorption.z <= 1e-6)))
+    return vwhere(skip, tint, attenuated)
+
+
+def _plastic_diffuse_transmission(m: Mat, cos_i, cos_o) -> V3:
+    """(bsdf.plastic_diffuse_transmission twin)"""
+    thickness = jnp.maximum(m.coat_thickness, 0.0)
+    tint = _vclip01(m.coat_tint)
+    absorption = vmaximum(m.coat_absorption, 0.0)
+    safe_i = jnp.maximum(cos_i, 1e-3)
+    safe_o = jnp.maximum(cos_o, 1e-3)
+    att_i = _vexp(-absorption * (thickness / safe_i))
+    att_o = _vexp(-absorption * (thickness / safe_o))
+    full = _vclip01(tint * att_i * att_o)
+    return vwhere(thickness <= 0.0, tint, full)
+
+
+def _lambert_pdf(n: V3, wi: V3):
+    d = vnormalize(wi)
+    cos_t = jnp.maximum(vdot(n, d), 0.0)
+    return jnp.where(cos_t > 0.0, cos_t / PI, 0.0)
+
+
+def _plastic_eval(m: Mat, n: V3, wo: V3, wi: V3, clamp_p: Clamp,
+                  diffuse_occlusion, cos_o, cos_i):
+    """(bsdf.evaluate_bsdf PLASTIC branch twin) -> (value V3, pdf)"""
+    coat_roughness = jnp.maximum(jnp.clip(m.coat_roughness, 0.0, 1.0), 1e-3)
+    alpha = coat_roughness * coat_roughness
+    f0 = _plastic_coat_f0(m)
+    f0c = V3(f0, f0, f0)
+    wh = vsafe_normalize(wo + wi)
+    half_ok = (vdot(wh, n) > 0.0) & (vdot(wo, wh) > 0.0) \
+        & (vdot(wi, wh) > 0.0)
+    d = _ggx_d(alpha, vdot(n, wh))
+    g = _ggx_g1(alpha, cos_o) * _ggx_g1(alpha, cos_i)
+    f = _schlick_fresnel(f0c, vdot(wi, wh))
+    spec = f * (d * g / jnp.maximum(4.0 * cos_o * cos_i, 1e-6))
+    spec = _clamp_specular_tail(spec, coat_roughness, f0c, clamp_p)
+    spec = spec * _plastic_specular_tint(m)
+    spec = vwhere(half_ok, vmaximum(spec, 0.0), vfull(cos_o, 0.0, 0.0, 0.0))
+    spec_pdf_raw = _ggx_pdf(alpha, n, wo, wi)
+    spec_pdf = jnp.where(half_ok & (spec_pdf_raw > 0.0),
+                         _clamp_specular_pdf(spec_pdf_raw, clamp_p), 0.0)
+
+    f_i = _schlick_fresnel(f0c, cos_i)
+    f_o = _schlick_fresnel(f0c, cos_o)
+    tint = _plastic_diffuse_transmission(m, cos_i, cos_o)
+    diffuse = _material_base_color(m) * (1.0 / PI)
+    diffuse = diffuse * jnp.clip(diffuse_occlusion, 0.0, 1.0)
+    diffuse = diffuse * tint * (1.0 - f_i) * (1.0 - f_o)
+    diffuse = diffuse * jnp.maximum(
+        1.0 - jnp.clip(m.coat_fresnel_avg, 0.0, 1.0), 0.0)
+    diffuse = vmaximum(diffuse, 0.0)
+    diff_pdf = _lambert_pdf(n, wi)
+    p_coat = jnp.clip(m.coat_sample_weight, 0.0, 1.0)
+    p_diffuse = 1.0 - p_coat
+    return spec + diffuse, p_coat * spec_pdf + p_diffuse * diff_pdf
+
+
+def _sample_plastic(m: Mat, n: V3, wo: V3, state, clamp_p: Clamp,
+                    diffuse_occlusion):
+    """(bsdf._sample_plastic twin; the fused gate excludes
+    debug_specular_only so those carve-outs are dropped).
+
+    Draws 1 selector + 2 lobe uniforms per lane (both lobes draw exactly
+    2, so the merged RNG state is branch-independent)."""
+    cos_o = vdot(n, wo)
+    coat_roughness = jnp.maximum(jnp.clip(m.coat_roughness, 0.0, 1.0), 1e-3)
+    alpha = coat_roughness * coat_roughness
+    f0 = _plastic_coat_f0(m)
+    f0c = V3(f0, f0, f0)
+    p_coat = jnp.clip(m.coat_sample_weight, 0.0, 1.0)
+    p_diffuse = 1.0 - p_coat
+    fresnel_avg = jnp.clip(m.coat_fresnel_avg, 0.0, 1.0)
+    spec_tint = _plastic_specular_tint(m)
+
+    state, selector = _rand(state)
+    sample_coat = jnp.logical_and(selector < p_coat, p_coat > 0.0)
+
+    # --- coat branch (2 draws via VNDF)
+    state_c, wh = _sample_ggx_vndf(n, wo, coat_roughness, state)
+    wi_c = vsafe_normalize(vreflect(-wo, wh))
+    cos_i_c = vdot(n, wi_c)
+    dot_wi_wh = vdot(wi_c, wh)
+    d = _ggx_d(alpha, vdot(n, wh))
+    g = _ggx_g1(alpha, cos_o) * _ggx_g1(alpha, cos_i_c)
+    f = _schlick_fresnel(f0c, dot_wi_wh)
+    spec = f * (d * g / jnp.maximum(4.0 * cos_o * cos_i_c, 1e-6))
+    spec = _clamp_specular_tail(spec, coat_roughness, f0c, clamp_p)
+    spec = spec * spec_tint
+    spec_pdf_raw = _ggx_pdf(alpha, n, wo, wi_c)
+    spec_pdf = jnp.where(spec_pdf_raw > 0.0,
+                         _clamp_specular_pdf(spec_pdf_raw, clamp_p), 0.0)
+    diff_pdf_c = _lambert_pdf(n, wi_c)
+    combined_pdf_c = p_coat * spec_pdf + p_diffuse * diff_pdf_c
+    weight_c = spec * (cos_i_c / jnp.maximum(combined_pdf_c, 1e-20))
+    coat_ok = ((vdot(wh, n) > 0.0) & (cos_i_c > 0.0) & (dot_wi_wh > 0.0)
+               & (combined_pdf_c > 0.0) & vfinite(weight_c))
+
+    # --- diffuse branch (2 draws via cosine hemisphere)
+    state_d, local = _sample_cosine_hemisphere(state)
+    wi_d = vsafe_normalize(_to_world(local, n))
+    cos_i_d = vdot(n, wi_d)
+    diffuse = _material_base_color(m) * (1.0 / PI)
+    diffuse = diffuse * jnp.clip(diffuse_occlusion, 0.0, 1.0)
+    tint_through = _plastic_diffuse_transmission(m, cos_i_d, cos_o)
+    f_i = _schlick_fresnel(f0c, cos_i_d)
+    f_o = _schlick_fresnel(f0c, cos_o)
+    diffuse = diffuse * tint_through * (1.0 - f_i) * (1.0 - f_o)
+    diffuse = diffuse * jnp.maximum(1.0 - fresnel_avg, 0.0)
+    diffuse = vmaximum(diffuse, 0.0)
+    diff_pdf_d = _lambert_pdf(n, wi_d)
+    spec_pdf_raw_d = _ggx_pdf(alpha, n, wo, wi_d)
+    spec_pdf_d = jnp.where(spec_pdf_raw_d > 0.0,
+                           _clamp_specular_pdf(spec_pdf_raw_d, clamp_p), 0.0)
+    combined_pdf_d = p_coat * spec_pdf_d + p_diffuse * diff_pdf_d
+    weight_d = diffuse * (cos_i_d / jnp.maximum(combined_pdf_d, 1e-20))
+    diff_ok = ((cos_i_d > 0.0) & (combined_pdf_d > 0.0)
+               & vfinite(weight_d))
+
+    out = Sample.invalid(cos_o)
+    coat_valid = sample_coat & coat_ok & (cos_o > 0.0)
+    diff_valid = (~sample_coat) & diff_ok & (cos_o > 0.0)
+    out = out._replace(
+        direction=vwhere(coat_valid, wi_c,
+                         vwhere(diff_valid, wi_d, out.direction)),
+        weight=vwhere(coat_valid, vmaximum(weight_c, 0.0),
+                      vwhere(diff_valid, vmaximum(weight_d, 0.0),
+                             out.weight)),
+        pdf=jnp.where(coat_valid, combined_pdf_c,
+                      jnp.where(diff_valid, combined_pdf_d, 0.0)),
+        directional_pdf=jnp.where(coat_valid, combined_pdf_c,
+                                  jnp.where(diff_valid, combined_pdf_d,
+                                            0.0)),
+        lobe_type=jnp.where(coat_valid, 1.0, 0.0),
+        lobe_roughness=jnp.where(coat_valid, coat_roughness,
+                                 jnp.where(diff_valid, 1.0, 0.0)))
+    state = jnp.where(sample_coat, state_c, state_d)
+    return state, out
+
+
+def _carpaint_hash3(p: V3) -> V3:
+    """(carpaint._hash3 twin; reference pathtrace.metal carpaint_hash3)"""
+    px = jnp.mod(p.x * 0.3183099 + 0.1, 1.0)
+    py = jnp.mod(p.y * 0.3183099 + 0.3, 1.0)
+    pz = jnp.mod(p.z * 0.3183099 + 0.7, 1.0)
+    s = (px * (py + 33.33) + py * (pz + 55.55) + pz * (px + 77.77))
+    px = px + s
+    py = py + s
+    pz = pz + s
+    return V3(jnp.mod((px + py) * 13.5453123, 1.0),
+              jnp.mod((px + pz) * 13.5453123, 1.0),
+              jnp.mod((py + pz) * 13.5453123, 1.0))
+
+
+def _flake_normal(m: Mat, position: V3, normal: V3) -> V3:
+    """(carpaint.flake_normal twin; reference
+    pathtrace.metal carpaint_flake_normal:3371-3392)"""
+    rand = _carpaint_hash3(position * m.carpaint_flake_scale)
+    anis = m.carpaint_flake_anisotropy
+    ax = jnp.maximum(1.0 - anis, 1e-3)
+    ay = jnp.maximum(1.0 + anis, 1e-3)
+    phi = 2.0 * PI * rand.x
+    r = jnp.sqrt(jnp.maximum(rand.y, 1e-4))
+    x = r * jnp.cos(phi) * ax
+    y = r * jnp.sin(phi) * ay
+    m2 = jnp.clip(x * x + y * y, 0.0, 0.99)
+    z = jnp.sqrt(jnp.maximum(1.0 - m2, 0.0))
+    tangent, bitangent = _build_onb(normal)
+    perturbed = vnormalize(tangent * x + bitangent * y + normal * z)
+    strength = m.carpaint_flake_normal_strength
+    return vnormalize(normal + (perturbed - normal) * strength)
+
+
+def _carpaint_base_f0(m: Mat) -> V3:
+    has = m.carpaint_has_base_conductor > 0.0
+    one = jnp.ones_like(m.carpaint_has_base_conductor)
+    fc = _fresnel_conductor(one, m.carpaint_base_eta, m.carpaint_base_k)
+    return vwhere(has, fc, _material_base_color(m))
+
+
+def _carpaint_eval_coat(m: Mat, n: V3, wo: V3, wi: V3, clamp_p: Clamp):
+    """(carpaint._eval_coat twin)"""
+    cos_o = jnp.maximum(vdot(n, wo), 0.0)
+    cos_i = jnp.maximum(vdot(n, wi), 0.0)
+    roughness = jnp.maximum(jnp.clip(m.coat_roughness, 0.0, 1.0), 1e-3)
+    alpha = jnp.maximum(roughness * roughness, 1e-4)
+    wh = vsafe_normalize(wo + wi)
+    geo = (cos_i > 0.0) & (cos_o > 0.0) & (vdot(wh, n) > 0.0) \
+        & (vdot(wo, wh) > 0.0) & (vdot(wi, wh) > 0.0)
+    d = _ggx_d(alpha, vdot(n, wh))
+    g = _ggx_g1(alpha, cos_o) * _ggx_g1(alpha, cos_i)
+    f0 = _plastic_coat_f0(m)
+    f = _schlick_fresnel(V3(f0, f0, f0), vdot(wi, wh))
+    spec = f * (d * g / jnp.maximum(4.0 * cos_o * cos_i, 1e-6))
+    spec = _clamp_specular_tail(spec * _plastic_specular_tint(m),
+                                roughness, V3(f0, f0, f0), clamp_p)
+    pdf_raw = _ggx_pdf(alpha, n, wo, wi)
+    ok = geo & (pdf_raw > 0.0)
+    pdf = jnp.where(ok, _clamp_specular_pdf(pdf_raw, clamp_p), 0.0)
+    return vwhere(ok, spec, vfull(cos_o, 0.0, 0.0, 0.0)), pdf
+
+
+def _carpaint_eval_flake(m: Mat, position: V3, n: V3, wo: V3, wi: V3,
+                         clamp_p: Clamp):
+    """(carpaint._eval_flake twin)"""
+    fn = _flake_normal(m, position, n)
+    cos_o = jnp.maximum(vdot(fn, wo), 0.0)
+    cos_i = jnp.maximum(vdot(fn, wi), 0.0)
+    roughness = jnp.maximum(
+        jnp.clip(m.carpaint_flake_roughness, 0.0, 1.0), 1e-3)
+    alpha = roughness * roughness
+    wh = vsafe_normalize(wo + wi)
+    geo = (cos_i > 0.0) & (cos_o > 0.0) & (vdot(wh, fn) > 0.0) \
+        & (vdot(wo, wh) > 0.0) & (vdot(wi, wh) > 0.0)
+    d = _ggx_d(alpha, vdot(fn, wh))
+    g = _ggx_g1(alpha, cos_o) * _ggx_g1(alpha, cos_i)
+    f0 = _carpaint_base_f0(m)
+    f = _schlick_fresnel(f0, vdot(wi, wh))
+    spec = f * (d * g / jnp.maximum(4.0 * cos_o * cos_i, 1e-6))
+    spec = _clamp_specular_tail(spec * _plastic_specular_tint(m),
+                                roughness, f0, clamp_p)
+    coat_avg = jnp.clip(m.coat_fresnel_avg, 0.0, 1.0)
+    spec = spec * jnp.maximum(1.0 - coat_avg, 0.0)
+    pdf_raw = _ggx_pdf(alpha, fn, wo, wi)
+    ok = geo & (pdf_raw > 0.0)
+    pdf = jnp.where(ok, _clamp_specular_pdf(pdf_raw, clamp_p), 0.0)
+    return vwhere(ok, spec, vfull(cos_o, 0.0, 0.0, 0.0)), pdf
+
+
+def _carpaint_eval_base(m: Mat, n: V3, wo: V3, wi: V3, clamp_p: Clamp):
+    """(carpaint._eval_base twin)"""
+    cos_o = jnp.maximum(vdot(n, wo), 0.0)
+    cos_i = jnp.maximum(vdot(n, wi), 0.0)
+    geo = (cos_i > 0.0) & (cos_o > 0.0)
+
+    metallic = jnp.clip(m.carpaint_base_metallic, 0.0, 1.0)
+    diffuse_w = jnp.maximum(1.0 - metallic, 0.0)
+    spec_w = jnp.maximum(metallic, 0.0)
+    coat_avg = jnp.clip(m.coat_fresnel_avg, 0.0, 1.0)
+    base_color = _material_base_color(m)
+
+    zero = vfull(cos_o, 0.0, 0.0, 0.0)
+    combined = zero
+    diffuse = base_color * (1.0 / PI)
+    coat_trans = _plastic_diffuse_transmission(m, cos_i, cos_o)
+    diffuse = diffuse * coat_trans * jnp.maximum(1.0 - coat_avg, 0.0)
+    diffuse = vmaximum(diffuse, 0.0)
+    use_diff = diffuse_w > 1e-4
+    combined = combined + vwhere(use_diff, diffuse * diffuse_w, zero)
+    pdf_diffuse = jnp.where(use_diff, _lambert_pdf(n, wi), 0.0)
+
+    roughness = jnp.maximum(
+        jnp.clip(m.carpaint_base_roughness, 0.0, 1.0), 1e-3)
+    alpha = roughness * roughness
+    wh = vsafe_normalize(wo + wi)
+    half_ok = (vdot(wh, n) > 0.0) & (vdot(wo, wh) > 0.0) \
+        & (vdot(wi, wh) > 0.0)
+    d = _ggx_d(alpha, vdot(n, wh))
+    g = _ggx_g1(alpha, cos_o) * _ggx_g1(alpha, cos_i)
+    has = m.carpaint_has_base_conductor > 0.0
+    f0 = _carpaint_base_f0(m)
+    f = vwhere(has,
+               _fresnel_conductor(vdot(wi, wh), m.carpaint_base_eta,
+                                  m.carpaint_base_k),
+               _schlick_fresnel(base_color, vdot(wi, wh)))
+    spec = f * (d * g / jnp.maximum(4.0 * cos_o * cos_i, 1e-6))
+    spec = _clamp_specular_tail(
+        spec * _plastic_specular_tint(m)
+        * jnp.maximum(1.0 - coat_avg, 0.0),
+        roughness, f0, clamp_p)
+    spec = vmaximum(spec, 0.0)
+    use_spec = (spec_w > 1e-4) & half_ok
+    combined = combined + vwhere(use_spec, spec * spec_w, zero)
+    pdf_raw = _ggx_pdf(alpha, n, wo, wi)
+    pdf_spec = jnp.where(use_spec & (pdf_raw > 0.0),
+                         _clamp_specular_pdf(pdf_raw, clamp_p), 0.0)
+
+    any_lobe = (diffuse_w > 1e-4) | (spec_w > 1e-4)
+    ok = geo & any_lobe
+    f_out = vwhere(ok, vmaximum(combined, 0.0), zero)
+    pdf = jnp.where(ok, diffuse_w * pdf_diffuse + spec_w * pdf_spec, 0.0)
+    return f_out, pdf
+
+
+def _carpaint_lobe_probs(m: Mat):
+    """(carpaint._lobe_probs twin)"""
+    p_coat = jnp.clip(m.coat_sample_weight, 0.0, 0.95)
+    p_flake = jnp.clip(m.carpaint_flake_sample_weight, 0.0, 0.95)
+    p_base = jnp.maximum(1.0 - (p_coat + p_flake), 0.0)
+    norm = p_coat + p_flake + p_base
+    degenerate = norm <= 1e-6
+    p_coat = jnp.where(degenerate, 0.0, p_coat)
+    p_flake = jnp.where(degenerate, 0.0, p_flake)
+    p_base = jnp.where(degenerate, 1.0, p_base)
+    norm = jnp.where(degenerate, 1.0, norm)
+    return p_coat / norm, p_flake / norm, p_base / norm
+
+
+def _carpaint_eval(m: Mat, position: V3, n: V3, wo: V3, wi: V3,
+                   clamp_p: Clamp):
+    """(carpaint.evaluate_carpaint twin) -> (value V3, pdf)"""
+    p_coat, p_flake, p_base = _carpaint_lobe_probs(m)
+    coat_f, coat_pdf = _carpaint_eval_coat(m, n, wo, wi, clamp_p)
+    flake_f, flake_pdf = _carpaint_eval_flake(m, position, n, wo, wi,
+                                              clamp_p)
+    base_f, base_pdf = _carpaint_eval_base(m, n, wo, wi, clamp_p)
+    value = base_f * p_base + flake_f * p_flake + coat_f * p_coat
+    pdf = p_base * base_pdf + p_flake * flake_pdf + p_coat * coat_pdf
+    return value, pdf
+
+
+def _sample_carpaint(m: Mat, position: V3, n: V3, wo: V3, state,
+                     clamp_p: Clamp):
+    """(carpaint.sample_carpaint twin; fused gate excludes specular_only).
+
+    RNG: 1 lobe selector, then coat/flake draw 2 (VNDF) and base draws
+    1 (sub-lobe choose) + 2 (VNDF or cosine); per-lane state follows the
+    branch taken."""
+    p_coat, p_flake, p_base = _carpaint_lobe_probs(m)
+
+    state, r = _rand(state)
+    threshold_coat = p_coat
+    threshold_flake = p_coat + p_flake
+    lobe = jnp.where((p_coat > 0.0) & (r < threshold_coat), 2.0,
+                     jnp.where((p_flake > 0.0) & (r < threshold_flake),
+                               1.0, 0.0))
+    base_degenerate = p_base <= 1e-6
+    fallback = jnp.where((p_flake > p_coat) & (p_flake > 0.0), 1.0,
+                         jnp.where(p_coat > 0.0, 2.0, 0.0))
+    lobe = jnp.where((lobe == 0.0) & base_degenerate, fallback, lobe)
+
+    coat_roughness = jnp.maximum(jnp.clip(m.coat_roughness, 0.0, 1.0), 1e-3)
+    fn = _flake_normal(m, position, n)
+    flake_roughness = jnp.maximum(
+        jnp.clip(m.carpaint_flake_roughness, 0.0, 1.0), 1e-3)
+
+    # --- coat branch: 2 draws
+    state_c, wh_c = _sample_ggx_vndf(n, wo, coat_roughness, state)
+    wi_c = vsafe_normalize(vreflect(-wo, wh_c))
+    coat_ok = vdot(wh_c, n) > 0.0
+
+    # --- flake branch: 2 draws
+    state_f, wh_f = _sample_ggx_vndf(fn, wo, flake_roughness, state)
+    wi_f = vsafe_normalize(vreflect(-wo, wh_f))
+    flake_ok = vdot(wh_f, fn) > 0.0
+
+    # --- base branch: 1 + 2 draws
+    metallic = jnp.clip(m.carpaint_base_metallic, 0.0, 1.0)
+    diffuse_w = jnp.maximum(1.0 - metallic, 0.0)
+    spec_w = jnp.maximum(metallic, 0.0)
+    state_b, choose = _rand(state)
+    sample_spec = (spec_w > 0.0) & ((diffuse_w + spec_w) > 0.0) & \
+        (choose < spec_w / jnp.maximum(diffuse_w + spec_w, 1e-6))
+    base_rough = jnp.maximum(
+        jnp.clip(m.carpaint_base_roughness, 0.0, 1.0), 1e-3)
+    state_bs, wh_b = _sample_ggx_vndf(n, wo, base_rough, state_b)
+    wi_bs = vsafe_normalize(vreflect(-wo, wh_b))
+    spec_ok = vdot(wh_b, n) > 0.0
+    state_bd, local = _sample_cosine_hemisphere(state_b)
+    wi_bd = vsafe_normalize(_to_world(local, n))
+    wi_b = vwhere(sample_spec, wi_bs, wi_bd)
+    state_b_final = jnp.where(sample_spec, state_bs, state_bd)
+    base_ok = jnp.where(sample_spec, spec_ok, True)
+
+    wi = vwhere(lobe == 2.0, wi_c, vwhere(lobe == 1.0, wi_f, wi_b))
+    branch_ok = jnp.where(lobe == 2.0, coat_ok,
+                          jnp.where(lobe == 1.0, flake_ok, base_ok))
+    new_state = jnp.where(lobe == 2.0, state_c,
+                          jnp.where(lobe == 1.0, state_f, state_b_final))
+
+    dir_ok = branch_ok & vfinite(wi) & (vdot(n, wi) > 0.0)
+
+    coat_f, coat_pdf = _carpaint_eval_coat(m, n, wo, wi, clamp_p)
+    flake_f, flake_pdf = _carpaint_eval_flake(m, position, n, wo, wi,
+                                              clamp_p)
+    base_f, base_pdf = _carpaint_eval_base(m, n, wo, wi, clamp_p)
+    combined_pdf = (p_base * base_pdf + p_flake * flake_pdf
+                    + p_coat * coat_pdf)
+
+    sel_f = vwhere(lobe == 2.0, coat_f, vwhere(lobe == 1.0, flake_f,
+                                               base_f))
+    sel_pdf = jnp.where(lobe == 2.0, coat_pdf,
+                        jnp.where(lobe == 1.0, flake_pdf, base_pdf))
+    cos_i = jnp.maximum(vdot(n, wi), 0.0)
+    weight = sel_f * (cos_i / jnp.maximum(combined_pdf, 1e-20))
+
+    ok = (dir_ok & (combined_pdf > 0.0) & (sel_pdf > 0.0)
+          & ((sel_f.x > 0.0) | (sel_f.y > 0.0) | (sel_f.z > 0.0))
+          & (cos_i > 0.0) & vfinite(weight))
+
+    lobe_type = jnp.where((lobe == 0.0) & jnp.logical_not(sample_spec),
+                          0.0, 1.0)
+    lobe_roughness = jnp.where(
+        lobe == 2.0, coat_roughness,
+        jnp.where(lobe == 1.0, flake_roughness,
+                  jnp.where(sample_spec, base_rough, 1.0)))
+
+    out = Sample.invalid(cos_i)
+    out = out._replace(
+        direction=vwhere(ok, wi, out.direction),
+        weight=vwhere(ok, vmaximum(weight, 0.0), out.weight),
+        pdf=jnp.where(ok, combined_pdf, 0.0),
+        directional_pdf=jnp.where(ok, jnp.maximum(sel_pdf, 0.0), 0.0),
+        lobe_type=jnp.where(ok, lobe_type, 0.0),
+        lobe_roughness=jnp.where(ok, lobe_roughness, 0.0))
+    return new_state, out
+
+
 def _pbr_f0_from_ior(ior):
     eta = jnp.maximum(ior, 1.0)
     ratio = (eta - 1.0) / jnp.maximum(eta + 1.0, 1e-6)
@@ -1032,6 +1529,13 @@ def _evaluate_bsdf(m: Mat, n: V3, wo: V3, wi: V3, clamp_p: Clamp,
     if C.MATERIAL_DIELECTRIC in types:
         is_delta = is_delta | (m.mat_type == C.MATERIAL_DIELECTRIC)
 
+    if C.MATERIAL_PLASTIC in types:
+        mask = (m.mat_type == C.MATERIAL_PLASTIC) & geom_ok
+        vv, pp = _plastic_eval(m, n, wo, wi, clamp_p, diffuse_occlusion,
+                               cos_o, cos_i)
+        value = vwhere(mask, vv, value)
+        pdf = jnp.where(mask, pp, pdf)
+
     if C.MATERIAL_PBR in types:
         mask = (m.mat_type == C.MATERIAL_PBR) & geom_ok
         vv, pp, dd = _eval_pbr(m, n, wo, wi, clamp_p, diffuse_occlusion)
@@ -1067,6 +1571,9 @@ def _sample_bsdf(m: Mat, n: V3, wo: V3, incident: V3, front_face, state,
     if C.MATERIAL_DIELECTRIC in types:
         s, o = _sample_dielectric(m, n, incident, front_face, state)
         merge(C.MATERIAL_DIELECTRIC, s, o)
+    if C.MATERIAL_PLASTIC in types:
+        s, o = _sample_plastic(m, n, wo, state, clamp_p, diffuse_occlusion)
+        merge(C.MATERIAL_PLASTIC, s, o)
     if C.MATERIAL_PBR in types:
         s, o = _sample_pbr(m, n, wo, incident, state, clamp_p,
                            diffuse_occlusion)
@@ -1121,6 +1628,13 @@ def _environment_lighting_roughness(m: Mat, types):
     if C.MATERIAL_METAL in types or C.MATERIAL_PBR in types:
         out = jnp.where((m.mat_type == C.MATERIAL_METAL)
                         | (m.mat_type == C.MATERIAL_PBR), rough, out)
+    if C.MATERIAL_PLASTIC in types:
+        coat_r = jnp.maximum(jnp.clip(m.coat_roughness, 0.0, 1.0), 1e-3)
+        out = jnp.where(m.mat_type == C.MATERIAL_PLASTIC,
+                        jnp.clip(coat_r, 0.0, 1.0), out)
+    if C.MATERIAL_CARPAINT in types:
+        out = jnp.where(m.mat_type == C.MATERIAL_CARPAINT,
+                        jnp.clip(m.carpaint_base_roughness, 0.0, 1.0), out)
     return out
 
 
@@ -1734,7 +2248,7 @@ def fused_supported(scene, static) -> bool:
     types = set(static.material_types)
     if not types <= {C.MATERIAL_LAMBERTIAN, C.MATERIAL_METAL,
                      C.MATERIAL_DIELECTRIC, C.MATERIAL_DIFFUSE_LIGHT,
-                     C.MATERIAL_PBR}:
+                     C.MATERIAL_PBR, C.MATERIAL_PLASTIC}:
         return False
     env_mode = static.background_mode == 2
     if env_mode:
@@ -2159,6 +2673,13 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                  and (env_mode or rect_nee)
                  and bool(types & {C.MATERIAL_DIELECTRIC, C.MATERIAL_METAL,
                                    C.MATERIAL_PBR}))
+    # Measurement-only stage bisection (tools/abbench.py frame variants):
+    # MPT_STAGE_SKIP="chains,shadow,envsample,texture" stubs individual
+    # glue stages so their cost can be timed by difference. Radiometry is
+    # wrong with any skip on — read at TRACE time like MPT_TRAVERSE_DEBUG.
+    _skips = frozenset(filter(None, os.environ.get(
+        "MPT_STAGE_SKIP", "").split(",")))
+    chains_on = chains_on and "chains" not in _skips
     has_medium = bool(types & {C.MATERIAL_DIELECTRIC, C.MATERIAL_PBR,
                                C.MATERIAL_SUBSURFACE})
     has_tex = (scene.textures is not None and C.MATERIAL_PBR in types)
@@ -2247,6 +2768,8 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                     onehot, is_pbr_m, (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST) > 0.5
                 pbr_any = jnp.any(alive & (tri_i >= 0) & lane_pbr)
+                if "texture" in _skips:
+                    pbr_any = jnp.zeros((), bool)
 
                 state_flat = unshp(state_p)
 
@@ -2300,7 +2823,9 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                             jnp.zeros(d3.shape[:-1], jnp.float32))
 
                 bg, env_pdf_d = jax.lax.cond(
-                    jnp.any(alive & (tri_i < 0)), _bg_run, _bg_skip, 0)
+                    jnp.logical_and(jnp.any(alive & (tri_i < 0)),
+                                    "envsample" not in _skips),
+                    _bg_run, _bg_skip, 0)
                 s1_extra["envbg"] = planes3(bg[:, 0], bg[:, 1], bg[:, 2])
                 s1_extra["envpdf"] = shp(pad1(env_pdf_d))
             if rect_nee:
@@ -2368,8 +2893,11 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 sh_o = (p3 + off_n * (sgn * dist)[..., None]
                         + l_dir * (C.RAY_ORIGIN_EPSILON * 0.5))
                 sh_max = jnp.where(do_sh, l_max, 0.0)
-                occ = _occluded_merged(scene, sh_o, l_dir, C.EPSILON_T,
-                                       sh_max)
+                if "shadow" in _skips:
+                    occ = jnp.zeros(do_sh.shape, bool)
+                else:
+                    occ = _occluded_merged(scene, sh_o, l_dir, C.EPSILON_T,
+                                           sh_max)
                 planes = [
                     shp(l_dir[:, 0]), shp(l_dir[:, 1]), shp(l_dir[:, 2]),
                     shp(l_rad[:, 0]), shp(l_rad[:, 1]), shp(l_rad[:, 2]),
@@ -2390,10 +2918,17 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 n_shadow = n_shadow + ns
             if env_mode:
                 eu = ("u4", "u5", "u6") if rect_nee else ("u1", "u2", "u3")
-                e_dir, e_rad, e_pdf, e_valid = \
-                    env_ops.sample_environment_from_uniforms(
-                        env, tget(eu[0]), tget(eu[1]), tget(eu[2]),
-                        uniforms, static, tget("lrough"))
+                if "envsample" in _skips:
+                    e_dir = jnp.zeros((padded_l, 3), jnp.float32
+                                      ).at[:, 1].set(1.0)
+                    e_rad = jnp.zeros((padded_l, 3), jnp.float32)
+                    e_pdf = jnp.zeros(padded_l, jnp.float32)
+                    e_valid = jnp.zeros(padded_l, bool)
+                else:
+                    e_dir, e_rad, e_pdf, e_valid = \
+                        env_ops.sample_environment_from_uniforms(
+                            env, tget(eu[0]), tget(eu[1]), tget(eu[2]),
+                            uniforms, static, tget("lrough"))
                 bank, ns = shadow_bank(e_dir, e_rad, e_pdf, e_valid,
                                        C.INFINITY_T)
                 banks += bank

@@ -195,6 +195,20 @@ class EnvironmentSoA:
     # the static ((offset, h, w), ...) per level.
     flat_mips: Array = None
     mip_meta: Any = struct.field(pytree_node=False, default=())
+    # Gather-packed variants (measured: env NEE was ~30% of the headline
+    # frame, dominated by many NARROW gathers; TPU row gathers of K
+    # contiguous elements cost like one element — the gather_material
+    # lesson). Values are bit-identical copies of the tables above:
+    #   flat_quads[off + y0*w + x0] = [c00, c10, c01, c11] (12) — a whole
+    #     bilinear footprint (wrap-x/y neighbours) in ONE row gather;
+    #   cond_packed[row, col] = [conditional_threshold, conditional_alias,
+    #     pdf] — the alias step's three per-texel reads in one;
+    #   marg_packed[row] = [marginal_threshold, marginal_alias].
+    # Alias indices ride as f32 (exact: dims < 2^24). None => the unpacked
+    # fallback paths (hand-built EnvironmentSoA) are used.
+    flat_quads: Array = None
+    cond_packed: Array = None
+    marg_packed: Array = None
 
 
 @struct.dataclass

@@ -740,6 +740,83 @@ def _many_material_scene(metal: bool, max_depth: int):
     return settings, res
 
 
+def test_fused_matches_xla_plastic():
+    """PLASTIC (coat GGX over tinted lambert, reference
+    pathtrace.metal:5285-5419) on flat triangle spheres: the fused
+    sampler/eval must match the XLA branch including the coat selector's
+    RNG draw discipline.
+
+    Coat roughness stays >= 0.15 here: the reference has NO delta
+    carve-out for plastic, so a near-smooth coat samples GGX at
+    alpha=1e-4 whose pdf hits the min_specular_pdf clamp — ~13x firefly
+    weights where a 1-ulp input drift flips whole lanes (measured: the
+    sampler is BIT-identical under controlled inputs at that roughness,
+    rough-coat renders are 1e-6-exact through 4 bounces, near-smooth
+    renders diverge at depth 2 with +-4 ray-count flips). The smooth
+    regime is covered at depth 1 below, where renders are exact."""
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.6, 0.0)
+    settings.cameraDistance = 5.0
+    settings.cameraPitch = 0.3
+    settings.maxDepth = 4
+    settings.fixedRngSeed = 9
+    res = SceneResources()
+    m_red = res.add_material(Material(
+        mat_type=C.MATERIAL_PLASTIC, base_color=(0.6, 0.1, 0.1),
+        coat_roughness=0.15, coat_thickness=0.4,
+        coat_tint=(0.9, 0.95, 1.0), coat_absorption=(0.2, 0.1, 0.05),
+        ior=1.5))
+    m_rough = res.add_material(Material(
+        mat_type=C.MATERIAL_PLASTIC, base_color=(0.1, 0.4, 0.7),
+        coat_roughness=0.3, ior=1.6))
+    m_ground = res.add_material(Material(base_color=(0.6, 0.6, 0.6)))
+    res.add_mesh(_sphere_mesh(2, (-1.0, 0.6, 0), 0.8, m_red, "red"))
+    res.add_mesh(_sphere_mesh(2, (1.0, 0.6, 0), 0.8, m_rough, "rough"))
+    res.add_mesh(_ground_mesh(m_ground))
+    _compare(settings, res, min_exact=0.95, max_rmse=1e-4)
+
+
+def test_fused_matches_xla_plastic_smooth_primary():
+    """Near-smooth coat (the chaotic regime above) at depth 1: the
+    primary shade through the coat selector must be exact."""
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.6, 0.0)
+    settings.cameraDistance = 5.0
+    settings.cameraPitch = 0.3
+    settings.maxDepth = 1
+    settings.fixedRngSeed = 9
+    res = SceneResources()
+    m_smooth = res.add_material(Material(
+        mat_type=C.MATERIAL_PLASTIC, base_color=(0.1, 0.4, 0.7),
+        coat_roughness=0.02, ior=1.6))
+    m_ground = res.add_material(Material(base_color=(0.6, 0.6, 0.6)))
+    res.add_mesh(_sphere_mesh(2, (0.0, 0.6, 0), 0.8, m_smooth, "smooth"))
+    res.add_mesh(_ground_mesh(m_ground))
+    _compare(settings, res, min_exact=0.999, max_rmse=1e-6)
+
+
+def test_fused_matches_xla_plastic_env():
+    """PLASTIC under HDR env NEE: exercises the S1 lrough export
+    (environment_lighting_roughness -> coat roughness) and the eval
+    branch in the NEE MIS weights."""
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.6, 0.0)
+    settings.cameraDistance = 5.0
+    settings.cameraPitch = 0.3
+    settings.maxDepth = 3
+    settings.fixedRngSeed = 11
+    settings.backgroundMode = BackgroundMode.ENVIRONMENT
+    res = SceneResources()
+    m_p = res.add_material(Material(
+        mat_type=C.MATERIAL_PLASTIC, base_color=(0.5, 0.25, 0.1),
+        coat_roughness=0.2, coat_thickness=0.2, ior=1.5))
+    m_ground = res.add_material(Material(base_color=(0.5, 0.5, 0.5)))
+    res.add_mesh(_sphere_mesh(2, (0, 0.6, 0), 0.8, m_p, "p"))
+    res.add_mesh(_ground_mesh(m_ground))
+    _compare_with_env(settings, res, _toy_env(), min_exact=0.95,
+                      max_rmse=1e-4)
+
+
 def test_fused_matches_xla_many_materials_primary():
     """48 mixed materials, depth 1: every row's type/color/roughness
     reaches the primary shade through the kernel's SMEM select chain —
