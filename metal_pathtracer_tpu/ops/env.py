@@ -258,6 +258,14 @@ def environment_from_texels(texels: np.ndarray,
 # Device-side lookup (jnp)
 # ---------------------------------------------------------------------------
 
+
+def _use_packed(env) -> bool:
+    """Packed-gather paths (quad atlas / packed alias rows). MPT_ENV_PACKED=0
+    opts out for interleaved A/B timing (read at trace time)."""
+    return (env.flat_quads is not None
+            and os.environ.get("MPT_ENV_PACKED", "1") == "1")
+
+
 def _direction_to_uv(direction, rotation):
     """Equirect mapping with Y-axis rotation
     (reference: pathtrace.metal environment_color:1372-1386)."""
@@ -327,7 +335,7 @@ def _bilinear_flat(env: EnvironmentSoA, level_onehot, u, v):
     fy = (y - y0)[..., None]
     x0i = jnp.mod(x0.astype(jnp.int32), wi)
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
-    if env.flat_quads is not None:
+    if _use_packed(env):
         # one 12-wide row gather: the quad atlas pre-packs the wrap
         # neighbours (values bit-identical to the four narrow gathers)
         q = env.flat_quads[off + y0i * wi + x0i]
@@ -352,7 +360,7 @@ def _bilinear_mip0(env: EnvironmentSoA, u, v):
     arithmetic to _bilinear_wrap(env.texels, u, v)."""
     import jax.numpy as jnp
 
-    if env.flat_quads is None:
+    if not _use_packed(env):
         return _bilinear_wrap(env.texels, u, v)
     h, w = env.height, env.width
     x = u * w - 0.5
@@ -486,7 +494,7 @@ def environment_pdf(env: EnvironmentSoA, direction, rotation):
     w, h = env.width, env.height
     x = jnp.minimum((u * w).astype(jnp.int32), w - 1)
     y = jnp.minimum((v * h).astype(jnp.int32), h - 1)
-    if env.cond_packed is not None:
+    if _use_packed(env):
         value = env.cond_packed[y, x][..., 2]
     else:
         value = env.pdf[y, x]
@@ -523,7 +531,7 @@ def sample_environment_from_uniforms(env: EnvironmentSoA, u_marginal,
     row_floor = jnp.floor(row_choice)
     row = jnp.minimum(row_floor.astype(jnp.int32), h - 1)
     row_frac = row_choice - row_floor
-    if env.marg_packed is not None:
+    if _use_packed(env):
         mrow = env.marg_packed[row]                 # one 2-wide row gather
         row_threshold = mrow[..., 0]
         row_alias = mrow[..., 1].astype(jnp.int32)
@@ -537,7 +545,7 @@ def sample_environment_from_uniforms(env: EnvironmentSoA, u_marginal,
     col_floor = jnp.floor(col_choice)
     col = jnp.minimum(col_floor.astype(jnp.int32), w - 1)
     col_frac = col_choice - col_floor
-    if env.cond_packed is not None:
+    if _use_packed(env):
         crow = env.cond_packed[row, col]            # one 3-wide row gather
         col_threshold = crow[..., 0]
         col_alias = crow[..., 1].astype(jnp.int32)
@@ -570,7 +578,7 @@ def sample_environment_from_uniforms(env: EnvironmentSoA, u_marginal,
         map_dir[..., 1],
         -map_dir[..., 0] * sin_r + map_dir[..., 2] * cos_r], -1)
 
-    if env.cond_packed is not None:
+    if _use_packed(env):
         pdf = env.cond_packed[row, col][..., 2]
     else:
         pdf = env.pdf[row, col]

@@ -610,12 +610,18 @@ class Sample(NamedTuple):
     medium_event: Array  # f32 -1/0/+1
     lobe_type: Array    # f32 0 diffuse / 1 glossy
     lobe_roughness: Array
+    # BSSRDF exit (SUBSURFACE only; constant zeros otherwise — XLA folds
+    # the merges away when the type set has no SSS)
+    has_exit_point: Array = None   # bool
+    exit_point: V3 = None
+    exit_normal: V3 = None
 
     @classmethod
     def invalid(cls, like):
         z = jnp.zeros_like(like)
+        fb = jnp.zeros_like(like, dtype=bool)
         return cls(V3(z, z, z), V3(z, z, z), z, z,
-                   jnp.zeros_like(like, dtype=bool), z, z, z)
+                   fb, z, z, z, fb, V3(z, z, z), V3(z, z, z))
 
 
 def _sel_sample(mask, a: Sample, b: Sample) -> Sample:
@@ -626,7 +632,10 @@ def _sel_sample(mask, a: Sample, b: Sample) -> Sample:
                   (mask & a.is_delta) | (~mask & b.is_delta),
                   jnp.where(mask, a.medium_event, b.medium_event),
                   jnp.where(mask, a.lobe_type, b.lobe_type),
-                  jnp.where(mask, a.lobe_roughness, b.lobe_roughness))
+                  jnp.where(mask, a.lobe_roughness, b.lobe_roughness),
+                  (mask & a.has_exit_point) | (~mask & b.has_exit_point),
+                  vwhere(mask, a.exit_point, b.exit_point),
+                  vwhere(mask, a.exit_normal, b.exit_normal))
 
 
 def _material_is_delta(m: Mat):
@@ -774,7 +783,7 @@ def _sample_dielectric(m: Mat, n: V3, incident: V3, front_face, state):
     medium_event = jnp.where(jnp.logical_and(~reflecting, ~is_thin),
                              jnp.where(front_face, 1.0, -1.0), 0.0)
     one = jnp.ones_like(fr)
-    return state, Sample(
+    return state, Sample.invalid(fr)._replace(
         direction=vsafe_normalize(direction),
         weight=weight,
         pdf=one,
@@ -1173,11 +1182,14 @@ def _sample_carpaint(m: Mat, position: V3, n: V3, wo: V3, state,
     wi_bd = vsafe_normalize(_to_world(local, n))
     wi_b = vwhere(sample_spec, wi_bs, wi_bd)
     state_b_final = jnp.where(sample_spec, state_bs, state_bd)
-    base_ok = jnp.where(sample_spec, spec_ok, True)
+    # logical ops, not where: bool-valued select_n lowers to an i8->i1
+    # truncation Mosaic rejects
+    base_ok = jnp.logical_not(sample_spec) | spec_ok
 
     wi = vwhere(lobe == 2.0, wi_c, vwhere(lobe == 1.0, wi_f, wi_b))
-    branch_ok = jnp.where(lobe == 2.0, coat_ok,
-                          jnp.where(lobe == 1.0, flake_ok, base_ok))
+    branch_ok = (((lobe == 2.0) & coat_ok)
+                 | ((lobe == 1.0) & flake_ok)
+                 | ((lobe < 0.5) & base_ok))
     new_state = jnp.where(lobe == 2.0, state_c,
                           jnp.where(lobe == 1.0, state_f, state_b_final))
 
@@ -1216,6 +1228,172 @@ def _sample_carpaint(m: Mat, position: V3, n: V3, wo: V3, state,
         directional_pdf=jnp.where(ok, jnp.maximum(sel_pdf, 0.0), 0.0),
         lobe_type=jnp.where(ok, lobe_type, 0.0),
         lobe_roughness=jnp.where(ok, lobe_roughness, 0.0))
+    return new_state, out
+
+
+def _schlick_fresnel_scalar(f0, cos_theta):
+    return f0 + (1.0 - f0) * _schlick_weight(cos_theta)
+
+
+def _sss_sigma_a(m: Mat, base_color: V3, mean_free_path, anisotropy) -> V3:
+    """(sss.sss_sigma_a twin)"""
+    sigma_t = 1.0 / jnp.maximum(mean_free_path, 1e-4)
+    sigma_s = _vclip(base_color, 0.0, 0.999) * sigma_t
+    sigma_s = vmaximum(sigma_s, 0.0) * jnp.maximum(1.0 - anisotropy, 0.01)
+    derived = vmaximum(V3(sigma_t, sigma_t, sigma_t) - sigma_s, 1e-6)
+    override = m.sss_sigma_override > 0.5
+    return vwhere(override, vmaximum(m.sss_sigma_a, 1e-6), derived)
+
+
+def _sss_sigma_s_prime(m: Mat, base_color: V3, mean_free_path,
+                       anisotropy) -> V3:
+    """(sss.sss_sigma_s_prime twin)"""
+    sigma_t = 1.0 / jnp.maximum(mean_free_path, 1e-4)
+    derived = vmaximum(_vclip(base_color, 0.0, 0.999) * sigma_t, 0.0)
+    override_s = vmaximum(m.sss_sigma_s, 0.0)
+    override = m.sss_sigma_override > 0.5
+    out = vwhere(override, override_s, derived)
+    return out * jnp.maximum(1.0 - anisotropy, 0.01)
+
+
+def _vclip(a: V3, lo, hi) -> V3:
+    return V3(jnp.clip(a.x, lo, hi), jnp.clip(a.y, lo, hi),
+              jnp.clip(a.z, lo, hi))
+
+
+def _normalized_diffusion_profile(radius, sigma_a: V3,
+                                  sigma_s_prime: V3) -> V3:
+    """(sss.normalized_diffusion_profile twin)"""
+    def per(sa, ss):
+        sigma_t_prime = jnp.maximum(sa + ss, 1e-6)
+        alpha_prime = jnp.clip(ss / sigma_t_prime, 0.0, 1.0)
+        d = 1.0 / jnp.maximum(3.0 * sigma_t_prime, 1e-6)
+        sigma_tr = jnp.sqrt(jnp.maximum(sa / d, 1e-6))
+        r = jnp.maximum(radius, 1e-4)
+        zr = 1.0 / sigma_t_prime
+        dr = jnp.sqrt(r * r + zr * zr)
+        vr = zr + 4.0 * d
+        dv = jnp.sqrt(r * r + vr * vr)
+        term_dr = (zr * (1.0 + sigma_tr * dr)) / jnp.maximum(dr ** 3, 1e-6)
+        term_dv = (vr * (1.0 + sigma_tr * dv)) / jnp.maximum(dv ** 3, 1e-6)
+        profile = (alpha_prime / (4.0 * PI)) * (
+            term_dr * jnp.exp(-sigma_tr * dr)
+            + term_dv * jnp.exp(-sigma_tr * dv))
+        return jnp.maximum(profile, 0.0)
+
+    return V3(per(sigma_a.x, sigma_s_prime.x),
+              per(sigma_a.y, sigma_s_prime.y),
+              per(sigma_a.z, sigma_s_prime.z))
+
+
+def _sss_sigma_tr_scalar(sigma_a: V3, sigma_s_prime: V3):
+    """(sss.sss_sigma_tr_scalar twin)"""
+    def tr(sa, ss):
+        sigma_t_prime = jnp.maximum(sa + ss, 1e-6)
+        d = 1.0 / jnp.maximum(3.0 * sigma_t_prime, 1e-6)
+        return jnp.sqrt(jnp.maximum(sa / d, 1e-6))
+
+    return jnp.maximum(
+        vluminance(V3(tr(sigma_a.x, sigma_s_prime.x),
+                      tr(sigma_a.y, sigma_s_prime.y),
+                      tr(sigma_a.z, sigma_s_prime.z))), 1e-4)
+
+
+def _sss_lambert_fallback(m: Mat, n: V3, state):
+    """(sss._lambert_fallback twin — 2 draws)"""
+    state, local = _sample_cosine_hemisphere(state)
+    wi = vsafe_normalize(_to_world(local, n))
+    cos_i = vdot(n, wi)
+    pdf = _lambert_pdf(n, wi)
+    albedo = _material_base_color(m)
+    weight = vmaximum(albedo * (1.0 / PI)
+                      * (cos_i / jnp.maximum(pdf, 1e-20)), 0.0)
+    ok = (cos_i > 0.0) & (pdf > 0.0) & vfinite(weight)
+    out = Sample.invalid(cos_i)
+    out = out._replace(
+        direction=vwhere(ok, wi, out.direction),
+        weight=vwhere(ok, weight, out.weight),
+        pdf=jnp.where(ok, pdf, 0.0),
+        directional_pdf=jnp.where(ok, pdf, 0.0),
+        lobe_roughness=jnp.where(ok, 1.0, 0.0))
+    return state, out
+
+
+def _sample_subsurface(m: Mat, position: V3, n: V3, wo: V3, state,
+                       clamp_p: Clamp, sss_mode: int):
+    """(sss.sample_subsurface twin): separable normalized-diffusion
+    BSSRDF (sss_mode==1) or lambert fallback; random-walk lanes
+    (sss_mode==2, sss_method>=0.5) are overridden by the XLA pre-stage
+    (see trace_paths_fused)."""
+    mean_free_path = jnp.maximum(m.sss_mfp, 1e-4)
+    if sss_mode != 1:
+        return _sss_lambert_fallback(m, n, state)
+
+    anisotropy = jnp.clip(m.sss_g, -0.99, 0.99)
+    base_color = _material_base_color(m)
+    sigma_a = _sss_sigma_a(m, base_color, mean_free_path, anisotropy)
+    sigma_sp = _sss_sigma_s_prime(m, base_color, mean_free_path, anisotropy)
+    sigma_tr = _sss_sigma_tr_scalar(sigma_a, sigma_sp)
+
+    lane_separable = (m.sss_method < 0.5) & (mean_free_path > 1e-4) \
+        & (sigma_tr > 0.0)
+
+    # --- separable branch: 4 draws (radius, phi, 2x cosine)
+    st = state
+    st, u_r = _rand(st)
+    u_r = jnp.clip(u_r, 1e-6, 1.0 - 1e-6)
+    radius = -jnp.log(1.0 - u_r) / jnp.maximum(sigma_tr, 1e-4)
+    radius = jnp.minimum(radius, mean_free_path * 10.0)
+    pdf_radius = jnp.maximum(sigma_tr, 1e-4) * jnp.exp(
+        -jnp.maximum(sigma_tr, 1e-4) * radius)
+    st, u_phi = _rand(st)
+    phi = 2.0 * PI * u_phi
+    tangent, bitangent = _build_onb(n)
+    disp_x = radius * jnp.cos(phi)
+    disp_y = radius * jnp.sin(phi)
+    exit_point = position + tangent * disp_x + bitangent * disp_y
+    exit_normal = n
+
+    st, local = _sample_cosine_hemisphere(st)
+    wi = vsafe_normalize(_to_world(local, exit_normal))
+    cos_exit = vdot(exit_normal, wi)
+    pdf_dir = _lambert_pdf(exit_normal, wi)
+    pdf_area = pdf_radius / (2.0 * PI * jnp.maximum(radius, 1e-4))
+
+    profile = _normalized_diffusion_profile(radius, sigma_a, sigma_sp)
+    coat_tint = _vclip01(m.coat_tint)
+    coat_average = 1.0 - jnp.clip(m.coat_fresnel_avg, 0.0, 1.0)
+    coat_ior = jnp.maximum(m.coat_ior, 1.0)
+    f0 = ((coat_ior - 1.0) / (coat_ior + 1.0)) ** 2
+    cos_in = jnp.maximum(vdot(n, wo), 0.0)
+    trans_in = 1.0 - _schlick_fresnel_scalar(f0, cos_in)
+    trans_out = 1.0 - _schlick_fresnel_scalar(f0, cos_exit)
+    coat_transmission = jnp.clip(trans_in * trans_out, 0.0, 1.0)
+    has_coat = m.sss_coat > 0.5
+    profile = vwhere(has_coat, profile * coat_tint, profile)
+    coat_trans_eff = jnp.where(has_coat, coat_transmission, 1.0)
+
+    weight = profile * (cos_exit * coat_average * coat_trans_eff)
+    denom = jnp.maximum(pdf_area * pdf_dir, 1e-6)
+    weight = vmaximum(weight / denom, 0.0)
+    sep_ok = (lane_separable & (pdf_radius > 0.0) & jnp.isfinite(pdf_radius)
+              & (cos_exit > 0.0) & (pdf_dir > 0.0) & (pdf_area > 0.0)
+              & vfinite(weight))
+
+    sep = Sample.invalid(cos_exit)
+    sep = sep._replace(
+        direction=vwhere(sep_ok, wi, sep.direction),
+        weight=vwhere(sep_ok, weight, sep.weight),
+        pdf=jnp.where(sep_ok, denom, 0.0),
+        directional_pdf=jnp.where(sep_ok, pdf_dir, 0.0),
+        has_exit_point=sep_ok,
+        exit_point=vwhere(sep_ok, exit_point, sep.exit_point),
+        exit_normal=vwhere(sep_ok, exit_normal, sep.exit_normal))
+
+    # --- lambert fallback branch: 2 draws
+    fb_state, fb = _sss_lambert_fallback(m, n, state)
+    out = _sel_sample(lane_separable, sep, fb)
+    new_state = jnp.where(lane_separable, st, fb_state)
     return new_state, out
 
 
@@ -1481,9 +1659,9 @@ def _sample_pbr(m: Mat, n: V3, wo: V3, incident: V3, state, clamp_p: Clamp,
 
 
 def _evaluate_bsdf(m: Mat, n: V3, wo: V3, wi: V3, clamp_p: Clamp,
-                   diffuse_occlusion, types):
+                   diffuse_occlusion, types, position: V3 = None):
     """(bsdf.evaluate_bsdf twin for the fused type set)
-    -> (value V3, pdf, is_delta)"""
+    -> (value V3, pdf, is_delta, is_bssrdf)"""
     cos_o = jnp.maximum(vdot(n, wo), 0.0)
     cos_i = jnp.maximum(vdot(n, wi), 0.0)
     geom_ok = (cos_i > 0.0) & (cos_o > 0.0)
@@ -1491,6 +1669,7 @@ def _evaluate_bsdf(m: Mat, n: V3, wo: V3, wi: V3, clamp_p: Clamp,
     value = vfull(cos_o, 0.0, 0.0, 0.0)
     pdf = jnp.zeros_like(cos_o)
     is_delta = jnp.zeros_like(cos_o, dtype=bool)
+    is_bssrdf = jnp.zeros_like(cos_o, dtype=bool)
 
     if C.MATERIAL_LAMBERTIAN in types:
         mask = (m.mat_type == C.MATERIAL_LAMBERTIAN) & geom_ok
@@ -1536,6 +1715,15 @@ def _evaluate_bsdf(m: Mat, n: V3, wo: V3, wi: V3, clamp_p: Clamp,
         value = vwhere(mask, vv, value)
         pdf = jnp.where(mask, pp, pdf)
 
+    if C.MATERIAL_SUBSURFACE in types:
+        is_bssrdf = is_bssrdf | (m.mat_type == C.MATERIAL_SUBSURFACE)
+
+    if C.MATERIAL_CARPAINT in types:
+        mask = (m.mat_type == C.MATERIAL_CARPAINT) & geom_ok
+        vv, pp = _carpaint_eval(m, position, n, wo, wi, clamp_p)
+        value = vwhere(mask, vv, value)
+        pdf = jnp.where(mask, pp, pdf)
+
     if C.MATERIAL_PBR in types:
         mask = (m.mat_type == C.MATERIAL_PBR) & geom_ok
         vv, pp, dd = _eval_pbr(m, n, wo, wi, clamp_p, diffuse_occlusion)
@@ -1545,11 +1733,12 @@ def _evaluate_bsdf(m: Mat, n: V3, wo: V3, wi: V3, clamp_p: Clamp,
 
     bad = (pdf <= 0.0) | jnp.logical_not(vfinite(value))
     value = vwhere(bad, vfull(pdf, 0.0, 0.0, 0.0), value)
-    return value, pdf, is_delta
+    return value, pdf, is_delta, is_bssrdf
 
 
 def _sample_bsdf(m: Mat, n: V3, wo: V3, incident: V3, front_face, state,
-                 clamp_p: Clamp, types, diffuse_occlusion=None) -> tuple:
+                 clamp_p: Clamp, types, diffuse_occlusion=None,
+                 position: V3 = None, sss_mode: int = 0) -> tuple:
     """(bsdf.sample_bsdf twin for the fused type set)"""
     out = Sample.invalid(m.roughness)
     new_state = state
@@ -1574,6 +1763,13 @@ def _sample_bsdf(m: Mat, n: V3, wo: V3, incident: V3, front_face, state,
     if C.MATERIAL_PLASTIC in types:
         s, o = _sample_plastic(m, n, wo, state, clamp_p, diffuse_occlusion)
         merge(C.MATERIAL_PLASTIC, s, o)
+    if C.MATERIAL_SUBSURFACE in types:
+        s, o = _sample_subsurface(m, position, n, wo, state, clamp_p,
+                                  sss_mode)
+        merge(C.MATERIAL_SUBSURFACE, s, o)
+    if C.MATERIAL_CARPAINT in types:
+        s, o = _sample_carpaint(m, position, n, wo, state, clamp_p)
+        merge(C.MATERIAL_CARPAINT, s, o)
     if C.MATERIAL_PBR in types:
         s, o = _sample_pbr(m, n, wo, incident, state, clamp_p,
                            diffuse_occlusion)
@@ -1600,6 +1796,14 @@ TRANS = ["u1", "u2", "u3", "lrough", "snx", "sny", "snz",
          "nfx", "nfy", "nfz", "px", "py", "pz", "active", "delta",
          "u4", "u5", "u6"]
 TRANS_IDX = {n: i for i, n in enumerate(TRANS)}
+
+#: random-walk SSS override planes (XLA pre-stage -> S2/full kernel):
+#: the walk traces the scene per step, so it cannot live in the kernel;
+#: lanes with mask & pdf>0 replace their sampled lobe wholesale
+#: (integrator :538-547)
+RW = ["mask", "dx", "dy", "dz", "wr", "wg", "wb", "pdf", "dpdf",
+      "lobe", "lrough", "hasexit", "ex", "ey", "ez", "enx", "eny", "enz"]
+RW_IDX = {n: i for i, n in enumerate(RW)}
 
 #: NEE sample-stage results + occlusion, XLA -> S2 (one bank per light
 #: integral: rect esmp rides bank 0 and env bank 1 when both run)
@@ -1640,7 +1844,7 @@ def _environment_lighting_roughness(m: Mat, types):
 
 def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
                   has_prims=False, rect_nee=False, chains=False,
-                  has_emod=False):
+                  has_emod=False, has_rw=False):
     """One stage of the fused shade (see module docstring for the split).
 
     has_prims: scene contains analytic spheres/rects — non-triangle hit
@@ -1684,6 +1888,8 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
     emod_ref = next(it) if (has_emod and stage in ("s1",)) else None
     trans_in_ref = next(it) if stage == "s2" else None
     esmp_ref = next(it) if stage == "s2" else None
+    rw_ref = next(it) if has_rw else None
+    rw_state_ref = next(it) if has_rw else None
     tex_ref = next(it) if has_tex else None
     out_ref = next(it)
     ostate_ref = next(it)
@@ -2034,9 +2240,9 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
             occluded = esmp("occl", bank) > 0.5
             n_dot_l = jnp.maximum(vdot(shading_normal, e_dir), 0.0)
             do_shadow = nee_lanes & e_valid & (e_pdf > 0.0) & (n_dot_l > 0.0)
-            ev_value, ev_pdf, ev_delta = _evaluate_bsdf(
+            ev_value, ev_pdf, ev_delta, ev_bssrdf = _evaluate_bsdf(
                 m, shading_normal, wo, e_dir, clamp_p, diffuse_occlusion,
-                types)
+                types, position=point)
             max_comp = vmax(ev_value)
             wmis = jnp.ones_like(e_pdf)
             denom = e_pdf + ev_pdf
@@ -2048,25 +2254,47 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
                             * (n_dot_l * wmis / jnp.maximum(e_pdf, 1e-30)))
             add = (do_shadow & jnp.logical_not(occluded)
                    & jnp.logical_not(ev_delta)
+                   & jnp.logical_not(ev_bssrdf)
                    & (max_comp > 0.0) & vfinite(contribution))
             clamped = _clamp_firefly(throughput, contribution, clamp_p)
             radiance = radiance + vwhere(add, clamped, zero3)
 
     # ---- BSDF sampling (stages "full" and "s2") ------------------------
     nstate, smp = _sample_bsdf(m, shading_normal, wo, incident, front,
-                               state0, clamp_p, types, diffuse_occlusion)
+                               state0, clamp_p, types, diffuse_occlusion,
+                               position=point, sss_mode=static.sss_mode)
+    if rw_ref is not None:
+        # random-walk SSS override (XLA pre-stage result; integrator
+        # :538-547 twin): rw lanes replace both the sample and the RNG
+        # state — the walk consumed its own draws from the same fork
+        used_rw = (rw_ref[RW_IDX["mask"], 0] > 0.5) \
+            & (rw_ref[RW_IDX["pdf"], 0] > 0.0)
+        rw_smp = Sample.invalid(t_hit)._replace(
+            direction=V3(rw_ref[RW_IDX["dx"], 0], rw_ref[RW_IDX["dy"], 0],
+                         rw_ref[RW_IDX["dz"], 0]),
+            weight=V3(rw_ref[RW_IDX["wr"], 0], rw_ref[RW_IDX["wg"], 0],
+                      rw_ref[RW_IDX["wb"], 0]),
+            pdf=rw_ref[RW_IDX["pdf"], 0],
+            directional_pdf=rw_ref[RW_IDX["dpdf"], 0],
+            lobe_type=rw_ref[RW_IDX["lobe"], 0],
+            lobe_roughness=rw_ref[RW_IDX["lrough"], 0],
+            has_exit_point=rw_ref[RW_IDX["hasexit"], 0] > 0.5,
+            exit_point=V3(rw_ref[RW_IDX["ex"], 0], rw_ref[RW_IDX["ey"], 0],
+                          rw_ref[RW_IDX["ez"], 0]),
+            exit_normal=V3(rw_ref[RW_IDX["enx"], 0],
+                           rw_ref[RW_IDX["eny"], 0],
+                           rw_ref[RW_IDX["enz"], 0]))
+        smp = _sel_sample(used_rw, rw_smp, smp)
+        nstate = jnp.where(used_rw, rw_state_ref[0], nstate)
     state = jnp.where(active & jnp.logical_not(passthrough), nstate, state0)
 
     # alpha pass-through: continue as a delta bounce along the same ray
     if has_tex and C.MATERIAL_PBR in types:
         one = jnp.ones_like(t_hit)
-        pt_smp = Sample(
+        pt_smp = Sample.invalid(one)._replace(
             direction=ray_d, weight=V3(one, one, one), pdf=one,
             directional_pdf=one,
-            is_delta=jnp.ones_like(hit),
-            medium_event=jnp.zeros_like(one),
-            lobe_type=jnp.zeros_like(one),
-            lobe_roughness=jnp.zeros_like(one))
+            is_delta=jnp.ones_like(hit))
         smp = _sel_sample(passthrough, pt_smp, smp)
 
     active = active & (smp.pdf > 0.0)
@@ -2116,6 +2344,19 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
     distance = jnp.maximum(jnp.abs(t_hit) * 1e-4, C.RAY_ORIGIN_EPSILON)
     next_origin = (point + off_n * (sign * distance)
                    + smp.direction * (C.RAY_ORIGIN_EPSILON * 0.5))
+    if C.MATERIAL_SUBSURFACE in types:
+        # BSSRDF exit point (integrator :588-601 twin; reference
+        # pathtrace.metal:6741-6766)
+        en = smp.exit_normal
+        bad_en = jnp.logical_not(vfinite(en)) | (vdot(en, en) <= 0.0)
+        en = vwhere(bad_en, n_faced, en)
+        en = vsafe_normalize(en)
+        sgn_e = jnp.where(vdot(smp.direction, en) >= 0.0, 1.0, -1.0)
+        exit_o = smp.exit_point + en * (sgn_e * C.RAY_ORIGIN_EPSILON)
+        exit_o = exit_o + en * (C.RAY_ORIGIN_EPSILON * 32.0)
+        dir_n = vsafe_normalize(smp.direction)
+        exit_o = exit_o + dir_n * (C.RAY_ORIGIN_EPSILON * 32.0)
+        next_origin = vwhere(smp.has_exit_point, exit_o, next_origin)
 
     # ---- throughput update + clamps ------------------------------------
     throughput_next = throughput * smp.weight
@@ -2248,7 +2489,8 @@ def fused_supported(scene, static) -> bool:
     types = set(static.material_types)
     if not types <= {C.MATERIAL_LAMBERTIAN, C.MATERIAL_METAL,
                      C.MATERIAL_DIELECTRIC, C.MATERIAL_DIFFUSE_LIGHT,
-                     C.MATERIAL_PBR, C.MATERIAL_PLASTIC}:
+                     C.MATERIAL_PBR, C.MATERIAL_PLASTIC,
+                     C.MATERIAL_CARPAINT, C.MATERIAL_SUBSURFACE}:
         return False
     env_mode = static.background_mode == 2
     if env_mode:
@@ -2274,7 +2516,7 @@ def _pack_scalars(uniforms, depth, env=None):
 def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
                 mat_table, scal, carry, state, t, tri, u, v, rows,
                 envbg=None, envpdf=None, rectpdf=None, emod=None,
-                trans=None, esmp=None, tex=None,
+                trans=None, esmp=None, tex=None, rw=None, rw_state=None,
                 has_prims=False, rect_nee=False, chains=False):
     env_mode = static.background_mode == 2
     has_tex = tex is not None
@@ -2283,7 +2525,8 @@ def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
                              static=static, m_count=m_count,
                              env_mode=env_mode, has_tex=has_tex,
                              has_prims=has_prims, rect_nee=rect_nee,
-                             chains=chains, has_emod=has_emod)
+                             chains=chains, has_emod=has_emod,
+                             has_rw=rw is not None)
     grid = (n_blocks,)
 
     def plane_spec(p):
@@ -2317,6 +2560,9 @@ def _shade_call(stage, layout: Layout, static, m_count: int, n_blocks: int,
         in_specs += [plane_spec(len(TRANS)),
                      plane_spec(n_banks * len(ESMP))]
         inputs += [trans, esmp]
+    if rw is not None:
+        in_specs += [plane_spec(len(RW)), lane_spec]
+        inputs += [rw, rw_state]
     if has_tex:
         in_specs.append(plane_spec(len(TEX)))
         inputs.append(tex)
@@ -2682,6 +2928,10 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
     chains_on = chains_on and "chains" not in _skips
     has_medium = bool(types & {C.MATERIAL_DIELECTRIC, C.MATERIAL_PBR,
                                C.MATERIAL_SUBSURFACE})
+    # random-walk SSS (sss_mode==2): the walk traces the scene per step,
+    # so it runs as an XLA pre-stage whose result planes override the
+    # kernel's sampled lobe on walk lanes (integrator :538-547)
+    rw_on = (C.MATERIAL_SUBSURFACE in types and static.sss_mode == 2)
     has_tex = (scene.textures is not None and C.MATERIAL_PBR in types)
     layout = Layout(has_medium, env_mode, chains_on)
     m_count = int(scene.materials.count)
@@ -2787,10 +3037,105 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 # where(active, texd.state, state) before the NEE draws)
                 state_p = shp(jnp.where(alive & (tri_i >= 0), tex_state,
                                         state_flat))
+            def rw_prestage(state_flat):
+                """Random-walk SSS pre-stage: run sss_ops.sample_sss_-
+                random_walk on walk lanes from the same RNG fork the
+                kernel samples from; chunks with no walk lane this depth
+                skip the sss_max_steps scene traces wholesale."""
+                from types import SimpleNamespace
+
+                from metal_pathtracer_tpu.ops import bsdf as bsdf_ops
+                from metal_pathtracer_tpu.ops import sss as sss_ops
+                from metal_pathtracer_tpu.ops.vecmath import (
+                    normalize as x_normalize,
+                )
+
+                mat_lane = jnp.clip(rows[:, 18].astype(jnp.int32), 0,
+                                    scene.materials.count - 1)
+                is_rw_m = ((scene.materials.mat_type
+                            == C.MATERIAL_SUBSURFACE)
+                           & (scene.materials.sss_method >= 0.5))
+                # XLA twin of the kernel's geometric front recompute
+                # (the _shading_normal_xla prefix ops)
+                rows_p = rows
+                short = padded_l - rows_p.shape[0]
+                if short:
+                    rows_p = jnp.pad(rows_p, ((0, short), (0, 0)))
+                tv0 = rows_p[:, 0:3]
+                tv1 = rows_p[:, 3:6]
+                tv2 = rows_p[:, 6:9]
+
+                def safe_norm(a):
+                    len2 = jnp.sum(a * a, -1, keepdims=True)
+                    inv = jnp.where(
+                        len2 > 0.0,
+                        1.0 / jnp.sqrt(jnp.maximum(len2, 1e-38)), 0.0)
+                    return a * inv
+
+                geo_n = safe_norm(jnp.cross(tv1 - tv0, tv2 - tv0))
+                front = jnp.sum(d3 * geo_n, -1) < 0.0
+                n_faced = jnp.where(front[..., None], geo_n, -geo_n)
+                if _scene_has_prims(scene):
+                    flavor = rows_p[:, 21]
+                    plain_tri = (flavor > 0.5) & (flavor < 1.5)
+                    raw_n = rows_p[:, 9:12]
+                    front_nt = jnp.sum(d3 * raw_n, -1) < 0.0
+                    nf_nt = jnp.where(front_nt[..., None], raw_n, -raw_n)
+                    n_faced = jnp.where(plain_tri[..., None], n_faced,
+                                        nf_nt)
+                    front = jnp.where(plain_tri, front, front_nt)
+                rw_lanes = (alive & (tri_i >= 0) & is_rw_m[mat_lane]
+                            & front)
+
+                def _rw_run(sf):
+                    m_x = bsdf_ops.gather_material(scene.materials,
+                                                   mat_lane)
+                    incident_x = x_normalize(d3)
+                    rec_shim = SimpleNamespace(
+                        normal=n_faced, front_face=rw_lanes,
+                        point=o3 + pad1(t)[..., None] * d3)
+                    clamp_x = bsdf_ops.make_clamp_params(uniforms)
+                    rw_st, rw_smp = sss_ops.sample_sss_random_walk(
+                        scene, m_x, rec_shim, -incident_x, incident_x,
+                        sf, clamp_x, static.sss_max_steps)
+                    planes = [
+                        rw_lanes.astype(jnp.float32),
+                        rw_smp.direction[:, 0], rw_smp.direction[:, 1],
+                        rw_smp.direction[:, 2],
+                        rw_smp.weight[:, 0], rw_smp.weight[:, 1],
+                        rw_smp.weight[:, 2],
+                        rw_smp.pdf, rw_smp.directional_pdf,
+                        rw_smp.lobe_type.astype(jnp.float32),
+                        rw_smp.lobe_roughness,
+                        rw_smp.has_exit_point.astype(jnp.float32),
+                        rw_smp.exit_point[:, 0], rw_smp.exit_point[:, 1],
+                        rw_smp.exit_point[:, 2],
+                        rw_smp.exit_normal[:, 0],
+                        rw_smp.exit_normal[:, 1],
+                        rw_smp.exit_normal[:, 2],
+                    ]
+                    return (jnp.stack([shp(p.astype(jnp.float32))
+                                       for p in planes]),
+                            shp(jnp.where(rw_lanes, rw_st, sf)))
+
+                def _rw_skip(sf):
+                    return (jnp.zeros((len(RW), n_blocks_l, ROWS, LANES),
+                                      jnp.float32), shp(sf))
+
+                return jax.lax.cond(jnp.any(rw_lanes), _rw_run, _rw_skip,
+                                    state_flat)
+
             if not env_mode and not rect_nee:
+                rw_planes = rw_state_planes = None
+                if rw_on:
+                    # the full kernel samples from its input state (no NEE
+                    # draws), so this is the integrator's exact fork point
+                    rw_planes, rw_state_planes = rw_prestage(
+                        unshp(state_p))
                 carry, state_p = _shade_call(
                     "full", layout, static, m_count, n_blocks_l,
-                    carry=carry, state=state_p, tex=tex_planes, **args)
+                    carry=carry, state=state_p, tex=tex_planes,
+                    rw=rw_planes, rw_state=rw_state_planes, **args)
                 return depth + 1, carry, state_p, n_rays, n_shadow
 
             # ---- NEE path(s): S1 (emissive MIS + RNG draw export), XLA
@@ -2869,6 +3214,12 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 carry=carry, state=state_p, tex=tex_planes,
                 rect_nee=rect_nee, **s1_extra, **args)
 
+            rw_planes = rw_state_planes = None
+            if rw_on:
+                # the S2 kernel samples from the POST-S1 state (NEE draws
+                # already consumed) — the integrator's exact fork point
+                rw_planes, rw_state_planes = rw_prestage(unshp(state_p))
+
             tget = lambda nm: unshp(trans[TRANS_IDX[nm]])
             sn3 = jnp.stack([tget("snx"), tget("sny"), tget("snz")], -1)
             nf3 = jnp.stack([tget("nfx"), tget("nfy"), tget("nfz")], -1)
@@ -2940,7 +3291,7 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 "s2", layout, static, m_count, n_blocks_l,
                 carry=carry, state=state_p, trans=trans, esmp=esmp,
                 tex=tex_planes, rect_nee=rect_nee, chains=chains_on,
-                **args)
+                rw=rw_planes, rw_state=rw_state_planes, **args)
             if chains_on:
                 carry, state_p, chainp, chain_state = outs
                 carry, chain_scene, chain_shadow = _apply_delta_chains(

@@ -407,14 +407,15 @@ def test_fused_gate_rejects_unsupported():
                                       res3.material_types_present())
         assert settings.enableSpecularNee  # the default
         assert shade.fused_supported(res3.build_arrays(), static3d)
-        # SSS stays on the XLA path (random-walk traces inside sampling)
+        # SSS is fused (separable/fallback in-kernel; random-walk lanes
+        # override via the XLA pre-stage planes)
         res4 = SceneResources()
         res4.add_material(Material(base_color=(0.5, 0.5, 0.5)))
         res4.add_material(Material(mat_type=C.MATERIAL_SUBSURFACE))
         res4.add_mesh(dragon_class_scene_mesh(1, material=1))
         static4 = settings_to_static(settings, 8, 8,
                                      res4.material_types_present())
-        assert not shade.fused_supported(res4.build_arrays(), static4)
+        assert shade.fused_supported(res4.build_arrays(), static4)
         # env background with NO environment map falls back
         settings.backgroundMode = BackgroundMode.ENVIRONMENT
         static3 = settings_to_static(settings, 8, 8,
@@ -774,6 +775,118 @@ def test_fused_matches_xla_plastic():
     res.add_mesh(_sphere_mesh(2, (1.0, 0.6, 0), 0.8, m_rough, "rough"))
     res.add_mesh(_ground_mesh(m_ground))
     _compare(settings, res, min_exact=0.95, max_rmse=1e-4)
+
+
+def test_fused_matches_xla_carpaint():
+    """CARPAINT (coat + procedural-flake + base lobes, reference
+    pathtrace.metal:3371-3536, 5508-5633): the flake-normal hash is a
+    function of the hit POSITION, so this also pins the kernel's hit
+    point to the XLA record's (1-ulp drift would decorrelate flakes)."""
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.6, 0.0)
+    settings.cameraDistance = 5.0
+    settings.cameraPitch = 0.3
+    settings.maxDepth = 3
+    settings.fixedRngSeed = 13
+    res = SceneResources()
+    m_cp = res.add_material(Material(
+        mat_type=C.MATERIAL_CARPAINT, base_color=(0.5, 0.05, 0.05),
+        coat_roughness=0.2, carpaint_base_metallic=0.3,
+        carpaint_base_roughness=0.25, carpaint_flake_sample_weight=0.2,
+        carpaint_flake_roughness=0.2, carpaint_flake_scale=8.0,
+        carpaint_flake_normal_strength=0.5, ior=1.5))
+    m_ground = res.add_material(Material(base_color=(0.6, 0.6, 0.6)))
+    res.add_mesh(_sphere_mesh(2, (0.0, 0.6, 0), 0.8, m_cp, "paint"))
+    res.add_mesh(_ground_mesh(m_ground))
+    _compare(settings, res, min_exact=0.95, max_rmse=1e-4)
+
+
+def test_fused_matches_xla_carpaint_env():
+    """CARPAINT under env NEE: the 3-lobe eval in the MIS weights + the
+    base-roughness lrough export."""
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.6, 0.0)
+    settings.cameraDistance = 5.0
+    settings.cameraPitch = 0.3
+    settings.maxDepth = 3
+    settings.fixedRngSeed = 17
+    settings.backgroundMode = BackgroundMode.ENVIRONMENT
+    res = SceneResources()
+    m_cp = res.add_material(Material(
+        mat_type=C.MATERIAL_CARPAINT, base_color=(0.1, 0.2, 0.6),
+        coat_roughness=0.15, carpaint_base_metallic=0.7,
+        carpaint_base_roughness=0.3, carpaint_flake_sample_weight=0.15,
+        carpaint_flake_roughness=0.25, carpaint_flake_scale=6.0,
+        carpaint_flake_normal_strength=0.4,
+        carpaint_base_eta=(1.2, 0.9, 0.6), carpaint_base_k=(3.0, 2.5, 2.0),
+        ior=1.5))
+    m_ground = res.add_material(Material(base_color=(0.5, 0.5, 0.5)))
+    res.add_mesh(_sphere_mesh(2, (0.0, 0.6, 0), 0.8, m_cp, "paint"))
+    res.add_mesh(_ground_mesh(m_ground))
+    _compare_with_env(settings, res, _toy_env(), min_exact=0.93,
+                      max_rmse=1e-4)
+
+
+def _sss_scene(sss_method=0, mfp=0.25):
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.6, 0.0)
+    settings.cameraDistance = 5.0
+    settings.cameraPitch = 0.3
+    settings.maxDepth = 4
+    settings.fixedRngSeed = 23
+    res = SceneResources()
+    m_s = res.add_material(Material(
+        mat_type=C.MATERIAL_SUBSURFACE, base_color=(0.8, 0.4, 0.2),
+        sss_mfp=mfp, sss_g=0.2, sss_method=sss_method, ior=1.4))
+    m_ground = res.add_material(Material(base_color=(0.6, 0.6, 0.6)))
+    res.add_mesh(_sphere_mesh(2, (0.0, 0.6, 0), 0.8, m_s, "sss"))
+    res.add_mesh(_ground_mesh(m_ground))
+    return settings, res
+
+
+def test_fused_matches_xla_sss_fallback():
+    """SUBSURFACE with sssMode=OFF: the lambert-fallback branch
+    (reference pathtrace.metal:5482-5508)."""
+    from metal_pathtracer_tpu.settings import SssMode
+
+    settings, res = _sss_scene()
+    settings.sssMode = SssMode.OFF
+    _compare(settings, res, min_exact=0.95, max_rmse=1e-4)
+
+
+def test_fused_matches_xla_sss_separable():
+    """SUBSURFACE separable normalized-diffusion BSSRDF (sssMode=1):
+    exit-point displacement + the BSSRDF next-ray origin biases
+    (reference pathtrace.metal:5420-5480, 6741-6766) in the kernel."""
+    from metal_pathtracer_tpu.settings import SssMode
+
+    settings, res = _sss_scene(sss_method=0)
+    settings.sssMode = SssMode.SEPARABLE
+    _compare(settings, res, min_exact=0.93, max_rmse=1e-4)
+
+
+def test_fused_matches_xla_sss_random_walk():
+    """SUBSURFACE volumetric random walk (sssMode=2, method=randomwalk):
+    the walk runs as an XLA pre-stage from the kernel's exact RNG fork;
+    its planes override walk lanes in S2 (integrator :538-547 twin,
+    reference sample_sss_random_walk_software:4060-4310)."""
+    from metal_pathtracer_tpu.settings import SssMode
+
+    settings, res = _sss_scene(sss_method=1)
+    settings.sssMode = SssMode.RANDOM_WALK
+    _compare(settings, res, min_exact=0.93, max_rmse=1e-4)
+
+
+def test_fused_matches_xla_sss_random_walk_env():
+    """Random-walk SSS under env NEE: the pre-stage forks from the
+    POST-S1 state (NEE draws consumed first, like the integrator)."""
+    from metal_pathtracer_tpu.settings import SssMode
+
+    settings, res = _sss_scene(sss_method=1)
+    settings.sssMode = SssMode.RANDOM_WALK
+    settings.backgroundMode = BackgroundMode.ENVIRONMENT
+    _compare_with_env(settings, res, _toy_env(), min_exact=0.90,
+                      max_rmse=1e-4)
 
 
 def test_fused_matches_xla_plastic_smooth_primary():

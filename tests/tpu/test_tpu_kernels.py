@@ -583,3 +583,73 @@ def test_sphere_chunked_matches_brute_on_tpu():
         os.environ.pop("MPT_SPHERE_BVH", None)
     np.testing.assert_array_equal(i_ref, np.asarray(i_got))
     np.testing.assert_array_equal(t_ref, np.asarray(t_got))
+
+
+def test_fused_material_families_on_tpu():
+    """r04 material-family coverage (plastic + carpaint + separable SSS)
+    compiled on hardware — Mosaic rejects lowerings the interpreter
+    accepts (e.g. bool-valued select_n -> i8->i1 trunc, hit live on the
+    first carpaint compile), so every new kernel branch needs a compiled
+    run."""
+    from metal_pathtracer_tpu import constants as C
+    from metal_pathtracer_tpu.scene.resources import Material, SceneResources
+    from metal_pathtracer_tpu.settings import RenderSettings, SssMode
+    from metal_pathtracer_tpu.utils.benchscene import (
+        _ground_mesh,
+        _sphere_mesh,
+    )
+
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.6, 0.0)
+    settings.cameraDistance = 6.0
+    settings.cameraPitch = 0.3
+    settings.maxDepth = 4
+    settings.fixedRngSeed = 23
+    settings.sssMode = SssMode.SEPARABLE
+    res = SceneResources()
+    m_p = res.add_material(Material(
+        mat_type=C.MATERIAL_PLASTIC, base_color=(0.6, 0.1, 0.1),
+        coat_roughness=0.2, coat_thickness=0.3, ior=1.5))
+    m_cp = res.add_material(Material(
+        mat_type=C.MATERIAL_CARPAINT, base_color=(0.1, 0.2, 0.6),
+        coat_roughness=0.15, carpaint_base_metallic=0.4,
+        carpaint_base_roughness=0.25, carpaint_flake_sample_weight=0.2,
+        carpaint_flake_roughness=0.2, carpaint_flake_scale=8.0,
+        carpaint_flake_normal_strength=0.5, ior=1.5))
+    m_s = res.add_material(Material(
+        mat_type=C.MATERIAL_SUBSURFACE, base_color=(0.8, 0.4, 0.2),
+        sss_mfp=0.25, sss_g=0.2, sss_method=0, ior=1.4))
+    m_g = res.add_material(Material(base_color=(0.6, 0.6, 0.6)))
+    res.add_mesh(_sphere_mesh(2, (-1.8, 0.6, 0), 0.8, m_p, "plastic"))
+    res.add_mesh(_sphere_mesh(2, (0.0, 0.6, 0), 0.8, m_cp, "carpaint"))
+    res.add_mesh(_sphere_mesh(2, (1.8, 0.6, 0), 0.8, m_s, "sss"))
+    res.add_mesh(_ground_mesh(m_g))
+    _fused_vs_xla_on_tpu(settings, res)
+
+
+def test_fused_sss_random_walk_on_tpu():
+    """r04 random-walk SSS (XLA pre-stage planes overriding the compiled
+    S2/full kernel's sampled lobe) on hardware."""
+    from metal_pathtracer_tpu import constants as C
+    from metal_pathtracer_tpu.scene.resources import Material, SceneResources
+    from metal_pathtracer_tpu.settings import RenderSettings, SssMode
+    from metal_pathtracer_tpu.utils.benchscene import (
+        _ground_mesh,
+        _sphere_mesh,
+    )
+
+    settings = RenderSettings()
+    settings.cameraTarget = (0.0, 0.6, 0.0)
+    settings.cameraDistance = 5.0
+    settings.cameraPitch = 0.3
+    settings.maxDepth = 4
+    settings.fixedRngSeed = 23
+    settings.sssMode = SssMode.RANDOM_WALK
+    res = SceneResources()
+    m_s = res.add_material(Material(
+        mat_type=C.MATERIAL_SUBSURFACE, base_color=(0.8, 0.4, 0.2),
+        sss_mfp=0.25, sss_g=0.2, sss_method=1, ior=1.4))
+    m_g = res.add_material(Material(base_color=(0.6, 0.6, 0.6)))
+    res.add_mesh(_sphere_mesh(2, (0.0, 0.6, 0), 0.8, m_s, "sss"))
+    res.add_mesh(_ground_mesh(m_g))
+    _fused_vs_xla_on_tpu(settings, res)
