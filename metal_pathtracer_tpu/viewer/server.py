@@ -75,11 +75,16 @@ _PAGE = """<!doctype html>
  #wrap { display:flex; }
  #img { image-rendering:auto; cursor:grab; }
  #panel { padding:10px 14px; min-width:260px; }
+ body.presentation #panel { display:none; }
+ #mini { display:none; position:fixed; right:8px; bottom:6px;
+         color:#9c9; opacity:0.7; font:12px monospace; }
+ body.presentation #mini { display:block; }
  .stat { color:#9c9; } input { width:70px; }
  h3 { margin:8px 0 4px; color:#fff; }
 </style></head><body>
 <div id="wrap">
  <img id="img" draggable="false">
+ <div id="mini"><span id="mini_spp"></span> spp</div>
  <div id="panel">
   <h3>metal-pathtracer-tpu</h3>
   <div>scene: <span class="stat" id="scene"></span></div>
@@ -97,7 +102,8 @@ _PAGE = """<!doctype html>
    <option value="2">ACES</option><option value="3">Reinhard</option>
    <option value="4">Hable</option></select></div>
   <div><button onclick="send('paused=toggle')">pause/resume</button>
-       <button onclick="send('reset=1')">reset</button></div>
+       <button onclick="send('reset=1')">reset</button>
+       <button onclick="send('presentation=toggle')">present (P)</button></div>
   <h3>material</h3>
   <div><select id="matsel"></select></div>
   <div>base <input id="m_base" style="width:110px" placeholder="r,g,b"></div>
@@ -117,6 +123,8 @@ async function refresh() {
   const s = await (await fetch('/stats')).json();
   for (const k of ['scene','spp','sps','mrays','reset'])
     document.getElementById(k).textContent = s[k];
+  document.body.classList.toggle('presentation', !!s.presentation);
+  document.getElementById('mini_spp').textContent = s.spp;
 }
 setInterval(refresh, 500);
 function send(q) { fetch('/set?' + q, {method: 'POST'}); }
@@ -149,6 +157,9 @@ window.addEventListener('mousemove', e => {
   drag = [e.clientX, e.clientY];
   send(`orbit=${dx * 0.01},${dy * 0.01}`);
 });
+window.addEventListener('keydown', e => {
+  if (e.key === 'p' || e.key === 'P') send('presentation=toggle');
+});
 img.addEventListener('wheel', e => {
   e.preventDefault();
   send('dolly=' + (e.deltaY > 0 ? 1.1 : 0.9));
@@ -162,9 +173,18 @@ class ViewerServer:
     def __init__(self, renderer: Renderer, host: str = "127.0.0.1",
                  port: int = 8650, spp_per_pass: int = 1,
                  preview_scale: float = 0.5, motion_hold: float = 0.25,
-                 smoothing_hz: float = 12.0):
+                 smoothing_hz: float = 12.0, presentation: bool = False,
+                 presentation_lock: int = 2):
         self.renderer = renderer
         self.spp_per_pass = spp_per_pass
+        # Presentation mode (reference: UIOverlay.h PresentationSettings
+        # :45-77 + main.mm --presentation= :58-72): hide the UI panels,
+        # keep a minimal spp overlay, optionally lock the render
+        # resolution (0 off / 1 = 1280x720 / 2 = 1920x1080), and reset
+        # accumulation on toggle (resetAccumulationOnToggle default true).
+        self.presentation = presentation
+        self.presentation_lock = presentation_lock
+        self._pre_presentation_size = None
         # interactive camera policy (reference constants:
         # kMotionHoldSeconds=0.25, kCameraSmoothingCutoffHz=12)
         self.preview_scale = preview_scale
@@ -181,6 +201,8 @@ class ViewerServer:
         self._lock = threading.Lock()
         self._frame_png = b""
         self._stats = {"spp": 0, "sps": 0.0, "mrays": 0.0}
+        if presentation:
+            self._apply_presentation(True, initial=True)
         self._stop = threading.Event()
 
         viewer = self
@@ -382,6 +404,7 @@ class ViewerServer:
         s["reset"] = self.last_reset
         s["paused"] = self.paused
         s["width"], s["height"] = self.renderer.render_size
+        s["presentation"] = self.presentation
         return s
 
     # -- live material editor (reference: UIOverlay.mm Scene panel) ------
@@ -513,6 +536,34 @@ class ViewerServer:
             return {"ok": True, "reset": "OBJECT_TRANSFORM",
                     "kind": kind, "index": idx}
 
+    def _apply_presentation(self, enabled: bool, s=None,
+                            initial: bool = False):
+        """Toggle presentation mode (reference PresentationSettings):
+        resolution lock via explicit renderWidth/Height (UIOverlay.h
+        RenderResolutionLock) and an accumulation reset on toggle.
+        When `s` is given (the apply_query path) the caller's settings
+        copy is mutated and applied by the caller; standalone calls
+        apply themselves."""
+        self.presentation = enabled
+        standalone = s is None
+        if standalone:
+            s = self.renderer.settings.copy()
+        lock = {1: (1280, 720), 2: (1920, 1080)}.get(
+            self.presentation_lock)
+        if enabled and lock:
+            self._pre_presentation_size = (s.renderWidth, s.renderHeight)
+            s.renderWidth, s.renderHeight = lock
+        elif not enabled and self._pre_presentation_size is not None:
+            s.renderWidth, s.renderHeight = self._pre_presentation_size
+            self._pre_presentation_size = None
+        if standalone:
+            self.renderer.apply_settings(s)
+        if not initial:
+            # resetAccumulationOnToggle (reference default true)
+            self.renderer.reset_accumulation()
+            self.last_reset = "PRESENTATION_TOGGLE"
+            self._stats = dict(self._stats, spp=0)
+
     def apply_query(self, q: dict) -> dict:
         """Apply /set parameters. Camera verbs (orbit/dolly) mirror the
         reference's mouse bindings; everything else is a RenderSettings
@@ -545,6 +596,12 @@ class ViewerServer:
                 elif key == "reset":
                     self.renderer.reset_accumulation()
                     reset_reason = "MANUAL"
+                elif key == "presentation":
+                    want = (not self.presentation if raw == "toggle"
+                            else raw == "1")
+                    if want != self.presentation:
+                        self._apply_presentation(want, s=s)
+                        reset_reason = "PRESENTATION_TOGGLE"
                 elif hasattr(s, key):
                     setattr(s, key, _coerce(s, key, raw))
                     if key == "renderScale" and self._base_scale is not None:
@@ -592,6 +649,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8650)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--sppPerPass", type=int, default=1)
+    # the reference GUI's only CLI flag (main.mm:58-72)
+    ap.add_argument("--presentation", type=int, default=0)
+    ap.add_argument("--presentationLock", type=int, default=2,
+                    help="render resolution lock: 0 off, 1 720p, 2 1080p")
     args = ap.parse_args(argv)
 
     r = Renderer(args.width, args.height)
@@ -600,7 +661,9 @@ def main(argv=None):
     else:
         r.init()
     server = ViewerServer(r, args.host, args.port,
-                          spp_per_pass=args.sppPerPass).start()
+                          spp_per_pass=args.sppPerPass,
+                          presentation=bool(args.presentation),
+                          presentation_lock=args.presentationLock).start()
     print(f"[Viewer] http://{args.host}:{server.port}/  "
           f"scene={r.active_scene}")
     try:

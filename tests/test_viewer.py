@@ -211,3 +211,25 @@ def test_object_transform_panel(viewer):
                                   "&translate=1,0,0"))
     assert "error" in out
     _wait_spp(viewer, 1)  # renders again with the rebuilt scene
+
+
+def test_presentation_mode_toggle(viewer):
+    """Presentation mode (reference UIOverlay.h PresentationSettings
+    :45-77, main.mm --presentation= :58-72): hides the panels client-side
+    via the stats flag, locks the render resolution, and resets
+    accumulation on toggle (resetAccumulationOnToggle default)."""
+    srv = viewer
+    srv.paused = True   # a 720p CPU pass would stall the suite
+    srv.presentation_lock = 1   # 1280x720 lock
+    out = srv.apply_query({"presentation": ["1"]})
+    assert out["ok"] and out["reset"] in ("PRESENTATION_TOGGLE",
+                                          "RENDER_SIZE")
+    assert srv.stats()["presentation"] is True
+    assert srv.renderer.settings.renderWidth == 1280
+    assert srv.renderer.settings.renderHeight == 720
+    # toggle back restores the previous explicit size
+    out = srv.apply_query({"presentation": ["toggle"]})
+    assert srv.stats()["presentation"] is False
+    assert srv.renderer.settings.renderWidth != 1280 or \
+        srv.renderer.settings.renderHeight != 720
+    srv.paused = False
