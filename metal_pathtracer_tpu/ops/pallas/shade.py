@@ -3294,9 +3294,32 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 rw=rw_planes, rw_state=rw_state_planes, **args)
             if chains_on:
                 carry, state_p, chainp, chain_state = outs
-                carry, chain_scene, chain_shadow = _apply_delta_chains(
-                    scene, uniforms, static, layout, carry_s1, carry,
-                    trans, chainp, chain_state, rows, shp, unshp)
+                # per-depth skip: every chain estimator requires an
+                # active DELTA sample this bounce (specnee spec/mnee
+                # eligibility both include smp.is_delta); depths whose
+                # wavefront carries none — most depths on diffuse-heavy
+                # content once the glass lanes die — skip the chain
+                # traces + estimator math wholesale. Contributions are
+                # identically zero on skipped depths.
+                chain_lanes = ((unshp(chainp[CHAIN_IDX["active"]]) > 0.5)
+                               & (unshp(carry[layout["last_delta"]]) > 0.5))
+
+                def _chains_run(args):
+                    carry_in, chainp_in, chain_state_in = args
+                    return _apply_delta_chains(
+                        scene, uniforms, static, layout, carry_s1,
+                        carry_in, trans, chainp_in, chain_state_in, rows,
+                        shp, unshp)
+
+                def _chains_skip(args):
+                    return args[0], jnp.float32(0.0), jnp.float32(0.0)
+
+                gate = jnp.any(chain_lanes)
+                if os.environ.get("MPT_CHAIN_SKIP", "1") != "1":
+                    gate = jnp.ones((), bool)   # A/B: always run
+                carry, chain_scene, chain_shadow = jax.lax.cond(
+                    gate, _chains_run, _chains_skip,
+                    (carry, chainp, chain_state))
                 n_rays = n_rays + chain_scene
                 n_shadow = n_shadow + chain_shadow
             else:

@@ -50,7 +50,8 @@ def set_env(env):
     for k in ("MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG",
               "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE", "MPT_NEARFIRST",
               "MPT_COMPACT_SCHEDULE", "MPT_COMPACT_KEY",
-              "MPT_COMPACT_DEPTH", "MPT_COMPACT_SEG", "MPT_STAGE_SKIP"):
+              "MPT_COMPACT_DEPTH", "MPT_COMPACT_SEG", "MPT_STAGE_SKIP",
+              "MPT_CHAIN_SKIP"):
         os.environ.pop(k, None)
     os.environ.update(env)
 
