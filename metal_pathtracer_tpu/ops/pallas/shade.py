@@ -3390,7 +3390,12 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
         sched_env = (f"{os.environ.get('MPT_COMPACT_DEPTH', '2')}:"
                      f"{os.environ.get('MPT_COMPACT_SEG', '8192')}")
     if not sched_env:
-        sched_env = "1:32768,2:8192"
+        # r04 retune (interleaved medians, headline): after the env
+        # gather packing the tighter schedule wins — 1:32k,2:8k 4245 ->
+        # 1:16k,2:4k 3845 -> +4:1024 late point 4584-vs-5042-scale +10%
+        # again (absolute ms drift run-to-run; both steps won WITHIN
+        # their runs)
+        sched_env = "1:16384,2:4096,4:1024"
     schedule = [(int(p.split(":")[0]),
                  max(int(p.split(":")[1]), BLOCK))
                 for p in sched_env.split(",") if p]

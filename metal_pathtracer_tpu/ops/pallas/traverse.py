@@ -59,7 +59,6 @@ LEAF_QUEUE = 128           # leaf chunks queued per wave (8-wide worst case)
 
 def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             wide: bool, _DEBUG_SKIP: str, group: int, wwave: int,
-            nearf: bool,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
@@ -93,7 +92,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
     for g in range(group):
         sl = slice(g * SUBLANES, (g + 1) * SUBLANES)
         _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                     wwave, nearf,
+                     wwave,
                      nb, nm,
                      ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl],
                      tmax[sl], excl[sl], chunks,
@@ -105,7 +104,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
 
 
 def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                 wwave, nearf, nb, nm,
+                 wwave, nb, nm,
                  ox, oy, oz, dx, dy, dz, tmax, excl,
                  chunks,
                  out_t, out_tri, out_u, out_v, out_stats, sl,
@@ -157,31 +156,6 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         # SMEM copy: verdict_smem gets overwritten inside the pass loop
         for k in range(8):
             presence_smem[k] = jnp.where(verdict_smem[0, k] >= 0.0, 1, 0)
-
-    if nearf:
-        # Majority direction octant of the packet (near-first push order,
-        # MPT_NEARFIRST): sign of the alive-masked mean direction per
-        # axis, read back through SMEM once per packet. Post-compaction
-        # bounce segments are octant-grouped (octmorton key), primaries
-        # are octant-pure, so the majority octant is representative.
-        sdx = jnp.sum(jnp.where(alive, dx[:], 0.0), keepdims=True)
-        sdy = jnp.sum(jnp.where(alive, dy[:], 0.0), keepdims=True)
-        sdz = jnp.sum(jnp.where(alive, dz[:], 0.0), keepdims=True)
-        sv = jnp.zeros((1, LANES), jnp.float32)
-        for idx, sval in enumerate((sdx, sdy, sdz)):
-            sv = jnp.where(lane_iota == idx,
-                           jnp.broadcast_to(sval.reshape(1, 1), (1, LANES)),
-                           sv)
-        verdict_vmem[0:1, :] = sv
-        odma = pltpu.make_async_copy(verdict_vmem.at[pl.ds(0, 1)],
-                                     verdict_smem.at[pl.ds(0, 1)], vsem)
-        odma.start()
-        odma.wait()
-        oct_s = (jnp.where(verdict_smem[0, 0] < 0.0, 1, 0)
-                 + jnp.where(verdict_smem[0, 1] < 0.0, 2, 0)
-                 + jnp.where(verdict_smem[0, 2] < 0.0, 4, 0))
-    else:
-        oct_s = jnp.int32(0)
 
     def slab_test(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
         """-> (margin, entry): (1,1) vectors. margin = max over rays of
@@ -446,48 +420,19 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             node = cand[jnp.clip(i, 0, wwave - 1)]
             nodec = jnp.maximum(node, 0)
             n_desc = jnp.int32(0)
-            if nearf:
-                # Near-first push order (MPT_NEARFIRST): perm nibbles hold
-                # the node's child slots front-to-back along the packet's
-                # majority octant (packetbvh._octant_orders). Internals
-                # push FAR-first so the near child pops first (LIFO);
-                # leaves queue NEAR-first (FIFO drain) — early commits
-                # shrink the hit window and cull the remaining tree.
-                # Order-only change: closest-hit commits are strict
-                # (t < best), so hits match the fixed order up to exact-t
-                # ties.
-                perm = nm[8 + oct_s, nodec]
-                for rr in range(7, -1, -1):
-                    j = (perm >> (4 * rr)) & 7
-                    child = nm[j, nodec]
-                    hit = verdict_smem[
-                        0, jnp.clip(8 * i + j, 0, LANES - 1)] >= 0.0
-                    ok = (node >= 0) & hit
-                    stack[jnp.minimum(sp, STACK_DEPTH - 1)] = child
-                    sp = sp + jnp.where(ok & (child >= 0), 1, 0)
-                    n_desc = n_desc + jnp.where(ok & (child != -1), 1, 0)
-                for rr in range(8):
-                    j = (perm >> (4 * rr)) & 7
-                    child = nm[j, nodec]
-                    hit = verdict_smem[
-                        0, jnp.clip(8 * i + j, 0, LANES - 1)] >= 0.0
-                    ok = (node >= 0) & hit
-                    leafq[jnp.minimum(nl, LEAF_QUEUE - 1)] = -child - 2
-                    nl = nl + jnp.where(ok & (child <= -2), 1, 0)
-            else:
-                for j in range(7, -1, -1):
-                    k = 8 * i + j
-                    child = nm[j, nodec]
-                    hit = verdict_smem[
-                        0, jnp.clip(k, 0, LANES - 1)] >= 0.0
-                    ok = (node >= 0) & hit
-                    stack[jnp.minimum(sp, STACK_DEPTH - 1)] = child
-                    sp = sp + jnp.where(ok & (child >= 0), 1, 0)
-                    n_desc = n_desc + jnp.where(ok & (child != -1), 1, 0)
-                    # compacted leaf queue: unconditional write, counter
-                    # advances only on real leaves (drain reads [0, nl))
-                    leafq[jnp.minimum(nl, LEAF_QUEUE - 1)] = -child - 2
-                    nl = nl + jnp.where(ok & (child <= -2), 1, 0)
+            for j in range(7, -1, -1):
+                k = 8 * i + j
+                child = nm[j, nodec]
+                hit = verdict_smem[
+                    0, jnp.clip(k, 0, LANES - 1)] >= 0.0
+                ok = (node >= 0) & hit
+                stack[jnp.minimum(sp, STACK_DEPTH - 1)] = child
+                sp = sp + jnp.where(ok & (child >= 0), 1, 0)
+                n_desc = n_desc + jnp.where(ok & (child != -1), 1, 0)
+                # compacted leaf queue: unconditional write, counter
+                # advances only on real leaves (drain reads [0, nl))
+                leafq[jnp.minimum(nl, LEAF_QUEUE - 1)] = -child - 2
+                nl = nl + jnp.where(ok & (child <= -2), 1, 0)
             # traversal coherence (reference bothChildrenVisited %): nodes
             # where more than one child survived the packet's slab union
             both = both + jnp.where(n_desc >= 2, 1, 0)
@@ -646,10 +591,10 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
                                              "any_hit", "n_passes", "wide",
                                              "debug", "group", "wwave",
-                                             "nearf", "interpret"))
+                                             "interpret"))
 def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
           n_nodes, n_chunks, t_min, any_hit=False, n_passes=1, wide=False,
-          debug="", group=1, wwave=8, nearf=False, interpret=False):
+          debug="", group=1, wwave=8, interpret=False):
     assert t_min >= 0.0, "packet_trace requires t_min >= 0"
     rows = rays7[0].shape[0]
     grid = rows // (group * SUBLANES)
@@ -696,7 +641,7 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             dimension_semantics=("parallel",))
     return pl.pallas_call(
         functools.partial(_kernel, n_nodes, t_min, any_hit, n_passes, wide,
-                          debug, group, wwave, nearf),
+                          debug, group, wwave),
         grid_spec=grid_spec,
         compiler_params=compiler_params,
         interpret=interpret,
@@ -814,31 +759,22 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
     # neutral, hits bit-identical — one verdict DMA covers 2x the supers)
     wwave = min(max(int(os.environ.get("MPT_WWAVE", "16")), 1),
                 LEAF_QUEUE // 8)
-    # NOTE: four in-kernel modes were implemented, measured negative on
-    # hardware, and removed (see BENCHMARKS.md r03 "measured negatives"
-    # and git history): bit-packed verdict reductions (MPT_BITVERDICT),
+    # NOTE: six in-kernel modes were implemented, measured negative on
+    # hardware, and removed (see BENCHMARKS.md "measured negatives" and
+    # git history): bit-packed verdict reductions (MPT_BITVERDICT),
     # all-occluded shadow early exit (MPT_SHADOW_EXIT), precomputed-madd
-    # slab form (MPT_MADDSLAB), and XLA-side lane ray sorting
-    # (MPT_RAY_SORT).
-    # Near-first push order (MPT_NEARFIRST=1, wide path only): pop order
-    # follows the packet's majority direction octant using per-octant
-    # permutation nibbles built at BVH time (packetbvh._octant_orders,
-    # forwarded as rows 8-15 of node_meta). Order-only: closest-hit
-    # commits are strict (t < best), so hits are identical up to exact-t
-    # ties.
-    nearf = (os.environ.get("MPT_NEARFIRST", "0") == "1"
-             and wide and bvh.wnode_porder is not None)
+    # slab form (MPT_MADDSLAB), XLA-side lane ray sorting (MPT_RAY_SORT),
+    # near-first push order (MPT_NEARFIRST, r04: primary +4.9% but
+    # bounce -5.0% and bounces dominate), and the per-row leaf drain
+    # (MPT_ROWDRAIN, r04: 2.7x slower — group gating already harvests
+    # the demand sparsity).
     interpret = os.environ.get("MPT_TRACE_INTERPRET", "0") == "1"
     if wide:
-        node_meta = bvh.wnode_child
-        if nearf:
-            node_meta = jnp.concatenate(
-                [bvh.wnode_child, bvh.wnode_porder], axis=0)
         t, tri, u, v, stats = _call(rays7, excl2, bvh.wnode_cbounds,
-                                    node_meta, bvh.chunk_tris,
+                                    bvh.wnode_child, bvh.chunk_tris,
                                     bvh.n_wnodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes, True,
-                                    debug, group, wwave, nearf, interpret)
+                                    debug, group, wwave, interpret)
     else:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds,
                                     bvh.node_meta, bvh.chunk_tris,

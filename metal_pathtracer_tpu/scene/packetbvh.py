@@ -49,11 +49,6 @@ class PacketBvh:
     # VISITS; 8-wide cuts visits ~4-7x for the same chunk leaves):
     wnode_child: Array = None   # (8, W) i32 — >=0 super; -1 empty; <=-2 chunk(-c-2)
     wnode_cbounds: Array = None  # (48, W) f32 — 6 bounds per child slot
-    # (8, W) i32 — per direction-octant near-first child order: row o =
-    # the node's 8 child slots sorted front-to-back along octant o's
-    # direction (slot index packed in nibble r; nibble 0 = nearest).
-    # Consumed by traverse.py's MPT_NEARFIRST push order.
-    wnode_porder: Array = None
     n_nodes: int = struct.field(pytree_node=False, default=0)
     n_chunks: int = struct.field(pytree_node=False, default=0)
     n_wnodes: int = struct.field(pytree_node=False, default=0)
@@ -175,7 +170,6 @@ def build_packet_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         chunk_aabb=jnp.asarray(chunk_aabb),
         wnode_child=jnp.asarray(wchild),
         wnode_cbounds=jnp.asarray(wcbounds),
-        wnode_porder=jnp.asarray(_octant_orders(wchild, wcbounds)),
         n_nodes=int(n_nodes),
         n_chunks=int(n_chunks),
         n_wnodes=int(wchild.shape[1]),
@@ -282,36 +276,6 @@ def _morton3(x):
     x = (x | (x << 4)) & np.uint64(0x30C30C3)
     x = (x | (x << 2)) & np.uint64(0x9249249)
     return x
-
-
-def _octant_orders(wchild: np.ndarray, wcbounds: np.ndarray) -> np.ndarray:
-    """(8, W) i32: for each direction octant, each wide node's 8 child
-    slots packed near-first as nibbles (front-to-back by child box center
-    projected along the octant direction; empty slots sort last).
-
-    Traversal order is a pure performance hint — the packet kernel's
-    closest-hit commits are order-independent (strict `t < best`), so any
-    order yields the same hits; near-first pops shrink the hit window
-    early and cull more of the remaining tree (the role of the
-    reference's per-ray ordered traversal, pathtrace.metal SWRT stack)."""
-    w = wchild.shape[1]
-    cb = wcbounds.reshape(8, 6, w)
-    center = (cb[:, 0:3, :] + cb[:, 3:6, :]) * 0.5       # (8, 3, W)
-    empty = wchild == -1                                  # (8, W)
-    porder = np.zeros((8, w), np.int32)
-    for o in range(8):
-        sx = -1.0 if (o & 1) else 1.0
-        sy = -1.0 if (o & 2) else 1.0
-        sz = -1.0 if (o & 4) else 1.0
-        key = (sx * center[:, 0, :] + sy * center[:, 1, :]
-               + sz * center[:, 2, :])
-        key = np.where(empty, 3.0e38, key)
-        perm = np.argsort(key, axis=0, kind="stable")    # (8, W), near 1st
-        packed = np.zeros(w, np.int64)
-        for r in range(8):
-            packed |= perm[r].astype(np.int64) << (4 * r)
-        porder[o] = packed.astype(np.int32)  # max nibble 7 -> fits i32
-    return porder
 
 
 def _collapse_wide(bmin, bmax, is_leaf, right_child, chunk_of_leaf,

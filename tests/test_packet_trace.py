@@ -8,7 +8,7 @@ only by hardware-only tests/tpu. These tests close that hole:
 - every mode combination is TRACED on CPU (`jax.eval_shape` exercises
   the full pallas_call kernel tracing, so any signature/shape break in
   `_kernel`/`_call` fails plain `pytest tests/`);
-- the default and nearf configurations additionally run NUMERICALLY
+- the default configuration additionally runs NUMERICALLY
   under the Pallas interpreter on a small mesh and are checked against
   a NumPy Moller-Trumbore brute force (mirrors the hardware test
   tests/tpu/test_tpu_kernels.py::test_packet_traversal_matches_brute_force).
@@ -64,7 +64,6 @@ def _brute(o, d, tris, t_min=1e-3):
 
 @pytest.mark.parametrize("mode_env", [
     {},
-    {"MPT_NEARFIRST": "1"},
     {"MPT_OCTANT_PASSES": "1"},
     {"MPT_WIDE": "0"},
     {"MPT_TRAVERSE_DEBUG": "fakehit"},
@@ -94,7 +93,7 @@ def test_kernel_traces_on_cpu(mode_env, any_hit, monkeypatch):
 
 # --- interpreter-mode numeric coverage -----------------------------------
 
-@pytest.mark.parametrize("mode_env", [{}, {"MPT_NEARFIRST": "1"}])
+@pytest.mark.parametrize("mode_env", [{}])
 def test_kernel_interpret_matches_brute_force(mode_env, monkeypatch):
     import jax
     import jax.numpy as jnp

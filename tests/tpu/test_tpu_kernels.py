@@ -188,42 +188,6 @@ def test_anyhit_matches_nearest_occlusion():
                                   np.asarray(tri_a) >= 0)
 
 
-def test_nearfirst_results_match_default_order():
-    """MPT_NEARFIRST is an order-only traversal change: closest-hit
-    commits are strict (t < best), so hits match the fixed push order
-    up to exact-t ties (compared exactly here on a tie-free load)."""
-    import os
-
-    import jax
-    import jax.numpy as jnp
-    from metal_pathtracer_tpu.ops.pallas import traverse
-    from metal_pathtracer_tpu.scene.packetbvh import build_packet_bvh
-
-    rng = np.random.default_rng(7)
-    T = 4000
-    v0 = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
-    v1 = v0 + rng.uniform(-0.4, 0.4, (T, 3)).astype(np.float32)
-    v2 = v0 + rng.uniform(-0.4, 0.4, (T, 3)).astype(np.float32)
-    bvh = build_packet_bvh(v0, v1, v2)
-    N = 4096
-    o = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
-    d = rng.normal(size=(N, 3)).astype(np.float32)
-    tmax = np.where(rng.random(N) < 0.3, 0.0, 3e38).astype(np.float32)
-    oj, dj, tj = jnp.asarray(o), jnp.asarray(d), jnp.asarray(tmax)
-
-    ref = traverse.packet_trace_unsorted(oj, dj, 1e-3, tj, bvh, None)
-    os.environ["MPT_NEARFIRST"] = "1"
-    try:
-        jax.clear_caches()
-        got = traverse.packet_trace_unsorted(oj, dj, 1e-3, tj, bvh, None)
-    finally:
-        os.environ.pop("MPT_NEARFIRST", None)
-        jax.clear_caches()
-    rt, gt = np.asarray(ref[0]), np.asarray(got[0])
-    np.testing.assert_array_equal(rt, gt)
-    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
-
-
 def test_traversal_stats_counters():
     """Per-packet nodesVisited / leafChunks counters (the reference's
     PathtraceStats analogues, SURVEY.md §5.1)."""

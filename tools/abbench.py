@@ -8,7 +8,7 @@ separate jit wrappers) and kernel-only loads (coherent primaries /
 synthetic bounce wavefronts against the dragon-class BVH).
 
 Usage:
-  python tools/abbench.py frame  NEARF=1  NEARF=0 ...
+  python tools/abbench.py frame  MPT_ENV_PACKED=1 MPT_ENV_PACKED=0 ...
   python tools/abbench.py kernel OCT=0 OCT=1
 """
 
@@ -39,8 +39,7 @@ def parse_variant(spec):
         k, v = kv.split("=")
         k = {"OCT": "MPT_OCTANT_PASSES",
              "DBG": "MPT_TRAVERSE_DEBUG", "WIDE": "MPT_WIDE",
-             "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE",
-             "NEARF": "MPT_NEARFIRST"}.get(k, k)
+             "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE"}.get(k, k)
         env[k] = v
         last = k
     return env
@@ -48,7 +47,7 @@ def parse_variant(spec):
 
 def set_env(env):
     for k in ("MPT_OCTANT_PASSES", "MPT_TRAVERSE_DEBUG",
-              "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE", "MPT_NEARFIRST",
+              "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE",
               "MPT_COMPACT_SCHEDULE", "MPT_COMPACT_KEY",
               "MPT_COMPACT_DEPTH", "MPT_COMPACT_SEG", "MPT_STAGE_SKIP",
               "MPT_CHAIN_SKIP"):
