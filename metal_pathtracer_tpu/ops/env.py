@@ -337,7 +337,10 @@ def _bilinear_flat(env: EnvironmentSoA, level_onehot, u, v):
     y0i = jnp.mod(y0.astype(jnp.int32), hi)
     if _use_packed(env):
         # one 12-wide row gather: the quad atlas pre-packs the wrap
-        # neighbours (values bit-identical to the four narrow gathers)
+        # neighbours (values bit-identical to the four narrow gathers).
+        # A bf16 radiance twin was measured 13% SLOWER on the headline
+        # (the per-lane convert outweighs byte savings; gather cost is
+        # per transaction at these widths) — removed, BENCHMARKS.md.
         q = env.flat_quads[off + y0i * wi + x0i]
         c00, c10, c01, c11 = (q[..., 0:3], q[..., 3:6],
                               q[..., 6:9], q[..., 9:12])
