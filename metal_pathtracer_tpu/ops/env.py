@@ -236,6 +236,7 @@ def environment_from_texels(texels: np.ndarray,
                             cond_alias.astype(np.float32), pdf], -1)
     marg_packed = np.stack([marg_thresh,
                             marg_alias.astype(np.float32)], -1)
+    nee_packed = np.concatenate([pdf[..., None], texels], -1)
     return EnvironmentSoA(
         texels=f(texels),
         mips=tuple(f(m) for m in mips),
@@ -251,6 +252,7 @@ def environment_from_texels(texels: np.ndarray,
         flat_quads=f(flat_quads),
         cond_packed=f(cond_packed),
         marg_packed=f(marg_packed),
+        nee_packed=f(nee_packed),
     )
 
 
@@ -264,6 +266,16 @@ def _use_packed(env) -> bool:
     opts out for interleaved A/B timing (read at trace time)."""
     return (env.flat_quads is not None
             and os.environ.get("MPT_ENV_PACKED", "1") == "1")
+
+
+def _use_texel_nee(env) -> bool:
+    """Texel-exact NEE radiance (see schema nee_packed). MPT_ENV_TEXEL=0
+    opts back into the reference's jittered bilinear+LOD fetch for
+    interleaved A/B timing / RMSE budgeting (read at trace time). Works
+    with or without the packed row (hand-built EnvironmentSoA falls back
+    to a texels[row, col] gather) so JAX and the CPU oracle always
+    implement the same estimator."""
+    return os.environ.get("MPT_ENV_TEXEL", "1") == "1"
 
 
 def _direction_to_uv(direction, rotation):
@@ -581,14 +593,35 @@ def sample_environment_from_uniforms(env: EnvironmentSoA, u_marginal,
         map_dir[..., 1],
         -map_dir[..., 0] * sin_r + map_dir[..., 2] * cos_r], -1)
 
-    if _use_packed(env):
+    if _use_texel_nee(env):
+        # Texel-exact NEE: ONE 4-wide row gather returns both the pdf and
+        # the radiance the pdf was built from (schema.EnvironmentSoA
+        # nee_packed note). Replaces the pdf gather + the direction->uv
+        # re-projection (atan2/asin per lane) + the quad-atlas bilinear
+        # (+roughness-LOD trilinear) fetch. Deviation from the reference's
+        # jittered bilinear fetch (pathtrace.metal:1543-1573,6568-6589) is
+        # within-texel variation only; A/B'd in BENCHMARKS.md (round 5).
+        from metal_pathtracer_tpu.ops.integrator import to_working_space
+        if getattr(env, "nee_packed", None) is not None:
+            nrow = env.nee_packed[row, col]
+            pdf = nrow[..., 0]
+            texel_rgb = nrow[..., 1:4]
+        else:
+            # hand-built EnvironmentSoA (tests): same estimator, two gathers
+            pdf = env.pdf[row, col]
+            texel_rgb = env.texels[row, col]
+        radiance = to_working_space(
+            texel_rgb * uniforms.environment_intensity, static)
+    elif _use_packed(env):
         pdf = env.cond_packed[row, col][..., 2]
     else:
         pdf = env.pdf[row, col]
 
     # Radiance: mip-by-roughness when a mip chain exists (call-site logic,
     # reference: pathtrace.metal:6568-6589)
-    if len(env.mips) > 0:
+    if _use_texel_nee(env):
+        pass
+    elif len(env.mips) > 0:
         env_rough = jnp.clip(lighting_roughness, 0.0, 1.0)
         lod = environment_lod_from_roughness(env_rough, env)
         # lod forced to 0 on sharp lanes: trilinear(0) == bilinear mip0

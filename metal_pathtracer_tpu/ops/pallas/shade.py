@@ -2466,11 +2466,14 @@ def fused_supported(scene, static) -> bool:
         return False
     if not has_tri and not _scene_has_prims(scene):
         return False
-    if _scene_has_prims(scene) and scene.textures is not None \
+    if getattr(scene, "instanced", ()) and scene.textures is not None \
             and C.MATERIAL_PBR in set(static.material_types):
-        # the texture stage gathers per-SOUP-TRIANGLE UVs by tri id;
-        # analytic prims carry no UVs and instanced ids index their
-        # group's arrays (XLA applies textures per family)
+        # instanced hit UVs aren't carried through the merged rows (the
+        # texture stage gathers per-SOUP-TRIANGLE UVs by tri id; instanced
+        # ids index their group's arrays) — XLA applies those per family.
+        # Analytic spheres/rects ARE supported: they never texture
+        # (prim_type gate, ops/pbr_textures.py:177) and the stage feeds
+        # them their own material's identity planes by true mat id.
         return False
     if getattr(scene, "instanced", ()):
         # instanced groups need the packet kernel (or the interpreted jnp
@@ -3017,7 +3020,16 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 lane_pbr = jax.lax.dot_general(
                     onehot, is_pbr_m, (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST) > 0.5
-                pbr_any = jnp.any(alive & (tri_i >= 0) & lane_pbr)
+                if _scene_has_prims(scene):
+                    # only plain soup triangles carry textures (flavor 1);
+                    # analytic/instanced winners take the identity planes
+                    plain_tri_l = (rows[:, 21] > 0.5) & (rows[:, 21] < 1.5)
+                else:
+                    plain_tri_l = None
+                tex_eligible = alive & (tri_i >= 0) & lane_pbr
+                if plain_tri_l is not None:
+                    tex_eligible = tex_eligible & plain_tri_l
+                pbr_any = jnp.any(tex_eligible)
                 if "texture" in _skips:
                     pbr_any = jnp.zeros((), bool)
 
@@ -3026,7 +3038,9 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 def _tex_full(s):
                     return _texture_stage(scene, uniforms, static, carry,
                                           layout, o3, d3, t, tri_i, u, v,
-                                          depth, pad1, shp, unshp, s)
+                                          depth, pad1, shp, unshp, s,
+                                          mat_lane=mat_lane,
+                                          plain=plain_tri_l)
 
                 def _tex_ident(s):
                     return _texture_identity(scene, static, mat_lane, shp, s)
@@ -3508,20 +3522,30 @@ def _texture_identity(scene, static, mat_lane, shp, state):
 
 
 def _texture_stage(scene, uniforms, static, carry, layout, o3, d3, t, tri_i,
-                   u, v, depth, pad1, shp, unshp, state):
+                   u, v, depth, pad1, shp, unshp, state, mat_lane=None,
+                   plain=None):
     """XLA texture pre-stage: run the REAL apply_pbr_textures over the raw
     hits and export the material-override planes the kernels consume
     (all six slots incl. normal maps and alpha modes). Returns
     (planes, state) — alpha-BLEND lanes consume one RNG draw
-    (reference :6215), threaded through to S1's draw stream."""
+    (reference :6215), threaded through to S1's draw stream.
+
+    Mixed primitive families (plain is not None): non-soup-triangle
+    winners' tri ids index OTHER families' arrays, so their lanes are
+    masked to miss (rec.hit False -> apply_pbr_textures' prim_type gate
+    keeps them at identity) and the material gather uses the merged rows'
+    true per-lane material id (mat_lane) instead of the triangle row's."""
     from metal_pathtracer_tpu.ops import bsdf as bsdf_ops
     from metal_pathtracer_tpu.ops import pbr_textures
     from metal_pathtracer_tpu.ops.traversal import _hit_record_from_best
 
+    if plain is not None:
+        tri_i = jnp.where(plain, tri_i, -1)
     rec = _hit_record_from_best(o3, d3, scene.triangles, t, tri_i, u, v)
     m = bsdf_ops.gather_material(
-        scene.materials, jnp.clip(rec.material, 0,
-                                  scene.materials.count - 1))
+        scene.materials,
+        jnp.clip(rec.material if mat_lane is None else mat_lane, 0,
+                 scene.materials.count - 1))
     cw = unshp(carry[layout["cone_w"]])
     cs = unshp(carry[layout["cone_s"]])
     hit_world = jnp.maximum(t, 0.0) * jnp.sqrt(

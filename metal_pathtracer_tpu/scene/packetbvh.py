@@ -33,7 +33,11 @@ CHUNK = 256          # triangle slots per leaf chunk (DMA granularity)
 # load-dependent — env-tunable for A/B (layout + kernel read it together;
 # a PacketBvh must be built with the same value the kernel traces with).
 SUBCHUNKS = int(os.environ.get("MPT_SUBCHUNKS", "32"))
-NODE_BUDGET = 15000  # SMEM node cap (~8 * 4B * budget < 512 KB)
+# SMEM node cap. The traversal kernel's node arrays ride as scalar
+# prefetch into SMEM: binary tree 32 B/node + 8-wide collapsed tree
+# ~224 B/wnode (~N/5 wnodes) — ~76 B/node total. tools/smemcap.py
+# measures the real on-chip ceiling; MPT_NODE_BUDGET overrides.
+NODE_BUDGET = int(os.environ.get("MPT_NODE_BUDGET", "15000"))
 PLANES = 16          # v0(3) e1(3) e2(3) + subAABBs(row 9) + tri-id(10) + valid(11)
 
 Array = Any
@@ -69,6 +73,19 @@ def build_packet_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         # oversized leaves are then re-split into multiple full 256-slot
         # chunks below (the kernel's CHUNK DMA/tile shape is fixed — growing
         # the chunk would mismatch tri_buf and the sub-chunk group size).
+        # Coarser leaves cost real traversal throughput, so degrading is
+        # LOUD (VERDICT r04 weak #6): warn by default, raise under
+        # MPT_NODE_BUDGET_STRICT=1. Raise MPT_NODE_BUDGET if the chip's
+        # SMEM allows (tools/smemcap.py measures it).
+        msg = (f"packet BVH needs {len(nodes['prim_offset'])} nodes at "
+               f"leaf {max_leaf} (> NODE_BUDGET={NODE_BUDGET}); doubling "
+               f"leaf size to {max_leaf * 2} — traversal will degrade. "
+               f"Measure the SMEM ceiling (tools/smemcap.py) and raise "
+               f"MPT_NODE_BUDGET, or shrink the scene.")
+        if os.environ.get("MPT_NODE_BUDGET_STRICT", "0") == "1":
+            raise ValueError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
         max_leaf *= 2
         nodes = _build_nodes(v0, v1, v2, max_leaf)
         if max_leaf > 64 * chunk:

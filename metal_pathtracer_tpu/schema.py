@@ -209,6 +209,17 @@ class EnvironmentSoA:
     flat_quads: Array = None
     cond_packed: Array = None
     marg_packed: Array = None
+    # NEE texel radiance rows: nee_packed[row, col] = [pdf, R, G, B] with
+    # RGB the mip0 texel radiance the pdf was BUILT from. Env NEE fetches
+    # its radiance from the sampled texel itself (one 4-wide row gather)
+    # instead of re-projecting the jittered direction through
+    # atan2/asin and a bilinear(+roughness-LOD) atlas lookup — radiance
+    # and pdf become exactly consistent (L/pdf is constant in luminance,
+    # strictly lower variance than the reference's jittered fetch,
+    # pathtrace.metal:1543-1573) at the cost of treating the env map as
+    # piecewise-constant for NEE. Documented deviation; the CPU oracle
+    # (native/cpu_oracle.cpp env_sample) implements the same estimator.
+    nee_packed: Array = None
 
 
 @struct.dataclass

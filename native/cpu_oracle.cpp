@@ -1685,7 +1685,12 @@ bool env_sample(const Scene& sc, uint32_t& s, V3& dir, V3& rad, float& pdf) {
            -map_dir.x * sr + map_dir.z * cr};
     pdf = sc.env_pdf[row * w + col];
     if (!std::isfinite(pdf) || pdf <= 0) return false;
-    rad = vmin0(env_lookup(sc, dir));
+    // Texel-exact NEE radiance: the sampled texel's own value (the one the
+    // pdf was built from) instead of re-projecting the jittered direction
+    // through a bilinear lookup — twin of ops/env.py _use_texel_nee
+    // (deviation from pathtrace.metal:1543-1573 documented there).
+    const float* tp = sc.env_texels + 3 * (static_cast<size_t>(row) * w + col);
+    rad = vmin0(V3{tp[0], tp[1], tp[2]} * sc.env_intensity);
     return finite3(rad);
 }
 

@@ -625,6 +625,57 @@ def test_fused_matches_xla_cornell_under_env_glass_chains():
                       max_rmse=1e-3)
 
 
+def test_fused_matches_xla_textured_pbr_mixed_prims():
+    """Textured PBR soup triangles + analytic sphere/rect in ONE fused
+    frame — the real-scene shape (textured glTF mesh + analytic floor)
+    the reference shades in its single kernel (pathtrace.metal:5919-6424).
+    Non-triangle winners must take the texture stage's identity planes by
+    their TRUE material id (the r04 verdict's last fused gate)."""
+    import jax
+
+    from metal_pathtracer_tpu.scene.resources import Rect, Sphere
+
+    settings, res, environment = _bench_like_scene(True)
+    # analytic floor + a metal sphere alongside the textured PBR mesh
+    m_floor = res.add_material(Material(base_color=(0.6, 0.55, 0.5)))
+    m_metal = res.add_material(Material(
+        mat_type=C.MATERIAL_METAL, base_color=(0.9, 0.7, 0.4),
+        roughness=0.05))
+    res.rects.append(Rect(
+        corner=np.array([-40.0, 0.0, -40.0], np.float32),
+        edge_u=np.array([80.0, 0.0, 0.0], np.float32),
+        edge_v=np.array([0.0, 0.0, 80.0], np.float32),
+        normal=np.array([0.0, 1.0, 0.0], np.float32),
+        material=m_floor, two_sided=False))
+    res.spheres.append(Sphere(center=(-1.6, 0.6, 0.4), radius=0.6,
+                              material=m_metal))
+    scene = res.build_arrays(environment=environment)
+    w, h = 40, 24
+    static = settings_to_static(settings, w, h,
+                                res.material_types_present())
+    assert scene.textures is not None and _scene_has_prims_check(scene)
+    img_ref, rays_ref = _render(scene, settings, res, w, h)
+    jax.clear_caches()
+    os.environ["MPT_FUSED_INTERPRET"] = "1"
+    try:
+        from metal_pathtracer_tpu.ops.pallas import shade
+        assert shade.fused_supported(scene, static)
+        img_fused, rays_fused = _render(scene, settings, res, w, h)
+    finally:
+        del os.environ["MPT_FUSED_INTERPRET"]
+        jax.clear_caches()
+    assert abs(rays_fused - rays_ref) <= max(4.0, 1e-4 * rays_ref)
+    d = np.abs(img_fused - img_ref)
+    rmse = float(np.sqrt((d * d).mean()))
+    assert rmse < 5e-3, (rmse, float(d.max()))
+    assert float((d.max(-1) < 1e-4).mean()) > 0.8
+
+
+def _scene_has_prims_check(scene):
+    from metal_pathtracer_tpu.ops.pallas.shade import _scene_has_prims
+    return _scene_has_prims(scene)
+
+
 def test_fused_matches_xla_env_modulated_light():
     """emission_env lights under an env background (the reference's
     env-modulated rect emission, mnee.metal:34-41 / SceneManager

@@ -135,7 +135,14 @@ def test_culltrace_matches_packet_trace():
     """Experimental culltrace path: exact hit parity with the v1 kernel
     (random soup incl. excluded prims and grazing rays)."""
     import jax.numpy as jnp
-    from metal_pathtracer_tpu.ops.pallas.culltrace import cull_trace
+    import importlib.util as _ilu
+    import os as _os
+    _ct_path = _os.path.join(_os.path.dirname(__file__), "..", "..",
+                             "tools", "culltrace.py")
+    _spec = _ilu.spec_from_file_location("culltrace", _ct_path)
+    _ct = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_ct)
+    cull_trace = _ct.cull_trace
     from metal_pathtracer_tpu.ops.pallas.traverse import packet_trace
     from metal_pathtracer_tpu.scene.packetbvh import build_packet_bvh
 
