@@ -222,7 +222,8 @@ def _arm_watchdog(seconds: int):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--no-selfcheck", action="store_true")
-    parser.add_argument("--scene", choices=["dragon", "lambert"],
+    parser.add_argument("--scene",
+                        choices=["dragon", "lambert", "refdefault"],
                         default="dragon")
     parser.add_argument("--spp", type=int, default=16)
     parser.add_argument("--reps", type=int, default=3)
@@ -246,6 +247,17 @@ def main(argv=None):
         from metal_pathtracer_tpu.utils.benchscene import build_bench_scene
         settings, resources, environment = build_bench_scene(8)
         scene_name = "dragon-class-hdr-env"
+    elif args.scene == "refdefault":
+        # The reference's own default workload shape: 1280x720 headless
+        # default resolution, maxDepth 20 (README example; settings
+        # default 50) — the deep-depth regime where survivor compaction
+        # carries the frame (reference: main_headless.mm:39,511-515,
+        # RenderSettings.h:41-42). Same bench scene content.
+        from metal_pathtracer_tpu.utils.benchscene import build_bench_scene
+        settings, resources, environment = build_bench_scene(8)
+        settings.maxDepth = 20
+        width, height = 1280, 720
+        scene_name = "refdefault-720p-depth20"
     else:
         from metal_pathtracer_tpu.scene.resources import (
             Material,

@@ -106,9 +106,9 @@ def render_samples_sharded(scene: SceneArrays, uniforms: Uniforms,
     MAX_SPP_PER_DISPATCH note there for the tunnel-runtime fault this
     avoids on real chips).
     """
-    from metal_pathtracer_tpu.renderer.frame import MAX_SPP_PER_DISPATCH
+    from metal_pathtracer_tpu.renderer.frame import max_spp_per_dispatch
 
-    step = max(1, MAX_SPP_PER_DISPATCH)
+    step = max(1, max_spp_per_dispatch())
     while n_samples > 0:
         take = min(step, n_samples)
         state = _render_sharded_once(scene, uniforms, state, static, take,

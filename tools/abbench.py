@@ -39,7 +39,8 @@ def parse_variant(spec):
         k, v = kv.split("=")
         k = {"OCT": "MPT_OCTANT_PASSES",
              "DBG": "MPT_TRAVERSE_DEBUG", "WIDE": "MPT_WIDE",
-             "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE"}.get(k, k)
+             "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE",
+             "MXUV": "MPT_MXUVERDICT"}.get(k, k)
         env[k] = v
         last = k
     return env
@@ -50,7 +51,8 @@ def set_env(env):
               "MPT_WIDE", "MPT_GROUP", "MPT_WWAVE",
               "MPT_COMPACT_SCHEDULE", "MPT_COMPACT_KEY",
               "MPT_COMPACT_DEPTH", "MPT_COMPACT_SEG", "MPT_STAGE_SKIP",
-              "MPT_CHAIN_SKIP"):
+              "MPT_CHAIN_SKIP", "MPT_MXUVERDICT", "MPT_ENV_TEXEL",
+              "MPT_MAX_SPP_PER_DISPATCH"):
         os.environ.pop(k, None)
     os.environ.update(env)
 
