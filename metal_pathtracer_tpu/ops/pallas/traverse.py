@@ -59,7 +59,6 @@ LEAF_QUEUE = 128           # leaf chunks queued per wave (8-wide worst case)
 
 def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
             wide: bool, _DEBUG_SKIP: str, group: int, wwave: int,
-            mxuv: bool,
             nb, nm,
             ox, oy, oz, dx, dy, dz, tmax, excl,
             chunks,
@@ -93,7 +92,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
     for g in range(group):
         sl = slice(g * SUBLANES, (g + 1) * SUBLANES)
         _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                     wwave, mxuv,
+                     wwave,
                      nb, nm,
                      ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl],
                      tmax[sl], excl[sl], chunks,
@@ -105,7 +104,7 @@ def _kernel(n_nodes: int, t_min: float, any_hit: bool, n_passes: int,
 
 
 def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
-                 wwave, mxuv, nb, nm,
+                 wwave, nb, nm,
                  ox, oy, oz, dx, dy, dz, tmax, excl,
                  chunks,
                  out_t, out_tri, out_u, out_v, out_stats, sl,
@@ -199,40 +198,6 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
                            jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
         return jnp.max(tfar - tnear, axis=1, keepdims=True)
 
-    def slab_hit_mask(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
-        """(8,128) f32 {1,0} per-lane hit mask — the MXU-verdict variant's
-        operand (the reduce itself rides a matmul, see cand_body8)."""
-        t0x = _bx(bminx)
-        t1x = _bx(bmaxx)
-        t0y = _by(bminy)
-        t1y = _by(bmaxy)
-        t0z = _bz(bminz)
-        t1z = _bz(bmaxz)
-        tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                        jnp.minimum(t0y, t1y)),
-                            jnp.maximum(jnp.minimum(t0z, t1z), t_min))
-        tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                       jnp.maximum(t0y, t1y)),
-                           jnp.minimum(jnp.maximum(t0z, t1z), wt_ref[:]))
-        return (tfar >= tnear).astype(jnp.float32)
-
-    ones_lane = jnp.ones((LANES, 1), jnp.float32)
-
-    def mxu_counts_to_lanes(M, lane_base):
-        """MXU verdict reduce: M (R,128) concat'd hit masks (8 rows per
-        box) -> (1,128) with box b's lane count at lane lane_base+b
-        (count-0.5: >=0 iff any lane hit). Two matmuls replace R/8
-        (8,128)->(8,1) lane reduces + lane placements; the second matmul
-        doubles as the sublane->lane transpose the VPU can't do cheaply."""
-        R = M.shape[0]
-        C = jax.lax.dot_general(M, ones_lane, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (R,1)
-        box_of_row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0) // 8
-        S = (jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
-             == lane_base + box_of_row).astype(jnp.float32)
-        out = jax.lax.dot_general(C, S, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        return out - 0.5  # (1,128)
 
     def flush_verdicts():
         """verdict_vmem lanes -> verdict_smem rows 0-1 (single DMA; rows
@@ -257,29 +222,17 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
         per-axis min/max re-sorts the interval — so without the flag
         every empty group was MT-tested (measured 61% wasted MT work).
         """
-        if mxuv:
-            masks = []
-            for k in range(SUBCHUNKS):
-                base = k * 6
-                hm = slab_hit_mask(
-                    tri_buf[slot, 9, base + 0], tri_buf[slot, 9, base + 1],
-                    tri_buf[slot, 9, base + 2], tri_buf[slot, 9, base + 3],
-                    tri_buf[slot, 9, base + 4], tri_buf[slot, 9, base + 5])
-                masks.append(jnp.where(
-                    tri_buf[slot, 9, 6 * SUBCHUNKS + k] > 0.5, hm, 0.0))
-            acc = mxu_counts_to_lanes(jnp.concatenate(masks, 0), 0)
-        else:
-            acc8 = jnp.full(tmax.shape, -1.0, jnp.float32)
-            for k in range(SUBCHUNKS):
-                base = k * 6
-                rowm = slab_margin_rows(
-                    tri_buf[slot, 9, base + 0], tri_buf[slot, 9, base + 1],
-                    tri_buf[slot, 9, base + 2], tri_buf[slot, 9, base + 3],
-                    tri_buf[slot, 9, base + 4], tri_buf[slot, 9, base + 5])
-                rowm = jnp.where(
-                    tri_buf[slot, 9, 6 * SUBCHUNKS + k] > 0.5, rowm, -1.0)
-                acc8 = jnp.where(lane_iota == k, rowm, acc8)
-            acc = jnp.max(acc8, axis=0, keepdims=True)
+        acc8 = jnp.full(tmax.shape, -1.0, jnp.float32)
+        for k in range(SUBCHUNKS):
+            base = k * 6
+            rowm = slab_margin_rows(
+                tri_buf[slot, 9, base + 0], tri_buf[slot, 9, base + 1],
+                tri_buf[slot, 9, base + 2], tri_buf[slot, 9, base + 3],
+                tri_buf[slot, 9, base + 4], tri_buf[slot, 9, base + 5])
+            rowm = jnp.where(
+                tri_buf[slot, 9, 6 * SUBCHUNKS + k] > 0.5, rowm, -1.0)
+            acc8 = jnp.where(lane_iota == k, rowm, acc8)
+        acc = jnp.max(acc8, axis=0, keepdims=True)
         # row 1: row 0 may carry a wave-verdict DMA still in flight when
         # the drain runs inside the deferred-drain window (wave pipelining)
         verdict_vmem[1:2, :] = acc
@@ -439,16 +392,6 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
             node = cand[jnp.minimum(i, wwave - 1)]
             valid = node >= 0
             nodec = jnp.maximum(node, 0)
-            if mxuv:
-                masks = []
-                for j in range(8):
-                    base = 6 * j
-                    masks.append(slab_hit_mask(
-                        nb[base + 0, nodec], nb[base + 1, nodec],
-                        nb[base + 2, nodec], nb[base + 3, nodec],
-                        nb[base + 4, nodec], nb[base + 5, nodec]))
-                M = jnp.where(valid, jnp.concatenate(masks, 0), 0.0)
-                return jnp.maximum(acc8, mxu_counts_to_lanes(M, 8 * i))
             for j in range(8):
                 base = 6 * j
                 rowm = slab_margin_rows(
@@ -649,10 +592,10 @@ def _packet_body(n_nodes, t_min, any_hit, n_passes, wide, _DEBUG_SKIP,
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_chunks", "t_min",
                                              "any_hit", "n_passes", "wide",
                                              "debug", "group", "wwave",
-                                             "interpret", "mxuv"))
+                                             "interpret"))
 def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
           n_nodes, n_chunks, t_min, any_hit=False, n_passes=1, wide=False,
-          debug="", group=1, wwave=8, interpret=False, mxuv=False):
+          debug="", group=1, wwave=8, interpret=False):
     assert t_min >= 0.0, "packet_trace requires t_min >= 0"
     rows = rays7[0].shape[0]
     grid = rows // (group * SUBLANES)
@@ -699,7 +642,7 @@ def _call(rays7, excl2, node_bounds, node_meta, chunk_tris,
             dimension_semantics=("parallel",))
     return pl.pallas_call(
         functools.partial(_kernel, n_nodes, t_min, any_hit, n_passes, wide,
-                          debug, group, wwave, mxuv),
+                          debug, group, wwave),
         grid_spec=grid_spec,
         compiler_params=compiler_params,
         interpret=interpret,
@@ -825,25 +768,26 @@ def packet_trace_unsorted(origin, direction, t_min, t_max, bvh: PacketBvh,
     # near-first push order (MPT_NEARFIRST, r04: primary +4.9% but
     # bounce -5.0% and bounces dominate), and the per-row leaf drain
     # (MPT_ROWDRAIN, r04: 2.7x slower — group gating already harvests
-    # the demand sparsity).
+    # the demand sparsity). r05 adds: MXU verdict-offload mask matmuls
+    # (MPT_MXUVERDICT, commit c2e605c: bit-identical but primary -7.8% /
+    # bounce -10.1% / shadow -8.8% — f32 matmul issue cost exceeds the
+    # 7-step lane reduces) and octant passes on sun-coherent shadow
+    # wavefronts (shadow -44%: packets are already ~octant-pure, the
+    # 8-pass root re-descents are pure overhead).
     interpret = os.environ.get("MPT_TRACE_INTERPRET", "0") == "1"
-    # MXU verdict offload (round-4 plan #3, executed r05): box-hit verdicts
-    # as mask matmuls against ones — the per-box lane reduce AND the
-    # sublane->lane placement both ride the (idle-during-traversal) MXU.
-    mxuv = os.environ.get("MPT_MXUVERDICT", "0") == "1"
     if wide:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.wnode_cbounds,
                                     bvh.wnode_child, bvh.chunk_tris,
                                     bvh.n_wnodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes, True,
-                                    debug, group, wwave, interpret, mxuv)
+                                    debug, group, wwave, interpret)
     else:
         t, tri, u, v, stats = _call(rays7, excl2, bvh.node_bounds,
                                     bvh.node_meta, bvh.chunk_tris,
                                     bvh.n_nodes, bvh.n_chunks,
                                     float(t_min), any_hit, n_passes,
                                     debug=debug, group=group, wwave=wwave,
-                                    interpret=interpret, mxuv=mxuv)
+                                    interpret=interpret)
     flat = lambda x: x.reshape(-1)[:n]
     if return_stats:
         # per-packet counters (reference PathtraceStats nodesVisited /

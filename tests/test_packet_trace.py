@@ -67,8 +67,6 @@ def _brute(o, d, tris, t_min=1e-3):
     {"MPT_OCTANT_PASSES": "1"},
     {"MPT_WIDE": "0"},
     {"MPT_TRAVERSE_DEBUG": "fakehit"},
-    {"MPT_MXUVERDICT": "1"},
-    {"MPT_MXUVERDICT": "1", "MPT_WIDE": "0"},
 ])
 @pytest.mark.parametrize("any_hit", [False, True])
 def test_kernel_traces_on_cpu(mode_env, any_hit, monkeypatch):
@@ -95,7 +93,7 @@ def test_kernel_traces_on_cpu(mode_env, any_hit, monkeypatch):
 
 # --- interpreter-mode numeric coverage -----------------------------------
 
-@pytest.mark.parametrize("mode_env", [{}, {"MPT_MXUVERDICT": "1"}])
+@pytest.mark.parametrize("mode_env", [{}])
 def test_kernel_interpret_matches_brute_force(mode_env, monkeypatch):
     import jax
     import jax.numpy as jnp

@@ -39,8 +39,7 @@ def parse_variant(spec):
         k, v = kv.split("=")
         k = {"OCT": "MPT_OCTANT_PASSES",
              "DBG": "MPT_TRAVERSE_DEBUG", "WIDE": "MPT_WIDE",
-             "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE",
-             "MXUV": "MPT_MXUVERDICT"}.get(k, k)
+             "GROUP": "MPT_GROUP", "WWAVE": "MPT_WWAVE"}.get(k, k)
         env[k] = v
         last = k
     return env
