@@ -242,11 +242,14 @@ def _render_slab_jit(scene: SceneArrays, uniforms: Uniforms,
 # bodies in one jit were fine, so it was not duration or body size. The
 # split is bit-exact vs a single dispatch (per-lane accumulation seeds
 # from the running sums — same float addition sequence), costing only
-# ~40 ms dispatch overhead per extra call. Re-measured per round
-# (VERDICT r04 weak #7): read at CALL time so tools/abbench.py frame
-# variants can A/B it against the current runtime.
+# ~40 ms dispatch overhead per extra call. Re-measured round 5 on the
+# current worker (tools/sppdispatch.py, bit-exact across sizes): the
+# fault is gone; 8 spp/dispatch is fastest (2.27 vs 2.24 Mrays/s at 2)
+# and compiles 6x faster (99 s vs 641 s cold), so 8 is the default.
+# Read at CALL time so tools/abbench.py frame variants can A/B it
+# against the current runtime.
 def max_spp_per_dispatch() -> int:
-    return int(os.environ.get("MPT_MAX_SPP_PER_DISPATCH", "2"))
+    return int(os.environ.get("MPT_MAX_SPP_PER_DISPATCH", "8"))
 
 
 def _sample_batch_for(height: int, width: int, n_samples: int) -> int:
