@@ -3029,24 +3029,17 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
                 tex_eligible = alive & (tri_i >= 0) & lane_pbr
                 if plain_tri_l is not None:
                     tex_eligible = tex_eligible & plain_tri_l
-                pbr_any = jnp.any(tex_eligible)
                 if "texture" in _skips:
-                    pbr_any = jnp.zeros((), bool)
+                    tex_eligible = jnp.zeros_like(tex_eligible)
+                pbr_any = jnp.any(tex_eligible)
 
                 state_flat = unshp(state_p)
-
-                def _tex_full(s):
-                    return _texture_stage(scene, uniforms, static, carry,
-                                          layout, o3, d3, t, tri_i, u, v,
-                                          depth, pad1, shp, unshp, s,
-                                          mat_lane=mat_lane,
-                                          plain=plain_tri_l)
-
-                def _tex_ident(s):
-                    return _texture_identity(scene, static, mat_lane, shp, s)
-
-                tex_planes, tex_state = jax.lax.cond(
-                    pbr_any, _tex_full, _tex_ident, state_flat)
+                cw_f = unshp(carry[layout["cone_w"]])
+                cs_f = unshp(carry[layout["cone_s"]])
+                tex_planes, tex_state = _texture_dispatch(
+                    scene, uniforms, static, cw_f, cs_f, o3, d3, t, tri_i,
+                    u, v, depth, shp, state_flat, mat_lane, plain_tri_l,
+                    tex_eligible, pbr_any, padded_l)
                 # alpha-BLEND lanes consumed one draw (integrator commits
                 # where(active, texd.state, state) before the NEE draws)
                 state_p = shp(jnp.where(alive & (tri_i >= 0), tex_state,
@@ -3521,8 +3514,84 @@ def _texture_identity(scene, static, mat_lane, shp, state):
         shp(m.pbr_transmission), shp(zeros)]), state
 
 
-def _texture_stage(scene, uniforms, static, carry, layout, o3, d3, t, tri_i,
-                   u, v, depth, pad1, shp, unshp, state, mat_lane=None,
+def _texture_dispatch(scene, uniforms, static, cw, cs, o3, d3, t, tri_i,
+                      u, v, depth, shp, state, mat_lane, plain,
+                      tex_eligible, pbr_any, padded_l):
+    """Route the texture pre-stage by runtime demand: no eligible lane ->
+    identity planes; a few eligible lanes -> sparse-compacted stage;
+    many -> the full-width stage.
+
+    Sparse-compacted stage (round 5): the stage's ~25 gathers/lane used
+    to run at FULL wavefront width for every chunk with >=1 PBR hit,
+    while the eligible lanes are typically a few % (one textured object
+    in frame). cumsum-compact the eligible lanes into a CAPL-lane dense
+    buffer, run the IDENTICAL per-lane stage there, scatter the planes
+    back over the identity planes. Per-lane equal to the full-width
+    stage (rng state bit-identical — the stage is lane-pure, gathers by
+    that lane's tri/uv only, and the alpha-BLEND rng advance is
+    per-lane masked, pbr_textures.py:284-286; sampled values up to XLA
+    shape-dependent rounding, tests/test_texture_sparse.py). Overflow
+    (> CAPL eligible) falls back to the full-width stage via
+    lax.switch. MPT_TEX_SPARSE=D sets the cap to padded_l/D (0
+    disables; default 8)."""
+
+    def _tex_full(s):
+        return _texture_stage(scene, uniforms, static, cw, cs,
+                              o3, d3, t, tri_i, u, v, depth, shp, s,
+                              mat_lane=mat_lane, plain=plain)
+
+    def _tex_ident(s):
+        return _texture_identity(scene, static, mat_lane, shp, s)
+
+    capdiv = int(os.environ.get("MPT_TEX_SPARSE", "8"))
+    CAPL = 0
+    if capdiv > 0:
+        CAPL = max(BLOCK, -(-padded_l // capdiv // BLOCK) * BLOCK)
+    if not CAPL or CAPL >= padded_l:
+        return jax.lax.cond(pbr_any, _tex_full, _tex_ident, state)
+
+    nb_s = CAPL // BLOCK
+
+    def shp_s(a):
+        return a.reshape(nb_s, ROWS, LANES)
+
+    def _tex_sparse(s):
+        flags = tex_eligible
+        pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        slot = jnp.where(flags, pos, CAPL)
+        idx = jnp.full((CAPL + 1,), padded_l, jnp.int32).at[slot].set(
+            jnp.arange(padded_l, dtype=jnp.int32), mode="drop")[:CAPL]
+        valid = idx < padded_l
+        idxc = jnp.minimum(idx, padded_l - 1)
+
+        def g(a, fill=0.0):
+            return jnp.where(valid, a[idxc], jnp.asarray(fill, a.dtype))
+
+        o3_s = jnp.where(valid[:, None], o3[idxc], 0.0)
+        d3_s = jnp.where(valid[:, None], d3[idxc], 1.0)
+        tri_s = jnp.where(valid, tri_i[idxc], -1)
+        planes_s, state_s = _texture_stage(
+            scene, uniforms, static, g(cw), g(cs),
+            o3_s, d3_s, g(t), tri_s, g(u), g(v),
+            depth, shp_s, g(s), mat_lane=g(mat_lane), plain=None)
+        ident, _ = _tex_ident(s)
+        full = []
+        for p in range(15):
+            fp = ident[p].reshape(padded_l).at[idx].set(
+                planes_s[p].reshape(CAPL), mode="drop")
+            full.append(shp(fp))
+        st = s.at[idx].set(state_s, mode="drop")
+        return jnp.stack(full), st
+
+    n_elig = jnp.sum(tex_eligible.astype(jnp.int32))
+    branch = (jnp.where(pbr_any, 1, 0)
+              + jnp.where(n_elig > CAPL, 1, 0))
+    return jax.lax.switch(branch, [_tex_ident, _tex_sparse, _tex_full],
+                          state)
+
+
+def _texture_stage(scene, uniforms, static, cw, cs, o3, d3, t, tri_i,
+                   u, v, depth, shp, state, mat_lane=None,
                    plain=None):
     """XLA texture pre-stage: run the REAL apply_pbr_textures over the raw
     hits and export the material-override planes the kernels consume
@@ -3546,8 +3615,6 @@ def _texture_stage(scene, uniforms, static, carry, layout, o3, d3, t, tri_i,
         scene.materials,
         jnp.clip(rec.material if mat_lane is None else mat_lane, 0,
                  scene.materials.count - 1))
-    cw = unshp(carry[layout["cone_w"]])
-    cs = unshp(carry[layout["cone_s"]])
     hit_world = jnp.maximum(t, 0.0) * jnp.sqrt(
         jnp.maximum(jnp.sum(d3 * d3, -1), 1e-12))
     cone_at_hit = jnp.maximum(cw + cs * hit_world, 1e-7)

@@ -36,8 +36,13 @@ SUBCHUNKS = int(os.environ.get("MPT_SUBCHUNKS", "32"))
 # SMEM node cap. The traversal kernel's node arrays ride as scalar
 # prefetch into SMEM: binary tree 32 B/node + 8-wide collapsed tree
 # ~224 B/wnode (~N/5 wnodes) — ~76 B/node total. tools/smemcap.py
-# measures the real on-chip ceiling; MPT_NODE_BUDGET overrides.
-NODE_BUDGET = int(os.environ.get("MPT_NODE_BUDGET", "15000"))
+# measured the real v5e ceiling (2026-08-20): 15,199 nodes / 4,076
+# wnodes (est 944KB) compiles and runs; 15,655 / 4,281 (est 988KB)
+# fails to compile. 15,300 keeps margin below the measured boundary
+# and un-degrades the 1.32M-tri bench mesh (15,065 nodes at leaf 256,
+# which the old 15,000 budget silently re-split at leaf 512).
+# MPT_NODE_BUDGET overrides.
+NODE_BUDGET = int(os.environ.get("MPT_NODE_BUDGET", "15300"))
 PLANES = 16          # v0(3) e1(3) e2(3) + subAABBs(row 9) + tri-id(10) + valid(11)
 
 Array = Any

@@ -51,7 +51,8 @@ def set_env(env):
               "MPT_COMPACT_SCHEDULE", "MPT_COMPACT_KEY",
               "MPT_COMPACT_DEPTH", "MPT_COMPACT_SEG", "MPT_STAGE_SKIP",
               "MPT_CHAIN_SKIP", "MPT_MXUVERDICT", "MPT_ENV_TEXEL",
-              "MPT_MAX_SPP_PER_DISPATCH"):
+              "MPT_MAX_SPP_PER_DISPATCH", "MPT_TEX_SPARSE",
+              "MPT_NODE_BUDGET"):
         os.environ.pop(k, None)
     os.environ.update(env)
 
@@ -84,7 +85,8 @@ def build_bench_scene(width=1920, height=1080, depth=8):
         camera = build_camera(settings, width, height)
         return scene, settings_to_uniforms(settings, camera, 0, 0), static
 
-    cache = "/tmp/mpt_bench_scene.pkl"
+    cache = ("/tmp/mpt_bench_scene_nb%s.pkl"
+             % os.environ.get("MPT_NODE_BUDGET", "default"))
     settings = RenderSettings()
     settings.cameraTarget = (0.0, 0.0, 0.0)
     settings.cameraDistance = 3.2
@@ -120,11 +122,24 @@ def bench_frame(variants, spp=None, rounds=None):
 
     spp = spp or int(os.environ.get("AB_SPP", "2"))
     rounds = rounds or int(os.environ.get("AB_ROUNDS", "3"))
-    scene, uniforms, static = build_bench_scene(
-        int(os.environ.get("AB_W", "1920")),
-        int(os.environ.get("AB_H", "1080")),
-        depth=int(os.environ.get("AB_DEPTH", "8")))
-    width, height = static.width, static.height
+
+    def _build(depth):
+        return build_bench_scene(
+            int(os.environ.get("AB_W", "1920")),
+            int(os.environ.get("AB_H", "1080")),
+            depth=depth)
+
+    # MPT_NODE_BUDGET acts at BVH BUILD time, not trace time: variants
+    # that set it get their own scene build (cached per budget value).
+    # DEPTH=n is a pseudo-key (like CHUNK): per-variant maxDepth.
+    scenes = {}
+
+    def _scene_for(env):
+        depth = int(env.pop("DEPTH", os.environ.get("AB_DEPTH", "8")))
+        key = (env.get("MPT_NODE_BUDGET", ""), depth)
+        if key not in scenes:
+            scenes[key] = _build(depth)
+        return scenes[key]
 
     fns = []
     for spec in variants:
@@ -133,23 +148,26 @@ def bench_frame(variants, spp=None, rounds=None):
 
         chunk = int(env.pop("CHUNK", os.environ.get("AB_CHUNK", "65536")))
         set_env(env)
+        scene, uniforms, static = _scene_for(env)
+        width, height = static.width, static.height
 
         # fresh jit wrapper per variant: env flags are read at trace time
         @jax.jit
-        def run(scene, uniforms, state, _spec=spec, _chunk=chunk):
-            return frame.render_rows(scene, uniforms, state, static, spp, 0,
-                                     chunk=_chunk)
+        def run(scene, uniforms, state, _spec=spec, _chunk=chunk,
+                _static=static):
+            return frame.render_rows(scene, uniforms, state, _static, spp,
+                                     0, chunk=_chunk)
 
         state = RenderState.create(width, height)
         t0 = time.time()
         out = run(scene, uniforms, state)
         np.asarray(out.radiance_sum)
         print(f"compile+first {spec}: {time.time()-t0:.1f}s", flush=True)
-        fns.append((spec, run))
+        fns.append((spec, run, scene, uniforms, (width, height)))
 
-    results = {spec: [] for spec, _ in fns}
+    results = {spec: [] for spec, _, _, _, _ in fns}
     for r in range(rounds):
-        for spec, run in fns:
+        for spec, run, scene, uniforms, (width, height) in fns:
             set_env(parse_variant(spec))
             state = RenderState.create(width, height)
             state = run(scene, uniforms, state)  # warm rep (fresh state)

@@ -35,7 +35,10 @@ def run(tri_counts):
     from metal_pathtracer_tpu.scene.packetbvh import build_packet_bvh
 
     rng = np.random.default_rng(7)
-    N = 128 * 1024
+    # compile success is the question, not throughput: a handful of
+    # packets suffices (128K random rays over a clustered soup measured
+    # ~20 min/size — every packet's union is the whole tree)
+    N = int(os.environ.get("SMEMCAP_RAYS", str(8 * 1024)))
     o = rng.uniform(-10, 10, (N, 3)).astype(np.float32)
     d = rng.normal(size=(N, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
