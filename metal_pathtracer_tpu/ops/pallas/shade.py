@@ -2025,14 +2025,31 @@ def _shade_kernel(*refs, stage, layout, static, m_count, env_mode, has_tex,
     pbr_emissive = m.emission
     passthrough = jnp.zeros_like(hit)
     if has_tex:
+        # Per-lane select on the tpbr flag plane: only textured-PBR lanes
+        # take the XLA texture-stage override; everything else keeps the
+        # kernel's own SMEM material fetch. This lets the identity branch
+        # of _texture_dispatch emit ZERO planes (a broadcast) instead of
+        # a full-width gather_material — the identity branch runs for
+        # every chunk x depth, so its per-lane gathers were a measured
+        # frame-level cost (BENCHMARKS round-5 budget). Values are
+        # unchanged: non-textured lanes' tex planes were exactly the
+        # material-table values this select now reads directly.
+        tv = tex("tpbr") > 0.5
         m = m._replace(
-            base=V3(tex("tbr"), tex("tbg"), tex("tbb")),
-            roughness=tex("trough"),
-            pbr_metallic=tex("tmetal"),
-            pbr_transmission=tex("ttrans"))
-        pbr_emissive = V3(tex("temr"), tex("temg"), tex("temb"))
-        diffuse_occlusion = tex("tocc")
-        passthrough = tex("tpass") > 0.5
+            base=vwhere(tv, V3(tex("tbr"), tex("tbg"), tex("tbb")),
+                        m.base),
+            roughness=jnp.where(tv, tex("trough"), m.roughness),
+            pbr_metallic=jnp.where(tv, tex("tmetal"), m.pbr_metallic),
+            pbr_transmission=jnp.where(tv, tex("ttrans"),
+                                       m.pbr_transmission))
+        # fallback emissive matches apply_pbr_textures' non-textured
+        # lanes: to_working_space(m.emission) (pbr_textures.py:180,363)
+        fb_em = (to_acescg(m.emission)
+                 if static.working_color_space == 1 else m.emission)
+        pbr_emissive = vwhere(tv, V3(tex("temr"), tex("temg"), tex("temb")),
+                              fb_em)
+        diffuse_occlusion = jnp.where(tv, tex("tocc"), diffuse_occlusion)
+        passthrough = tv & (tex("tpass") > 0.5)
         if stage != "s2":
             # normal-mapped shading normal (integrator: shading_normal =
             # texd.shading_normal, applied before the dielectric force);
@@ -3492,26 +3509,16 @@ def trace_paths_fused(scene, uniforms, static, state, ray_o, ray_d):
 
 
 def _texture_identity(scene, static, mat_lane, shp, state):
-    """TEX planes for a chunk with no PBR hit lane: exactly what
-    apply_pbr_textures returns for non-PBR lanes (original material
-    values, occlusion 1, passthrough 0) at the cost of one material
-    fetch. mat_lane: per-lane material index (from shade_packed col 18 —
-    no extra gather)."""
-    from metal_pathtracer_tpu.ops import bsdf as bsdf_ops
-    from metal_pathtracer_tpu.ops.integrator import to_working_space
-
-    m = bsdf_ops.gather_material(scene.materials, mat_lane)
-    emissive = to_working_space(m.emission, static)
-    ones = jnp.ones(mat_lane.shape, jnp.float32)
-    zeros = jnp.zeros(mat_lane.shape, jnp.float32)
-    return jnp.stack([
-        shp(m.base_color[:, 0]), shp(m.base_color[:, 1]),
-        shp(m.base_color[:, 2]),
-        shp(m.roughness), shp(m.pbr_metallic),
-        shp(emissive[:, 0]), shp(emissive[:, 1]), shp(emissive[:, 2]),
-        shp(ones), shp(zeros),
-        shp(zeros), shp(zeros), shp(zeros),
-        shp(m.pbr_transmission), shp(zeros)]), state
+    """TEX planes for a chunk with no textured-PBR hit lane: all-zero
+    planes (a broadcast). The kernels select texture overrides per lane
+    on the tpbr flag plane (plane 14, zero here), so non-textured lanes
+    keep the kernel's own SMEM material fetch — this branch used to
+    gather_material at full width every chunk x depth. On-chip A/B:
+    neutral-to-+0.7% (XLA's small-table gather was cheap), kept for the
+    simpler program (BENCHMARKS round-5)."""
+    del scene, static
+    zero = shp(jnp.zeros(mat_lane.shape, jnp.float32))
+    return jnp.stack([zero] * 15), state
 
 
 def _texture_dispatch(scene, uniforms, static, cw, cs, o3, d3, t, tri_i,

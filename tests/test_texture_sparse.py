@@ -125,21 +125,24 @@ def test_sparse_matches_full(tex_fixture, monkeypatch, pbr_frac, label):
     p_sp, s_sp = _dispatch(scene, static, uniforms, wf, n, "2",
                            monkeypatch)
     np.testing.assert_array_equal(s_sp, s_full)
-    # tnx/tny/tnz (planes 10-12) are consumed ONLY where tpbr (plane 14)
-    # is set (shade.py shading_normal vwhere) — on non-PBR lanes the full
-    # stage leaves reconstruction garbage there while the sparse path's
-    # identity planes carry zeros; both are dead values.
+    # Every VALUE plane is consumed ONLY where tpbr (plane 14) is set:
+    # the kernels select texture overrides per lane on the tpbr flag
+    # (shade._shade_kernel material-fetch block), so on tpbr=0 lanes the
+    # full stage carries material values / reconstruction garbage while
+    # the sparse path's identity planes carry zeros — both dead values.
+    # The flag planes themselves (tpass is consumed raw by the S2
+    # nee_lanes mask, tpbr by the selects) must match EXACTLY everywhere:
+    # both paths emit 0 on non-eligible lanes.
     from metal_pathtracer_tpu.ops.pallas.shade import TEX_IDX
 
     tpbr = p_full[TEX_IDX["tpbr"]] > 0.5
     for p in range(p_full.shape[0]):
         name = list(TEX_IDX)[p]
         a, b = p_sp[p], p_full[p]
-        if name in ("tnx", "tny", "tnz"):
-            a, b = np.where(tpbr, a, 0.0), np.where(tpbr, b, 0.0)
         if name in ("tpass", "tpbr"):
             np.testing.assert_array_equal(a, b, err_msg=name)
         else:
+            a, b = np.where(tpbr, a, 0.0), np.where(tpbr, b, 0.0)
             np.testing.assert_allclose(a, b, rtol=3e-6, atol=1e-6,
                                        err_msg=name)
 
